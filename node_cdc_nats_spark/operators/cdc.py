@@ -1,0 +1,236 @@
+"""CDC envelope operators — the reference's own capability surface,
+re-expressed relationally over the ``events`` table (batch analog of the
+CDC stream; streaming twins live in ``node_cdc_nats_spark.streaming``).
+
+Mapping to the reference (SURVEY.md §2.1):
+- ``filter_channel``   ← MQTT pattern gate, ``lib/nats.js:94-96`` (S3)
+- ``fanout_dispatch``  ← multicast to all matching subs, ``lib/nats.js:86-113`` (S4)
+- ``bounded_subscription`` ← inclusive ``max`` delivery, ``lib/nats.js:97-107`` (S5)
+- ``cdc_upsert_latest`` / ``cdc_changelog`` ← the queryable view of a CDC
+  history the reference only transports
+- ``rpc_first_response`` ← request/response correlation with first-wins and
+  408 timeout, ``lib/nats.js:196-256`` (S7)
+
+The synthetic ``channel`` column (``cdc/<event_type>/<user_id % 10>``)
+stands in for ``CDCMsg.channel``; at scale it is a codegen'd projection, and
+every pattern filter on it is an ordinary Catalyst predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..functions.mqtt import channel_matches, mqtt_to_regex
+from ..io import load_table
+from ..registry import register
+
+# Logical subscriptions used by the fan-out / bounded-delivery fixtures.
+# (sub_id, mqtt_pattern, max_deliveries)
+SUBSCRIPTIONS = [
+    ("s1", "cdc/click/#", 2000000000),
+    ("s2", "cdc/+/3", 500),
+    ("s3", "cdc/error/5", 100),
+]
+
+_CHANNEL_SQL = "CONCAT('cdc/', event_type, '/', CAST(user_id % 10 AS VARCHAR))"
+
+
+def with_channel(events: DataFrame) -> DataFrame:
+    """Attach the synthetic CDCMsg.channel column."""
+    return events.withColumn(
+        "channel",
+        F.concat(F.lit("cdc/"), F.col("event_type"), F.lit("/"), (F.col("user_id") % 10).cast("string")),
+    )
+
+
+def _subs_sql_values() -> str:
+    rows = ", ".join(
+        f"('{sid}', '{mqtt_to_regex(pat)}', {mx})" for sid, pat, mx in SUBSCRIPTIONS
+    )
+    return f"(VALUES {rows}) AS s(sub_id, pattern_re, max_n)"
+
+
+@register(
+    "filter_channel",
+    oracle=f"""
+    SELECT event_id, channel FROM (
+      SELECT event_id, {_CHANNEL_SQL} AS channel FROM events) t
+    WHERE REGEXP_MATCHES(channel, '{mqtt_to_regex("cdc/+/7")}')
+    """,
+)
+def filter_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = with_channel(load_table(spark, sf_dir, "events"))
+    return e.filter(channel_matches("channel", "cdc/+/7")).select("event_id", "channel")
+
+
+@register(
+    "fanout_dispatch",
+    oracle=f"""
+    SELECT s.sub_id, e.event_id, e.channel
+    FROM (SELECT event_id, {_CHANNEL_SQL} AS channel FROM events) e
+    JOIN {_subs_sql_values()}
+      ON REGEXP_MATCHES(e.channel, s.pattern_re)
+    """,
+)
+def fanout_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One shared scan, N pattern subscriptions — the reference's multicast
+    # loop (lib/nats.js:92-112) as a broadcast theta-join: the subscription
+    # registry is tiny, the event stream is the 100 TB side, so the join is
+    # a broadcast nested-loop with a constant-folded regex per sub.
+    e = with_channel(load_table(spark, sf_dir, "events"))
+    subs = spark.createDataFrame(
+        [(sid, mqtt_to_regex(pat)) for sid, pat, _ in SUBSCRIPTIONS],
+        "sub_id string, pattern_re string",
+    )
+    return (
+        e.join(F.broadcast(subs), F.expr("channel rlike pattern_re"))
+        .select("sub_id", "event_id", "channel")
+    )
+
+
+@register(
+    "bounded_subscription",
+    oracle=f"""
+    WITH dispatched AS (
+      SELECT s.sub_id, s.max_n, e.event_id, e.ts,
+             ROW_NUMBER() OVER (PARTITION BY s.sub_id ORDER BY e.ts, e.event_id) AS rn
+      FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, {_CHANNEL_SQL} AS channel
+            FROM events) e
+      JOIN {_subs_sql_values()}
+        ON REGEXP_MATCHES(e.channel, s.pattern_re))
+    SELECT sub_id, event_id, CAST(rn AS BIGINT) AS delivery_no
+    FROM dispatched WHERE rn <= max_n
+    """,
+)
+def bounded_subscription(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Inclusive `max` semantics of lib/nats.js:99-107: the row where the
+    # counter reaches max IS delivered, everything after is dropped.
+    e = with_channel(load_table(spark, sf_dir, "events"))
+    subs = spark.createDataFrame(
+        [(sid, mqtt_to_regex(pat), mx) for sid, pat, mx in SUBSCRIPTIONS],
+        "sub_id string, pattern_re string, max_n long",
+    )
+    w = W.partitionBy("sub_id").orderBy("ts", "event_id")
+    return (
+        e.join(F.broadcast(subs), F.expr("channel rlike pattern_re"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("max_n"))
+        .select("sub_id", "event_id", F.col("rn").cast("long").alias("delivery_no"))
+    )
+
+
+@register(
+    "cdc_upsert_latest",
+    oracle="""
+    SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+    FROM (
+      SELECT user_id, event_id, event_type, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-key latest state of the CDC history (the materialized "table view"
+    # of the stream the reference transports). At scale: one shuffle by key;
+    # AQE handles skewed hot keys.
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value", "ts")
+    )
+
+
+@register(
+    "cdc_changelog",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN LAG(event_id) OVER w IS NULL THEN 'I' ELSE 'U' END AS op,
+           value,
+           LAG(value) OVER w AS prev_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Changelog view: first row per key is an insert, later rows are updates
+    # carrying the previous value (what a MERGE INTO sink would consume).
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.when(F.lag("event_id").over(w).isNull(), "I").otherwise("U").alias("op"),
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+    )
+
+
+@register(
+    "rpc_first_response",
+    oracle="""
+    WITH req AS (
+      SELECT event_id AS req_id, user_id, CAST(ts AS TIMESTAMP) AS req_ts
+      FROM events WHERE event_type = 'click'),
+    resp AS (
+      SELECT event_id AS resp_id, user_id, CAST(ts AS TIMESTAMP) AS resp_ts
+      FROM events WHERE event_type IN ('purchase', 'signup')),
+    matched AS (
+      SELECT r.req_id, p.resp_id, p.resp_ts,
+             ROW_NUMBER() OVER (PARTITION BY r.req_id
+                                ORDER BY p.resp_ts, p.resp_id) AS rn
+      FROM req r JOIN resp p
+        ON p.user_id = r.user_id
+       AND p.resp_ts >= r.req_ts
+       AND p.resp_ts <= r.req_ts + INTERVAL 10 MINUTE)
+    SELECT q.req_id, m.resp_id,
+           CAST(CASE WHEN m.resp_id IS NULL THEN 408 ELSE 200 END AS INT) AS code
+    FROM req q LEFT JOIN (SELECT req_id, resp_id FROM matched WHERE rn = 1) m
+      USING (req_id)
+    """,
+)
+def rpc_first_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch analog of the reference RPC (lib/nats.js:196-256): requests race
+    responses on N subjects; the FIRST response within the timeout wins
+    (lib/nats.js:215-225); requests with none resolve {code: 408}
+    (lib/nats.js:238-247). 'click' events act as requests; 'purchase'/'signup'
+    are the two response subjects (their union mirrors the multi-subject
+    subscribe); correlation key is user_id, timeout 10 minutes."""
+    e = load_table(spark, sf_dir, "events")
+    req = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("req_id"), "user_id", F.col("ts").alias("req_ts")
+    )
+    resp = e.filter(F.col("event_type").isin("purchase", "signup")).select(
+        F.col("event_id").alias("resp_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("resp_ts"),
+    )
+    # Equi-join on the correlation key carries the shuffle; the time-range
+    # residual bounds state — the same plan the streaming twin uses with a
+    # watermark (streaming/rpc.py).
+    joined = req.join(
+        resp,
+        (resp.r_user_id == req.user_id)
+        & (resp.resp_ts >= req.req_ts)
+        & (resp.resp_ts <= F.col("req_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    )
+    first = (
+        joined.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("req_id").orderBy("resp_ts", "resp_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select("req_id", "resp_id")
+    )
+    return (
+        req.join(first, "req_id", "left")
+        .select(
+            "req_id",
+            "resp_id",
+            F.when(F.col("resp_id").isNull(), 408).otherwise(200).cast("int").alias("code"),
+        )
+    )

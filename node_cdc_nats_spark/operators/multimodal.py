@@ -1,0 +1,136 @@
+"""Multimodal-column plumbing: opaque ``binary`` payloads + typed metadata,
+decode / feature-extract / frame-sample as Arrow-batched Pandas operators.
+
+The decode step is STUBBED (image/audio libraries are not in this
+container): ``_decode_stub`` produces a deterministic fake feature vector
+from the raw bytes. Everything Spark-side — binary column handling, schema,
+``mapInPandas`` batch shape, partition behavior — is real and tested; swap
+``_decode_stub`` for a PIL/torchaudio call and nothing else changes.
+
+The fixture media is synthesized from ``documents.text`` (UTF-8 bytes as
+the opaque payload), mirroring how the reference treats payloads as opaque
+``bytes`` whose meaning comes from ``contentType``
+(``/root/reference/examples/cdc-pub.js:34,39``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+from ..registry import register
+
+FEATURE_DIM = 4
+
+
+def as_media(documents: DataFrame) -> DataFrame:
+    """Wrap documents as a media table: opaque binary payload + metadata."""
+    return documents.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_bytes,
+           'text/plain' AS mime
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = as_media(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id", F.col("meta.n_bytes").alias("n_bytes"), F.col("meta.mime").alias("mime")
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(UNNEST(RANGE(OCTET_LENGTH(ENCODE(text)) % 5 + 1)) AS INT) AS frame_idx
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plumbing: each media row expands to its sampled frame
+    indices (count derived deterministically from payload size, standing in
+    for a video's frame count). The explode is the real operator; the frame
+    decode itself is the stubbed step."""
+    media = as_media(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("meta.n_bytes") % 5)).alias("fi"),
+    ).select("doc_id", F.col("fi").cast("int").alias("frame_idx"))
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (mapInPandas:
+    the decode path is per-partition batch iteration, never per-row Python
+    UDF calls).
+
+    The decode stub is defined INSIDE the closure on purpose: cloudpickle
+    serializes nested functions by value, so executor Python workers never
+    need this package importable on their own sys.path (they generally
+    don't have it — only the driver does)."""
+
+    feature_dim = FEATURE_DIM
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def decode_stub(payload: bytes) -> list[float]:
+            # STUB: deterministic fake features from raw bytes. A real
+            # deployment swaps in e.g. PIL.Image.open + resize + embed; the
+            # contract (bytes in, fixed-dim float vector out) is unchanged.
+            n = len(payload)
+            if n == 0:
+                return [0.0] * feature_dim
+            return [
+                float(n),
+                float(payload[0]),
+                float(payload[-1]),
+                float(sum(payload[:32]) % 997),
+            ]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    "features": pdf["payload"].map(decode_stub),
+                }
+            )
+
+    return media.mapInPandas(op, schema="doc_id long, n_bytes int, features array<double>")
+
+
+# Deterministic fake decode → actually SQL-expressible, so the plumbing gets
+# a full value-level oracle instead of a rows-only check. (DuckDB can't index
+# BLOB bytes directly; the fixture text is ASCII, so byte k == ASCII(char k).)
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_bytes,
+           [CAST(OCTET_LENGTH(ENCODE(text)) AS DOUBLE),
+            CAST(ASCII(SUBSTR(text, 1, 1)) AS DOUBLE),
+            CAST(ASCII(SUBSTR(text, LENGTH(text), 1)) AS DOUBLE),
+            CAST(LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+                   LIST_TRANSFORM(RANGE(LEAST(LENGTH(text), 32)),
+                                  i -> CAST(ASCII(SUBSTR(text, CAST(i+1 AS INT), 1)) AS BIGINT))),
+                 (a, x) -> a + x) % 997 AS DOUBLE)] AS features
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = as_media(load_table(spark, sf_dir, "documents"))
+    return extract_features(media)

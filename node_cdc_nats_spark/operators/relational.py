@@ -1,0 +1,519 @@
+"""Relational core: scans, projection, filter, joins, aggregation, sort /
+limit / top-k, set ops (SURVEY.md §2.2 rows "Scans" through "Set ops").
+
+The reference has none of these (its only predicate is the MQTT channel
+match, ``/root/reference/lib/nats.js:94-96``); they are required so the CDC
+history the engine captures is actually queryable. Everything here is
+declarative DataFrame API — Catalyst handles pushdown, pruning, join
+selection and partial aggregation; explicit ``broadcast()`` hints mark the
+dimension tables that must never shuffle at 100 TB scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+from ..registry import register
+from .exact import davg, dsum, sql_davg, sql_dsum
+
+
+# ---------------------------------------------------------------------------
+# Flagship: pricing summary (TPC-H Q1 shape) — scan → filter → agg → sort.
+# One shuffle (partial+final hash agg); filter and 7-column pruning push into
+# the parquet scan, so at 100 TB only ~2/3 of rows and 7/11 columns are read.
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection (reference analog: protobuf decode-as-projection, S2)
+# ---------------------------------------------------------------------------
+@register(
+    "project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           l_quantity * 2.0 AS double_qty
+    FROM lineitem
+    """,
+)
+def project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        (F.col("l_quantity") * F.lit(2.0)).alias("double_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filter / predicate (reference analog: MQTT pattern gate, S3)
+# ---------------------------------------------------------------------------
+@register(
+    "filter_predicate",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0
+      AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_totalprice") > 150000.0)
+        & (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp_ntz"))
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+@register(
+    "join_inner",
+    oracle="""
+    SELECT c_custkey, c_name, n_name AS nation, r_name AS region
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    # nation/region are bounded dimensions — broadcast regardless of fact size.
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+    )
+
+
+@register(
+    "join_left",
+    oracle=f"""
+    SELECT c_custkey,
+           COUNT(o_orderkey) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"), dsum("o_totalprice").alias("total_spent"))
+    )
+
+
+@register(
+    "join_right",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal < -900.0
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .filter(F.col("c_acctbal") < -900.0)
+        .select("c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "join_full",
+    oracle="""
+    SELECT ckey, skey FROM
+      (SELECT DISTINCT c_nationkey AS ckey FROM customer WHERE c_acctbal < -750.0) a
+      FULL JOIN
+      (SELECT DISTINCT s_nationkey AS skey FROM supplier WHERE s_acctbal > 8000.0) b
+      ON a.ckey = b.skey
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    a = c.filter(F.col("c_acctbal") < -750.0).select(F.col("c_nationkey").alias("ckey")).distinct()
+    b = s.filter(F.col("s_acctbal") > 8000.0).select(F.col("s_nationkey").alias("skey")).distinct()
+    return a.join(b, a.ckey == b.skey, "full").select("ckey", "skey")
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = li.filter(F.col("l_quantity") >= 49.0)
+    return o.join(big, o.o_orderkey == big.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_range",
+    oracle=f"""
+    SELECT p_brand,
+           COUNT(*) AS n,
+           {sql_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem JOIN part
+      ON l_partkey = p_partkey
+     AND l_quantity BETWEEN p_size - 2 AND p_size + 2
+    GROUP BY p_brand
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    # Equi key carries the shuffle; the range residual is evaluated post-match,
+    # so this stays a hash/sort-merge join (never a nested-loop) at scale.
+    cond = (
+        (li.l_partkey == p.p_partkey)
+        & (li.l_quantity >= p.p_size - 2)
+        & (li.l_quantity <= p.p_size + 2)
+    )
+    return (
+        li.join(F.broadcast(p), cond)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("sum_price"))
+    )
+
+
+@register(
+    "join_theta",
+    oracle="""
+    SELECT a.s_suppkey AS sk1, b.s_suppkey AS sk2
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_acctbal < b.s_acctbal
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    a = s.select(F.col("s_suppkey").alias("sk1"), F.col("s_nationkey").alias("nk1"), F.col("s_acctbal").alias("ab1"))
+    b = s.select(F.col("s_suppkey").alias("sk2"), F.col("s_nationkey").alias("nk2"), F.col("s_acctbal").alias("ab2"))
+    return a.join(b, (a.nk1 == b.nk2) & (a.ab1 < b.ab2)).select("sk1", "sk2")
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(F.broadcast(n)).select("r_name", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+@register(
+    "agg_count",
+    oracle="SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority",
+)
+def agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "agg_sum",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum_key
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        F.sum("l_orderkey").alias("sum_key"),
+    )
+
+
+@register(
+    "agg_avg",
+    oracle=f"SELECT event_type, {sql_davg('value')} AS avg_value FROM events GROUP BY event_type",
+)
+def agg_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(davg("value").alias("avg_value"))
+
+
+@register(
+    "agg_min_max",
+    oracle="""
+    SELECT event_type,
+           MIN(value) AS min_value, MAX(value) AS max_value,
+           MIN(CAST(ts AS TIMESTAMP)) AS first_ts, MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@register(
+    "agg_multi",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           {sql_dsum('l_extendedprice')} AS sum_price,
+           {sql_davg('l_quantity')} AS avg_qty,
+           MIN(l_discount) AS min_disc, MAX(l_tax) AS max_tax
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice").alias("sum_price"),
+        davg("l_quantity").alias("avg_qty"),
+        F.min("l_discount").alias("min_disc"),
+        F.max("l_tax").alias("max_tax"),
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+    )
+
+
+# HLL sketches are implementation-specific; no cross-engine oracle exists, so
+# the driver records the weaker rows-only check for this one (SURVEY.md §5.1).
+@register("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+           COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+           COUNT(*) AS n, {sql_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k (reference analog: max-bounded delivery, S5)
+# ---------------------------------------------------------------------------
+@register(
+    "sort",
+    oracle="SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_acctbal DESC, s_suppkey",
+)
+def sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select("s_suppkey", "s_name", "s_acctbal").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+
+
+@register(
+    "limit",
+    oracle="SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 20",
+)
+def limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_custkey", "c_name").orderBy("c_custkey").limit(20)
+
+
+@register(
+    "topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+    """,
+)
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # orderBy().limit(k) compiles to TakeOrderedAndProject: per-partition
+    # top-k then a k-row merge on the driver — no global sort at scale.
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops (reference analog: multi-response-subject union in RPC, S7)
+# ---------------------------------------------------------------------------
+@register(
+    "union_distinct",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'view'
+    """,
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    views = e.filter(F.col("event_type") == "view").select("user_id")
+    return clicks.unionByName(views).distinct()
+
+
+@register(
+    "union_all",
+    oracle="""
+    SELECT event_id, user_id FROM events WHERE event_type = 'error'
+    UNION ALL
+    SELECT event_id, user_id FROM events WHERE value > 95.0
+    """,
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    errs = e.filter(F.col("event_type") == "error").select("event_id", "user_id")
+    hot = e.filter(F.col("value") > 95.0).select("event_id", "user_id")
+    return errs.unionByName(hot)
+
+
+@register(
+    "intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+@register(
+    "except_distinct",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    errs = e.filter(F.col("event_type") == "error").select("user_id")
+    return clicks.subtract(errs)  # EXCEPT (distinct) semantics

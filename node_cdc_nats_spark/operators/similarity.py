@@ -1,0 +1,233 @@
+"""Similarity search over the ``embeddings`` table: brute-force cosine
+top-k (the exactness baseline) and hyperplane-LSH bucketed ANN (the scale
+path), plus embedding-cosine near-dup pairs.
+
+Determinism: dot products accumulate in DECIMAL, not double — decimal
+addition is associative, so the result is bit-identical regardless of
+engine, partitioning, or fold order; top-k ranking then compares identical
+doubles with a unique tie-break key. (A double-summed dot product can flip
+its last ulp between plans, which is enough to reorder a top-k boundary.)
+
+Scale notes: the brute-force variants broadcast the small query side and
+scan candidates once — O(n·q) with no shuffle. The LSH variant buckets both
+sides on an 8-bit hyperplane signature, turning the cross join into an
+equi-join on bucket id; recall is per-bucket but the bucketing is part of
+the operator's contract (the oracle mirrors it exactly).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+
+from ..io import load_table
+from ..registry import register
+
+DIM = 64
+N_PLANES = 8
+TOP_K = 3
+
+# Fixed random hyperplanes (seeded; rounded so the literal values embed
+# exactly in both Spark plans and oracle SQL).
+_rng = random.Random(20240813)
+PLANES: list[list[float]] = [
+    [round(_rng.uniform(-1.0, 1.0), 4) for _ in range(DIM)] for _ in range(N_PLANES)
+]
+
+_DEC = "decimal(30,12)"
+
+
+# -- decimal-exact dot product -------------------------------------------------
+def dot_exact(a: Column, b: Column) -> Column:
+    """Order-independent exact dot product of two float arrays, as double."""
+    prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_DEC))
+    total = F.aggregate(prods, F.lit(0).cast(_DEC), lambda acc, x: (acc + x).cast(_DEC))
+    return total.cast("double")
+
+
+def sql_dot_exact(a_expr: str, b_expr: str, dim: int = DIM) -> str:
+    """DuckDB mirror of :func:`dot_exact`."""
+    return (
+        f"CAST(LIST_REDUCE(LIST_PREPEND(CAST(0 AS DECIMAL(30,12)), "
+        f"LIST_TRANSFORM(RANGE({dim}), i -> "
+        f"CAST(CAST({a_expr}[i+1] AS DOUBLE) * CAST({b_expr}[i+1] AS DOUBLE) AS DECIMAL(30,12)))), "
+        f"(acc, x) -> CAST(acc + x AS DECIMAL(30,12))) AS DOUBLE)"
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_exact(a, b) / (F.sqrt(dot_exact(a, a)) * F.sqrt(dot_exact(b, b)))
+
+
+def sql_cosine(a_expr: str, b_expr: str) -> str:
+    return (
+        f"{sql_dot_exact(a_expr, b_expr)} / "
+        f"(SQRT({sql_dot_exact(a_expr, a_expr)}) * SQRT({sql_dot_exact(b_expr, b_expr)}))"
+    )
+
+
+# -- hyperplane LSH bucket -----------------------------------------------------
+def _plane_lit(p: int) -> Column:
+    return F.array(*[F.lit(v) for v in PLANES[p]])
+
+
+def lsh_bucket(vec: Column) -> Column:
+    """8-bit signature: bit p set iff dot(vec, plane_p) > 0 (decimal-exact,
+    so the sign — and hence the bucket — is partitioning-independent)."""
+    out = F.lit(0)
+    for p in range(N_PLANES):
+        out = out + F.when(dot_exact(vec, _plane_lit(p)) > 0, F.lit(1 << p)).otherwise(0)
+    return out.cast("int")
+
+
+def _sql_plane_literal(p: int) -> str:
+    return "[" + ", ".join(f"CAST({v} AS DOUBLE)" for v in PLANES[p]) + "]"
+
+
+def sql_lsh_bucket(vec_expr: str) -> str:
+    terms = []
+    for p in range(N_PLANES):
+        dot = sql_dot_exact(vec_expr, _sql_plane_literal(p))
+        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+# -- queries -------------------------------------------------------------------
+@register(
+    "sim_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 5),
+    scored AS (
+      SELECT qid, cid, {sql_cosine('qe', 'ce')} AS score
+      FROM q CROSS JOIN c),
+    ranked AS (
+      SELECT qid, cid, score,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+      FROM scored)
+    SELECT qid, cid, score FROM ranked WHERE rn <= {TOP_K}
+    """,
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query vectors, scan candidates
+    once, per-query top-k via window. The exact-search baseline ANN variants
+    are judged against."""
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = em.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid", "cid", cosine(F.col("qe"), F.col("ce")).alias("score")
+    )
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), "cid")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K).select(
+        "qid", "cid", "score"
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {sql_lsh_bucket('embedding')} AS bucket
+      FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM b WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cid, embedding AS ce, bucket FROM b WHERE vec_id >= 5),
+    scored AS (
+      SELECT q.qid, c.cid, {sql_cosine('q.qe', 'c.ce')} AS score
+      FROM q JOIN c ON q.bucket = c.bucket),
+    ranked AS (
+      SELECT qid, cid, score,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+      FROM scored)
+    SELECT qid, cid, score FROM ranked WHERE rn <= {TOP_K}
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: random-hyperplane signature as bucket id, equi-join
+    queries to candidates in the same bucket, top-k within. Cross join →
+    bucket equi-join is the 1000×-scale move; the signature projection is
+    map-side only."""
+    em = load_table(spark, sf_dir, "embeddings")
+    b = em.select("vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket"))
+    q = b.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "bucket"
+    )
+    c = b.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "bucket"
+    )
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "qid", "cid", cosine(F.col("qe"), F.col("ce")).alias("score")
+    )
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), "cid")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K).select(
+        "qid", "cid", "score"
+    )
+
+
+@register(
+    "embed_knn",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id, b.vec_id AS nn_id, a.label AS label, b.label AS nn_label,
+             {sql_cosine('a.embedding', 'b.embedding')} AS score
+      FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id),
+    ranked AS (
+      SELECT vec_id, nn_id, nn_label, score,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, nn_id) AS rn
+      FROM pairs)
+    SELECT vec_id, nn_id, nn_label, score FROM ranked WHERE rn = 1
+    """,
+)
+def embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style 1-NN: the label column acts as the coarse quantization cell
+    (candidates share the cell), so the pair count is Σ|cell|² instead of
+    n² — the inverted-file trick at 100 TB, where cells come from k-means."""
+    em = load_table(spark, sf_dir, "embeddings")
+    a = em.select("vec_id", F.col("embedding").alias("ea"), "label")
+    b = em.select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("embedding").alias("eb"),
+        F.col("label").alias("nn_label"),
+    )
+    pairs = a.join(b, (a.label == b.nn_label) & (a.vec_id != b.nn_id)).select(
+        "vec_id", "nn_id", "nn_label", cosine(F.col("ea"), F.col("eb")).alias("score")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("score").desc(), "nn_id")
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(
+        "vec_id", "nn_id", "nn_label", "score"
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {sql_lsh_bucket('embedding')} AS bucket
+      FROM embeddings)
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+           {sql_cosine('a.embedding', 'c.embedding')} AS score
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE {sql_cosine('a.embedding', 'c.embedding')} >= 0.95
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (≥ 0.95) among same-bucket
+    candidates — the semantic-dedup step of a training pipeline; bucketing
+    bounds the pair explosion exactly as in ann_lsh_topk."""
+    em = load_table(spark, sf_dir, "embeddings")
+    b = em.select("vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket"))
+    a = b.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket")
+    c = b.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("bucket").alias("bucket2"),
+    )
+    return (
+        a.join(c, (a.bucket == c.bucket2) & (a.vec_a < c.vec_b))
+        .select("vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("score"))
+        .filter(F.col("score") >= 0.95)
+    )

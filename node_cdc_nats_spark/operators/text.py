@@ -1,0 +1,214 @@
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline surface (language ID, quality scoring, token
+counting, fingerprinting) the brief adds on top of the reference's
+transport-only capabilities.
+
+All hot-path expressions are built-in higher-order functions (split /
+filter / transform / aggregate) — JVM-side, no Python per row; at 100 TB
+these are embarrassingly parallel projections with no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+from ..registry import register
+
+# Marker stopwords per language for the n-gram/stopword language-ID
+# heuristic. Real lists (not fixture-derived); scoring is deterministic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "une", "pour", "dans", "que", "pas"),
+    "es": ("el", "la", "los", "y", "es", "una", "para", "en", "que", "no"),
+}
+# Deterministic preference order for score ties (alphabetical).
+LANG_ORDER = ("de", "en", "es", "fr")
+
+# A small English stopword list for quality scoring.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+
+def _sql_in_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _tokens(col: str = "text") -> F.Column:
+    return F.split(F.lower(F.col(col)), " ")
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_computed,
+           CAST(LEN(STRING_SPLIT(LOWER(text), ' ')) AS INT) AS n_tokens,
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+             / LEN(STRING_SPLIT(LOWER(text), ' ')) AS avg_token_len,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                t -> t IN ({_sql_in_list(STOPWORDS)}))) AS DOUBLE)
+             / LEN(STRING_SPLIT(LOWER(text), ' ')) AS stopword_ratio,
+           CAST(LEN(LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' '))) AS DOUBLE)
+             / LEN(STRING_SPLIT(LOWER(text), ' ')) AS distinct_ratio
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_computed"),
+        n_tokens.cast("int").alias("n_tokens"),
+        (F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_tokens).alias(
+            "avg_token_len"
+        ),
+        (stop_hits.cast("double") / n_tokens).alias("stopword_ratio"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tokens).alias("distinct_ratio"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    return (
+        f"LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), "
+        f"t -> t IN ({_sql_in_list(LANG_MARKERS[lang])})))"
+    )
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {_lang_score_sql('de')} AS s_de,
+             {_lang_score_sql('en')} AS s_en,
+             {_lang_score_sql('es')} AS s_es,
+             {_lang_score_sql('fr')} AS s_fr
+      FROM documents)
+    SELECT doc_id,
+           CASE
+             WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+             WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+             WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+             WHEN s_es >= s_fr THEN 'es'
+             ELSE 'fr'
+           END AS lang_pred,
+           CAST(GREATEST(s_de, s_en, s_es, s_fr) AS INT) AS marker_hits
+    FROM scored
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID (n-gram-heuristic family). Deterministic
+    argmax with alphabetical tie-break; 'und' when no marker matches."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+
+    # NB: HOF lambdas must be unary — a second (default) parameter makes
+    # PySpark pass the array index as the extra argument.
+    def marker_filter(markers: tuple[str, ...]):
+        return lambda t: t.isin(*markers)
+
+    scores = {
+        lang: F.size(F.filter(toks, marker_filter(LANG_MARKERS[lang])))
+        for lang in LANG_ORDER
+    }
+    scored = d.select(
+        "doc_id", *[scores[lang].alias(f"s_{lang}") for lang in LANG_ORDER]
+    )
+    s = {lang: F.col(f"s_{lang}") for lang in LANG_ORDER}
+    best = F.greatest(*s.values())
+    pred = (
+        F.when(best == 0, "und")
+        .when((s["de"] >= s["en"]) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    return scored.select("doc_id", pred.alias("lang_pred"), best.cast("int").alias("marker_hits"))
+
+
+@register(
+    "token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS ws_tokens,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + a BPE-ish regex token count (letters runs,
+    digit runs, single punctuation — the pre-tokenization split most BPE
+    vocabularies assume)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("int").alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+        .cast("int")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             STRING_SPLIT(LOWER(text), ' ') AS toks,
+             LENGTH(text) AS nch
+      FROM documents)
+    SELECT doc_id,
+           LEAST(CAST(LEN(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+           + (CAST(LEN(LIST_FILTER(toks, x -> x IN ({_sql_in_list(STOPWORDS)}))) AS DOUBLE)
+              / LEN(toks)) * 0.3
+           + (CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks)) * 0.3 AS quality,
+           CAST(LEN(toks) >= 10 AND nch >= 50 AS BOOLEAN) AS passes_length_gate
+    FROM t
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality: length saturation, stopword density,
+    lexical diversity — the usual pre-training corpus filters."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / n
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n
+    length_sat = F.least(n.cast("double") / 100.0, F.lit(1.0))
+    return d.select(
+        "doc_id",
+        (length_sat * 0.4 + stop_ratio * 0.3 + diversity * 0.3).alias("quality"),
+        ((n >= 10) & (F.length("text") >= 50)).alias("passes_length_gate"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MD5(text) AS content_md5,
+           CAST(LIST_REDUCE(
+             LIST_PREPEND(CAST(0 AS BIGINT),
+               LIST_TRANSFORM(STRING_SPLIT(text, ' '), t -> CAST(LENGTH(t) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS rolling_hash
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 (exact identity) + a polynomial rolling
+    hash over token lengths (shift-resistant family)."""
+    d = load_table(spark, sf_dir, "documents")
+    rolling = F.aggregate(
+        F.transform(F.split(F.col("text"), " "), lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % 1000000007,
+    )
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("content_md5"),
+        rolling.cast("long").alias("rolling_hash"),
+    )

@@ -1,0 +1,89 @@
+"""Driver-mimicking oracle diff: run a registered Spark query and its DuckDB
+oracle SQL on the same parquet dir, compare row count, column names, and
+order-insensitive exact values.
+
+Stricter than any plausible driver hash: we require exact value equality
+(floats compared bitwise after canonicalization), so any hashing scheme the
+driver applies will also match.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from decimal import Decimal
+
+import duckdb
+
+from node_cdc_nats_spark.schemas import FIXTURE_TABLES
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def _canon(v):
+    """Canonicalize a cell for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, Decimal):
+        return ("f", float(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("nan",)
+        return ("f", v)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, (dt.datetime, dt.date)):
+        return ("t", str(v))
+    if isinstance(v, (list, tuple)):
+        return ("l", tuple(_canon(x) for x in v))
+    if isinstance(v, (bytes, bytearray)):
+        return ("y", bytes(v))
+    return ("s", str(v))
+
+
+def _rowset(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        (tuple(_canon(r[i]) for i in order) for r in rows),
+        key=lambda t: repr(t),
+    )
+
+
+def compare(spark, name: str, query_fn, oracle: str, sf_dir: str) -> list[str]:
+    """Return a list of mismatch descriptions (empty = pass)."""
+    problems: list[str] = []
+    sdf = query_fn(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+
+    con = duckdb_conn(sf_dir)
+    res = con.execute(oracle)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    con.close()
+
+    if sorted(scols) != sorted(dcols):
+        problems.append(f"{name}: columns differ spark={sorted(scols)} duckdb={sorted(dcols)}")
+        return problems
+    if len(srows) != len(drows):
+        problems.append(f"{name}: row count spark={len(srows)} duckdb={len(drows)}")
+    s_set = _rowset(scols, srows)
+    d_set = _rowset(dcols, drows)
+    if s_set != d_set:
+        diffs = 0
+        for a, b in zip(s_set, d_set):
+            if a != b:
+                problems.append(f"{name}: first differing row\n  spark ={a}\n  duckdb={b}")
+                diffs += 1
+                if diffs >= 3:
+                    break
+        if not diffs:
+            problems.append(f"{name}: value sets differ (length mismatch tail)")
+    return problems
