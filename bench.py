@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is timed as a full action (count() over the final plan — forces
+the complete pipeline, no result materialization on the driver beyond the
+count). A warmup query absorbs JVM/codegen startup so timings reflect
+steady-state plan execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from node_cdc_nats_spark import registry
+from node_cdc_nats_spark.session import get_spark
+
+# Headline set: the flagship agg, the shuffle-heavy relational ops, the CDC
+# layer, and the LLM-pipeline operators (the scale story).
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_inner",
+    "join_left",
+    "join_range",
+    "agg_multi",
+    "agg_distinct",
+    "agg_rollup",
+    "win_running",
+    "topk_per_group",
+    "cdc_upsert_latest",
+    "rpc_first_response",
+    "fanout_dispatch",
+    "filter_channel",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "text_stats",
+    "token_count",
+    "sim_topk",
+    "ann_lsh_topk",
+    "embed_knn",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry.load_all()
+    spark = get_spark(app_name="node_cdc_nats_spark_bench")
+
+    # Warmup: JVM + codegen + parquet footer caches.
+    registry.QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

