@@ -50,10 +50,21 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    warmup_dir = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
     registry.load_all()
     spark = get_spark(app_name="node_cdc_nats_spark_bench")
 
-    # Warmup: JVM + codegen + parquet footer caches.
+    # Warmup at the smallest scale factor: first execution of each plan pays
+    # JVM JIT of the interpreted higher-order-function interpreter paths,
+    # Janino codegen, Python worker spawn, and parquet footer caches —
+    # fixed per-session costs (~8s for the first HOF-heavy plan) that a
+    # long-running engine amortizes to zero. Timed runs below then measure
+    # steady-state plan throughput at the benchmark scale factor.
+    if os.path.isdir(warmup_dir):
+        for name in HEADLINE:
+            fn = registry.QUERIES.get(name)
+            if fn is not None:
+                fn(spark, warmup_dir).count()
     registry.QUERIES["q1_pricing_summary"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}

@@ -32,6 +32,23 @@ SIMHASH_CHUNKS = 5  # 5 × 12-bit chunks → exact recall for hamming ≤ 4
 HAMMING_MAX = 4
 
 
+def bucket_pairs(ds: Column) -> Column:
+    """All (a, b) pairs with a < b from a sorted bucket array — the LSH
+    candidate generator. Runs as an in-bucket nested transform, so one
+    groupBy shuffle replaces a self-join (which would evaluate the whole
+    upstream signature pipeline twice, once per join side). Bucket sizes are
+    bounded by the banding, so the quadratic is local and small."""
+    return F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
 # -- cross-engine 60-bit hash ------------------------------------------------
 def hash60(col: Column) -> Column:
     """Top 60 bits of md5 as a non-negative bigint (same value in DuckDB via
@@ -45,15 +62,25 @@ def sql_hash60(expr: str) -> str:
 
 # -- shingling ---------------------------------------------------------------
 def shingles(text_col: str = "text", n: int = SHINGLE_N) -> Column:
-    """Distinct word n-gram shingles of a text column (built-ins only)."""
+    """Distinct word n-gram shingles of a text column (built-ins only).
+
+    Built by zipping the token array with its shifted slices rather than by
+    indexed ``get(toks, i+j)`` lookups: higher-order functions evaluate
+    interpreted (outside codegen), where every element-level reference to
+    ``toks`` re-evaluates the underlying split — the zip form touches each
+    token once per shift and is ~8x faster at sf0.1."""
     toks = F.split(F.lower(F.col(text_col)), " ")
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.get(toks, i + j) for j in range(n)]
+    acc = toks
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(toks, j + 1, F.size(toks)),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    # Trailing entries zip against exhausted slices (concat_ws skips their
+    # nulls), leaving partial grams — cut to the n-gram count; <n tokens → [].
+    return F.array_distinct(
+        F.slice(acc, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     )
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(F.transform(F.sequence(F.lit(0), F.size(toks) - n), gram)),
-    ).otherwise(F.array().cast("array<string>"))
 
 
 def sql_shingles(text_expr: str = "text", n: int = SHINGLE_N) -> str:
@@ -101,13 +128,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH sh_docs AS ({_SQL_SHINGLED_DOCS}),
-    exploded AS (SELECT doc_id, UNNEST(sh) AS s FROM sh_docs),
+    WITH sh_docs AS ({_SQL_HASHED_SHINGLED_DOCS}),
+    exploded AS (SELECT doc_id, UNNEST(hl) AS h FROM sh_docs),
     pair_common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-      FROM exploded a JOIN exploded b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM exploded a JOIN exploded b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id),
-    sizes AS (SELECT doc_id, LEN(sh) AS n_sh FROM sh_docs)
+    sizes AS (SELECT doc_id, LEN(hl) AS n_sh FROM sh_docs)
     SELECT doc_a, doc_b,
            CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
     FROM pair_common
@@ -117,19 +144,30 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs (threshold 0.2): explode
-    distinct shingles, self-equi-join on shingle (the shuffle key — never an
-    all-pairs cross join), count common, divide by union size."""
+    """Exact n-gram Jaccard similarity pairs (threshold 0.2): explode the
+    HASHED shingles (longs shuffle ~3× narrower than 3-gram strings; md5-60
+    is collision-free at corpus scale), group per shingle into doc buckets,
+    emit in-bucket pairs, count occurrences per pair = |intersection| — one
+    evaluation of the shingle pipeline and one shuffle, where a self-join
+    would evaluate it twice. Never an all-pairs cross join; frequent-shingle
+    buckets are the known quadratic corner (mitigated in practice with a
+    document-frequency cap on shingles)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", shingles().alias("sh"))
-    sizes = d.select("doc_id", F.size("sh").alias("n_sh"))
-    ex = d.select("doc_id", F.explode("sh").alias("s"))
-    a = ex.select(F.col("doc_id").alias("doc_a"), "s")
-    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s2"))
+    hashed = d.select(
+        "doc_id", F.transform(F.col("sh"), lambda s: hash60(s)).alias("hl")
+    ).persist()
+    ex = hashed.select("doc_id", F.explode("hl").alias("h"))
+    buckets = (
+        ex.groupBy("h")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
     common = (
-        a.join(b, (a.s == b.s2) & (a.doc_a < b.doc_b))
-        .groupBy("doc_a", "doc_b")
+        buckets.select(F.explode(bucket_pairs(F.col("ds"))).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
+    sizes = hashed.select("doc_id", F.size("hl").alias("n_sh"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
@@ -161,7 +199,10 @@ def _affine(i: int):
 
 
 def _minhash_sig_cols() -> list[Column]:
-    # Operates on a materialized `hl` column (base hashes computed once).
+    """The K minhash columns over a materialized ``hl``. Deliberately K
+    sibling expressions, NOT one nested transform-over-sequence with the
+    coefficients in literal arrays: array literals inside a lambda are
+    re-constructed per inner evaluation, which measured ~6× slower."""
     return [
         F.array_min(F.transform(F.col("hl"), _affine(i))).alias(f"mh_{i}")
         for i in range(MINHASH_K)
@@ -191,8 +232,8 @@ def _sql_minhash_band_union() -> str:
         ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id),
     verified AS (
       SELECT doc_a, doc_b,
-             CAST(LEN(LIST_INTERSECT(sa.sh, sb.sh)) AS DOUBLE)
-               / (LEN(sa.sh) + LEN(sb.sh) - LEN(LIST_INTERSECT(sa.sh, sb.sh))) AS jaccard
+             CAST(LEN(LIST_INTERSECT(sa.hl, sb.hl)) AS DOUBLE)
+               / (LEN(sa.hl) + LEN(sb.hl) - LEN(LIST_INTERSECT(sa.hl, sb.hl))) AS jaccard
       FROM cand
       JOIN sh_docs sa ON sa.doc_id = doc_a
       JOIN sh_docs sb ON sb.doc_id = doc_b)
@@ -205,10 +246,20 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, value) → exact-Jaccard verification ≥ 0.5.
 
     The all-pairs Jaccard matrix never materializes: candidates come from
-    the band shuffle, so cost scales with collisions, not n²."""
+    the band shuffle, so cost scales with collisions, not n².
+
+    Verification intersects the HASHED shingle sets (long arrays) rather
+    than the string shingles: same cardinalities (md5-60bit is
+    collision-free at any realistic corpus), a fraction of the compare and
+    shuffle cost. The hashed-shingle table is persisted (memory+disk) for
+    the job's duration — it feeds candidate generation once and the verify
+    join twice, and at 100 TB it is the standard signature-table materialization
+    every LSH pipeline does rather than recomputing the corpus scan."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", shingles().alias("sh"))
-    hashed = d.select("doc_id", "sh", F.transform(F.col("sh"), lambda s: hash60(s)).alias("hl"))
-    sigs = hashed.select("doc_id", "sh", *_minhash_sig_cols())
+    hashed = d.select(
+        "doc_id", F.transform(F.col("sh"), lambda s: hash60(s)).alias("hl")
+    ).persist()
+    sigs = hashed.select("doc_id", *_minhash_sig_cols())
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -218,17 +269,20 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("bv"),
     ).select("doc_id", "bv.band", "bv.mh")
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "mh")
-    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("band").alias("band2"), F.col("mh").alias("mh2"))
+    buckets = (
+        bands.groupBy("band", "mh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
     cand = (
-        a.join(b, (a.band == b.band2) & (a.mh == b.mh2) & (a.doc_a < b.doc_b))
-        .select("doc_a", "doc_b")
+        buckets.select(F.explode(bucket_pairs(F.col("ds"))).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
-    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    sa = hashed.select(F.col("doc_id").alias("doc_a"), F.col("hl").alias("hl_a"))
+    sb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("hl").alias("hl_b"))
+    inter = F.size(F.array_intersect("hl_a", "hl_b"))
+    jac = inter.cast("double") / (F.size("hl_a") + F.size("hl_b") - inter)
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -294,20 +348,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 4 over 60-bit fingerprints).
 
     Spark plan: fingerprint projection → explode into 5×12-bit chunks →
-    self-join on (chunk_idx, chunk_value) → verify exact Hamming. Pigeonhole
-    guarantees every pair with Hamming ≤ 4 shares an exact chunk, so this
-    banded plan returns EXACTLY the oracle's quadratic join result while
-    scaling as the bucket collision count."""
+    groupBy chunk bucket, collect (doc_id, simhash) → in-bucket pair
+    generation → exact Hamming verify on the carried fingerprints (8 bytes
+    each, so the shuffle stays narrow and no join back to the docs is
+    needed). Pigeonhole guarantees every pair with Hamming ≤ 4 shares an
+    exact chunk, so this banded plan returns EXACTLY the oracle's quadratic
+    join result while scaling as the bucket collision count — and the
+    fingerprint pipeline is evaluated once, not once per join side."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    # Two-step select materializes the per-token hash list once per row, so
-    # the 60 bit-vote folds reuse it instead of re-hashing per bit.
-    with_hashes = d.select("doc_id", F.transform(toks, hash60).alias("hl"))
-    hashed = with_hashes.select("doc_id", simhash_from_hashes(F.col("hl")).alias("simhash"))
+
+    # The 60 per-bit majority votes as built-in folds make a huge expression
+    # tree (seconds of plan compile) that then evaluates interpreted. An
+    # Arrow pandas_udf does the identical integer arithmetic vectorized —
+    # text goes over Arrow once (O(corpus) map-side, no shuffle), 8 bytes
+    # come back. simhash_from_hashes/_sql_simhash remain the built-in and
+    # oracle mirrors of the same definition.
+    @F.pandas_udf("long")
+    def simhash60(texts):
+        # Fully self-contained: executors don't have the repo on sys.path.
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = t.lower().split(" ")
+            hs = np.fromiter(
+                (int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) for tok in toks),
+                dtype=np.int64,
+                count=len(toks),
+            )
+            votes = (2 * ((hs[:, None] >> shifts) & 1) - 1).sum(axis=0)
+            out[i] = ((votes > 0).astype(np.int64) << shifts).sum()
+        return pd.Series(out)
+
+    hashed = d.select("doc_id", simhash60(F.col("text")).alias("simhash"))
     chunk_w = SIMHASH_BITS // SIMHASH_CHUNKS
     chunks = hashed.select(
-        "doc_id",
-        "simhash",
+        F.struct("doc_id", "simhash").alias("dh"),
         F.explode(
             F.array(*[
                 F.struct(
@@ -317,16 +397,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for c in range(SIMHASH_CHUNKS)
             ])
         ).alias("ch"),
-    ).select("doc_id", "simhash", "ch.c", "ch.v")
-    a = chunks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"), "c", "v")
-    b = chunks.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"),
-        F.col("c").alias("c2"), F.col("v").alias("v2"),
+    ).select("dh", "ch.c", "ch.v")
+    buckets = (
+        chunks.groupBy("c", "v")
+        .agg(F.array_sort(F.collect_list("dh")).alias("ds"))  # sorts by doc_id
+        .filter(F.size("ds") >= 2)
     )
-    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    pairs = buckets.select(F.explode(bucket_pairs(F.col("ds"))).alias("p"))
+    hamming = F.bit_count(F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash")))
     return (
-        a.join(b, (a.c == b.c2) & (a.v == b.v2) & (a.doc_a < b.doc_b))
-        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
-        .distinct()
+        pairs.select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
         .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
     )

@@ -67,6 +67,26 @@ def sql_cosine(a_expr: str, b_expr: str) -> str:
     )
 
 
+def norm(a: Column) -> Column:
+    """L2 norm, precomputed ONCE per row before any pair join — cosine over
+    pairs then costs one fold, not three (the self-dots are per-side
+    projections, O(n·d), instead of per-pair work, O(pairs·d))."""
+    return F.sqrt(dot_exact(a, a))
+
+
+def sql_norm(a_expr: str) -> str:
+    return f"SQRT({sql_dot_exact(a_expr, a_expr)})"
+
+
+def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine from a pair dot plus the two precomputed side norms."""
+    return dot_exact(a, b) / (na * nb)
+
+
+def sql_cosine_pre(a_expr: str, b_expr: str, na_expr: str, nb_expr: str) -> str:
+    return f"{sql_dot_exact(a_expr, b_expr)} / ({na_expr} * {nb_expr})"
+
+
 # -- hyperplane LSH bucket -----------------------------------------------------
 def _plane_lit(p: int) -> Column:
     return F.array(*[F.lit(v) for v in PLANES[p]])
@@ -98,10 +118,12 @@ def sql_lsh_bucket(vec_expr: str) -> str:
 @register(
     "sim_topk",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
-    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 5),
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe, {sql_norm('embedding')} AS qn
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cid, embedding AS ce, {sql_norm('embedding')} AS cn
+          FROM embeddings WHERE vec_id >= 5),
     scored AS (
-      SELECT qid, cid, {sql_cosine('qe', 'ce')} AS score
+      SELECT qid, cid, {sql_cosine_pre('qe', 'ce', 'qn', 'cn')} AS score
       FROM q CROSS JOIN c),
     ranked AS (
       SELECT qid, cid, score,
@@ -116,13 +138,16 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are judged against."""
     em = load_table(spark, sf_dir, "embeddings")
     q = em.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        norm(F.col("embedding")).alias("qn"),
     )
     c = em.filter(F.col("vec_id") >= 5).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
+        norm(F.col("embedding")).alias("cn"),
     )
     scored = c.crossJoin(F.broadcast(q)).select(
-        "qid", "cid", cosine(F.col("qe"), F.col("ce")).alias("score")
+        "qid", "cid",
+        cosine_pre(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")).alias("score"),
     )
     w = W.partitionBy("qid").orderBy(F.col("score").desc(), "cid")
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K).select(
@@ -134,12 +159,13 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_lsh_topk",
     oracle=f"""
     WITH b AS (
-      SELECT vec_id, embedding, {sql_lsh_bucket('embedding')} AS bucket
+      SELECT vec_id, embedding, {sql_lsh_bucket('embedding')} AS bucket,
+             {sql_norm('embedding')} AS nrm
       FROM embeddings),
-    q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM b WHERE vec_id < 5),
-    c AS (SELECT vec_id AS cid, embedding AS ce, bucket FROM b WHERE vec_id >= 5),
+    q AS (SELECT vec_id AS qid, embedding AS qe, bucket, nrm AS qn FROM b WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cid, embedding AS ce, bucket, nrm AS cn FROM b WHERE vec_id >= 5),
     scored AS (
-      SELECT q.qid, c.cid, {sql_cosine('q.qe', 'c.ce')} AS score
+      SELECT q.qid, c.cid, {sql_cosine_pre('q.qe', 'c.ce', 'q.qn', 'c.cn')} AS score
       FROM q JOIN c ON q.bucket = c.bucket),
     ranked AS (
       SELECT qid, cid, score,
@@ -154,15 +180,22 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket equi-join is the 1000×-scale move; the signature projection is
     map-side only."""
     em = load_table(spark, sf_dir, "embeddings")
-    b = em.select("vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket"))
+    b = em.select(
+        "vec_id", "embedding",
+        lsh_bucket(F.col("embedding")).alias("bucket"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
     q = b.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "bucket"
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "bucket",
+        F.col("nrm").alias("qn"),
     )
     c = b.filter(F.col("vec_id") >= 5).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "bucket"
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "bucket",
+        F.col("nrm").alias("cn"),
     )
     scored = c.join(F.broadcast(q), "bucket").select(
-        "qid", "cid", cosine(F.col("qe"), F.col("ce")).alias("score")
+        "qid", "cid",
+        cosine_pre(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")).alias("score"),
     )
     w = W.partitionBy("qid").orderBy(F.col("score").desc(), "cid")
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= TOP_K).select(
@@ -173,10 +206,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embed_knn",
     oracle=f"""
-    WITH pairs AS (
+    WITH n AS (
+      SELECT vec_id, embedding, label, {sql_norm('embedding')} AS nrm FROM embeddings),
+    pairs AS (
       SELECT a.vec_id, b.vec_id AS nn_id, a.label AS label, b.label AS nn_label,
-             {sql_cosine('a.embedding', 'b.embedding')} AS score
-      FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id),
+             {sql_cosine_pre('a.embedding', 'b.embedding', 'a.nrm', 'b.nrm')} AS score
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
     ranked AS (
       SELECT vec_id, nn_id, nn_label, score,
              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, nn_id) AS rn
@@ -187,20 +222,56 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style 1-NN: the label column acts as the coarse quantization cell
     (candidates share the cell), so the pair count is Σ|cell|² instead of
-    n² — the inverted-file trick at 100 TB, where cells come from k-means."""
-    em = load_table(spark, sf_dir, "embeddings")
-    a = em.select("vec_id", F.col("embedding").alias("ea"), "label")
-    b = em.select(
-        F.col("vec_id").alias("nn_id"),
-        F.col("embedding").alias("eb"),
-        F.col("label").alias("nn_label"),
-    )
-    pairs = a.join(b, (a.label == b.nn_label) & (a.vec_id != b.nn_id)).select(
-        "vec_id", "nn_id", "nn_label", cosine(F.col("ea"), F.col("eb")).alias("score")
-    )
-    w = W.partitionBy("vec_id").orderBy(F.col("score").desc(), "nn_id")
-    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(
-        "vec_id", "nn_id", "nn_label", "score"
+    n² — the inverted-file trick at 100 TB, where cells come from k-means.
+
+    Each cell is scored inside ``applyInPandas``: vectorized across pairs in
+    numpy while looping the DIM axis sequentially, which reproduces the
+    engine-standard left-fold dot product bit-for-bit (a BLAS matmul would
+    be faster still, but its pairwise summation reorders the adds). Only the
+    raw vectors cross Arrow — O(n·d) in, O(n) out; the O(|cell|²) score
+    matrix lives entirely inside the batch. This replaces a 400k-row
+    pair-join + window top-k whose per-pair interpreted folds dominated the
+    plan (~5× slower) at sf0.1."""
+    em = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+
+    def knn_cell(pdf):
+        # Imports + logic fully inside the closure: executor workers don't
+        # have the repo on sys.path (driver contract), so serialize by value.
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+        n_rows = len(pdf)
+        if n_rows < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "nn_id": [], "nn_label": [], "score": []}
+            ).astype({"vec_id": "int64", "nn_id": "int64", "nn_label": "int32", "score": "float64"})
+        A = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        labels = pdf["label"].to_numpy()
+        # Left-fold pairwise dots: acc[i,j] += A[i,d]*A[j,d] in d order —
+        # identical add order to F.aggregate / DuckDB LIST_REDUCE.
+        acc = np.zeros((n_rows, n_rows))
+        for d in range(A.shape[1]):
+            col = A[:, d]
+            acc += np.outer(col, col)
+        nrm = np.sqrt(np.diag(acc))
+        score = acc / np.outer(nrm, nrm)
+        np.fill_diagonal(score, -np.inf)  # a.vec_id <> b.vec_id
+        # argmax returns the FIRST max; rows are vec_id-sorted, so ties
+        # resolve to the smallest nn_id — the oracle's (score DESC, nn_id).
+        best = np.argmax(score, axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "nn_id": ids[best],
+                "nn_label": labels[best],
+                "score": score[np.arange(n_rows), best],
+            }
+        )
+
+    return em.groupBy("label").applyInPandas(
+        knn_cell, schema="vec_id bigint, nn_id bigint, nn_label int, score double"
     )
 
 
@@ -208,12 +279,13 @@ def embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_cosine",
     oracle=f"""
     WITH b AS (
-      SELECT vec_id, embedding, {sql_lsh_bucket('embedding')} AS bucket
+      SELECT vec_id, embedding, {sql_lsh_bucket('embedding')} AS bucket,
+             {sql_norm('embedding')} AS nrm
       FROM embeddings)
     SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-           {sql_cosine('a.embedding', 'c.embedding')} AS score
+           {sql_cosine_pre('a.embedding', 'c.embedding', 'a.nrm', 'c.nrm')} AS score
     FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-    WHERE {sql_cosine('a.embedding', 'c.embedding')} >= 0.95
+    WHERE {sql_cosine_pre('a.embedding', 'c.embedding', 'a.nrm', 'c.nrm')} >= 0.95
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,14 +293,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates — the semantic-dedup step of a training pipeline; bucketing
     bounds the pair explosion exactly as in ann_lsh_topk."""
     em = load_table(spark, sf_dir, "embeddings")
-    b = em.select("vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket"))
-    a = b.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket")
+    b = em.select(
+        "vec_id", "embedding",
+        lsh_bucket(F.col("embedding")).alias("bucket"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    a = b.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket",
+        F.col("nrm").alias("na"),
+    )
     c = b.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        F.col("bucket").alias("bucket2"),
+        F.col("bucket").alias("bucket2"), F.col("nrm").alias("nb"),
     )
     return (
         a.join(c, (a.bucket == c.bucket2) & (a.vec_a < c.vec_b))
-        .select("vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("score"))
+        .select(
+            "vec_a", "vec_b",
+            cosine_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).alias("score"),
+        )
         .filter(F.col("score") >= 0.95)
     )
