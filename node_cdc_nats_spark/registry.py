@@ -49,3 +49,4 @@ def load_all() -> None:
         text,
         multimodal,
     )
+    from . import streaming  # noqa: F401

@@ -1,0 +1,115 @@
+"""Deterministic streaming source over the ``events`` fixture.
+
+The fixture is one parquet file; a single-file stream would collapse to one
+micro-batch and exercise none of the watermark/state machinery. So we stage
+it into N files (a per-process temp dir, cached per (sf_dir, order)) and
+read them back with ``maxFilesPerTrigger=1`` → N deterministic
+micro-batches.
+
+Two staging orders:
+- ``time``: files partition the event-time axis in order — the
+  well-behaved stream (late data only within the watermark slack).
+- ``scatter``: file i holds ``event_id % N == i``, so every file spans the
+  whole time range — after batch 0 the watermark is near the global max and
+  most of batches 1..N-1 arrives LATE (the drop-semantics fixture).
+
+Batch assignment is a pure function of ``event_id`` either way, so a SQL
+oracle can reconstruct exactly which rows a given micro-batch contained and
+what the watermark was when it ran (max event time of prior batches minus
+the delay) — streaming results stay hash-checkable against DuckDB.
+
+Scale notes: this staging exists only to make a bounded fixture behave like
+a stream. A production deployment points ``readStream`` at the real source
+(file arrivals, Kafka, or the NATS DataSource in ``sources/``); everything
+downstream of the source is identical. The watermark state store, not the
+source, is what carries the 100 TB design load: state per key/window is
+evicted the moment the watermark passes, so state size tracks the
+out-of-orderness bound, never the stream length.
+
+Reference: the single NATS transport subscription at ``lib/nats.js:62-64``
+is the S1 ingest this replaces; ``processMsg``'s push loop becomes Spark's
+micro-batch pull.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+
+N_FILES = 4
+_STAGED: dict[tuple[str, str], str] = {}
+_MEM_SEQ = itertools.count()
+
+
+def stage_events(spark: SparkSession, sf_dir: str, order: str = "time") -> str:
+    """Write the events fixture as N_FILES parquet files (mtime-ordered) and
+    return the directory. ``ts`` is cast to TIMESTAMP (session tz is pinned
+    UTC) because watermarks reject TIMESTAMP_NTZ."""
+    key = (sf_dir, order)
+    if key in _STAGED:
+        return _STAGED[key]
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    max_id = ev.agg(F.max("event_id")).first()[0]
+    stage = tempfile.mkdtemp(prefix=f"events_stream_{order}_")
+    if order == "scatter":
+        batch_of = F.col("event_id") % N_FILES
+    else:
+        batch_of = (F.col("event_id") * N_FILES / (max_id + 1)).cast("int")
+    for i in range(N_FILES):
+        tmpd = tempfile.mkdtemp()
+        ev.filter(batch_of == i).coalesce(1).write.mode("overwrite").parquet(tmpd)
+        part = next(f for f in os.listdir(tmpd) if f.endswith(".parquet"))
+        dst = os.path.join(stage, f"{i:04d}.parquet")
+        os.rename(os.path.join(tmpd, part), dst)
+        # FileStreamSource orders by modification time; pin it.
+        os.utime(dst, (1_000_000 + i * 10, 1_000_000 + i * 10))
+    _STAGED[key] = stage
+    return stage
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, order: str = "time"
+) -> DataFrame:
+    """The events fixture as a streaming DataFrame, one staged file per
+    micro-batch."""
+    stage = stage_events(spark, sf_dir, order)
+    schema = spark.read.parquet(stage).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+
+
+def run_to_memory(stream_df: DataFrame, mode: str = "append") -> DataFrame:
+    """Run a streaming DataFrame to completion (Trigger.AvailableNow — all
+    staged files, then one no-data batch so the final watermark advance
+    flushes closeable state) into a memory sink; return the sink table."""
+    spark = stream_df.sparkSession
+    name = f"stream_sink_{os.getpid()}_{next(_MEM_SEQ)}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+# Shared oracle fragments ------------------------------------------------------
+# Final watermark after the whole stream drains: global max event time minus
+# the delay. Append-mode emission keeps exactly the windows/sessions whose
+# END <= this value (Spark evicts state when watermark >= end).
+def sql_final_watermark(delay_sql: str) -> str:
+    return f"(SELECT MAX(CAST(ts AS TIMESTAMP)) - {delay_sql} FROM events)"
