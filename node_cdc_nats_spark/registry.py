@@ -48,5 +48,6 @@ def load_all() -> None:
         similarity,
         text,
         multimodal,
+        envelope,
     )
     from . import streaming  # noqa: F401

@@ -1,0 +1,371 @@
+"""NATS CDC source/sink as a Spark Python DataSource (format ``nats_cdc``).
+
+Reference surface being reproduced (SURVEY.md §2.1):
+- S1 ingest: one transport-topic subscription feeding the engine
+  (`lib/nats.js:56-64`) → ``spark.readStream.format("nats_cdc")``, which
+  decodes each CDCMsg envelope into the CDC_MSG struct columns.
+- S6 publish: validated fire-and-forget publish to the transport topic
+  (`lib/nats.js:163-183`, note the wire subject is the TRANSPORT topic and
+  the logical subject rides in CDCMsg.channel) →
+  ``df.writeStream.format("nats_cdc")``.
+- Delivery: core NATS is at-most-once with no replay, and so is the
+  reference (no acks/retries, `lib/nats.js:175-179`); the source therefore
+  advances its offset as it drains. Exactly-once at 100 TB means fronting
+  with JetStream (durable consumers expose real offsets; the reader's
+  offset dict would then carry the JetStream sequence instead of spool
+  positions) — the surface below doesn't change.
+
+Two transports, chosen by options:
+- ``spool``: a shared directory of one-file-per-message envelopes —
+  an in-process stand-in broker so connector semantics are testable in this
+  container (no NATS server available). Lexicographic filenames give a
+  total order; the stream offset is the last drained filename.
+- ``tcp``: a minimal pure-Python core-NATS client (public text protocol:
+  INFO/CONNECT/PING/PONG, PUB/SUB/MSG) used when ``url`` is passed. Import-
+  and connect-failures surface as NatsError with the reference's error
+  codes (`lib/nats.js:15-23`).
+
+Scale notes: the reader is a SimpleDataSourceStreamReader (driver-side
+drain, like Spark's socket source) — correct for core-NATS semantics where
+there is exactly one subscription per engine (S1) and replay is impossible
+anyway. The partition-parallel path is the JetStream variant above, where
+per-partition durable cursors let executors pull independently. The sink
+writes per partition (one connection per task, like foreachPartition).
+
+All DataSource classes are BUILT INSIDE factory functions so cloudpickle
+ships them by value — executor Python workers do not have this repo on
+sys.path (driver contract).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Reference error codes, lib/nats.js:15-23.
+BAD_SUBJECT = "BAD_SUBJECT"
+BAD_MSG = "BAD_MSG"
+CONN_CLOSED = "CONN_CLOSED"
+
+
+class NatsError(Exception):
+    """Mirror of the reference's NatsError (lib/nats.js:29-38)."""
+
+    def __init__(self, message: str, code: str):
+        super().__init__(f"{code}: {message}")
+        self.code = code
+
+
+# -- spool transport (in-process broker stand-in) ------------------------------
+def spool_publish(spool_dir: str, seq: int, envelope: bytes, publisher: str = "p") -> str:
+    """Append one encoded CDCMsg to the spool; returns the filename. The
+    (seq, publisher) pair orders and disambiguates concurrent writers."""
+    if not isinstance(envelope, (bytes, bytearray)):
+        raise NatsError("msg must be bytes", BAD_MSG)
+    os.makedirs(spool_dir, exist_ok=True)
+    name = f"{seq:016d}-{publisher}.msg"
+    tmp = os.path.join(spool_dir, f".{name}.tmp")
+    with open(tmp, "wb") as fh:
+        fh.write(bytes(envelope))
+    os.rename(tmp, os.path.join(spool_dir, name))  # atomic visibility
+    return name
+
+
+def spool_list(spool_dir: str, after: str = "") -> list[str]:
+    if not os.path.isdir(spool_dir):
+        return []
+    return sorted(
+        f for f in os.listdir(spool_dir) if f.endswith(".msg") and f > after
+    )
+
+
+# -- minimal core-NATS TCP client ----------------------------------------------
+class NatsClient:
+    """Pure-Python core NATS client (public wire protocol). Only what the
+    reference uses: connect, publish, subscribe-one-topic, close."""
+
+    def __init__(self, url: str = "nats://127.0.0.1:4222"):
+        import socket
+
+        host_port = url.split("://", 1)[-1]
+        host, _, port = host_port.partition(":")
+        self._sock = socket.create_connection((host, int(port or 4222)), timeout=10)
+        self._buf = b""
+        self._closed = False
+        info = self._read_line()  # INFO {...}
+        if not info.startswith(b"INFO"):
+            raise NatsError("unexpected greeting", CONN_CLOSED)
+        self._send(b'CONNECT {"verbose":false,"protocol":0}\r\n')
+
+    def _send(self, data: bytes) -> None:
+        if self._closed:
+            raise NatsError("connection closed", CONN_CLOSED)
+        self._sock.sendall(data)
+
+    def _read_line(self) -> bytes:
+        while b"\r\n" not in self._buf:
+            chunk = self._sock.recv(65536)
+            if not chunk:
+                raise NatsError("connection closed", CONN_CLOSED)
+            self._buf += chunk
+        line, self._buf = self._buf.split(b"\r\n", 1)
+        return line
+
+    def _read_n(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            chunk = self._sock.recv(65536)
+            if not chunk:
+                raise NatsError("connection closed", CONN_CLOSED)
+            self._buf += chunk
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def publish(self, subject: str, msg: bytes) -> None:
+        # Validation order mirrors lib/nats.js:163-172.
+        if self._closed:
+            raise NatsError("connection closed", CONN_CLOSED)
+        if not isinstance(subject, str) or not subject:
+            raise NatsError("subject must be a string", BAD_SUBJECT)
+        if msg is None:
+            raise NatsError("msg must not be null", BAD_MSG)
+        self._send(
+            f"PUB {subject} {len(msg)}\r\n".encode() + bytes(msg) + b"\r\n"
+        )
+
+    def subscribe(self, subject: str, sid: int = 1) -> None:
+        self._send(f"SUB {subject} {sid}\r\n".encode())
+
+    def next_msg(self) -> tuple[str, bytes] | None:
+        """Blocking read of the next MSG; answers PING transparently."""
+        while True:
+            line = self._read_line()
+            if line.startswith(b"PING"):
+                self._send(b"PONG\r\n")
+                continue
+            if line.startswith(b"MSG"):
+                parts = line.decode().split(" ")
+                nbytes = int(parts[-1])
+                payload = self._read_n(nbytes)
+                self._read_n(2)  # trailing \r\n
+                return parts[1], payload
+            if line.startswith(b"-ERR"):
+                raise NatsError(line.decode(), CONN_CLOSED)
+            # +OK / INFO updates: ignore
+
+    def close(self) -> None:
+        # lib/nats.js:68-74 — drop connection; registry dies with the object.
+        self._closed = True
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+
+# -- the DataSource ------------------------------------------------------------
+def _make_datasource_cls():
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        SimpleDataSourceStreamReader,
+        WriterCommitMessage,
+    )
+
+    class NatsCdcStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self.spool = options.get("spool")
+            self.topic = options.get("topic", "cdc.client")
+
+        def initialOffset(self):
+            return {"last": ""}
+
+        def read(self, start):
+            import os as _os
+
+            def dec(data):
+                msg = {
+                    "publisher": "", "channel": "", "contentType": "",
+                    "protocol": "", "reply": "", "QOS": 0, "retain": False,
+                    "payload": b"",
+                }
+                kinds = {
+                    1: ("publisher", "str"), 2: ("channel", "str"),
+                    3: ("contentType", "str"), 4: ("protocol", "str"),
+                    5: ("reply", "str"), 6: ("QOS", "varint"),
+                    7: ("retain", "bool"), 8: ("payload", "bytes"),
+                }
+                i, n = 0, len(data)
+
+                def varint():
+                    nonlocal i
+                    shift = res = 0
+                    while True:
+                        b = data[i]
+                        i += 1
+                        res |= (b & 0x7F) << shift
+                        if not b & 0x80:
+                            return res
+                        shift += 7
+
+                while i < n:
+                    key = varint()
+                    num, wtype = key >> 3, key & 0x07
+                    if wtype == 0:
+                        val = varint()
+                    else:
+                        ln = varint()
+                        val = data[i : i + ln]
+                        i += ln
+                    if num in kinds:
+                        name, kind = kinds[num]
+                        if kind == "str":
+                            msg[name] = val.decode("utf-8")
+                        elif kind == "bytes":
+                            msg[name] = bytes(val)
+                        elif kind == "bool":
+                            msg[name] = bool(val)
+                        else:
+                            msg[name] = val
+                return msg
+
+            last = start.get("last", "")
+            if not self.spool or not _os.path.isdir(self.spool):
+                return iter([]), start
+            names = sorted(
+                f
+                for f in _os.listdir(self.spool)
+                if f.endswith(".msg") and f > last
+            )
+            rows = []
+            for name in names:
+                with open(_os.path.join(self.spool, name), "rb") as fh:
+                    m = dec(fh.read())
+                rows.append(
+                    (
+                        m["publisher"], m["channel"], m["contentType"],
+                        m["protocol"], m["reply"], m["QOS"], m["retain"],
+                        m["payload"],
+                    )
+                )
+            new_offset = {"last": names[-1] if names else last}
+            return iter(rows), new_offset
+
+        def commit(self, end):
+            pass  # at-most-once: spool files are retained for inspection
+
+    class NatsCdcStreamWriter(DataSourceStreamWriter):
+        def __init__(self, options):
+            self.spool = options.get("spool")
+            self.url = options.get("url")
+            self.topic = options.get("topic", "cdc.client")
+            self.publisher = options.get("publisher", "nms")
+
+        def write(self, iterator):
+            import os as _os
+
+            from pyspark import TaskContext
+            from pyspark.sql.datasource import WriterCommitMessage as WCM
+
+            def varint_bytes(n):
+                out = bytearray()
+                while True:
+                    b = n & 0x7F
+                    n >>= 7
+                    if n:
+                        out.append(b | 0x80)
+                    else:
+                        out.append(b)
+                        return bytes(out)
+
+            def enc(row):
+                out = bytearray()
+                for num, name, kind in (
+                    (1, "publisher", "str"), (2, "channel", "str"),
+                    (3, "contentType", "str"), (4, "protocol", "str"),
+                    (5, "reply", "str"), (6, "QOS", "varint"),
+                    (7, "retain", "bool"), (8, "payload", "bytes"),
+                ):
+                    value = row[name] if name in row else None
+                    if kind in ("str", "bytes"):
+                        if value:
+                            data = (
+                                value.encode("utf-8")
+                                if isinstance(value, str)
+                                else bytes(value)
+                            )
+                            out += varint_bytes((num << 3) | 2)
+                            out += varint_bytes(len(data))
+                            out += data
+                    else:
+                        iv = int(value) if value else 0
+                        if iv:
+                            out += varint_bytes((num << 3) | 0)
+                            out += varint_bytes(iv)
+                return bytes(out)
+
+            # Task attempt id is unique across the whole query (every
+            # micro-batch, partition, and retry) — partition id alone would
+            # collide across micro-batches and overwrite earlier spool files.
+            tid = TaskContext.get().taskAttemptId()
+            n = 0
+            if self.spool:
+                _os.makedirs(self.spool, exist_ok=True)
+                for row in iterator:
+                    env = enc(row)
+                    name = f"{tid:012d}{n:010d}-{self.publisher}.msg"
+                    tmp = _os.path.join(self.spool, f".{name}.tmp")
+                    with open(tmp, "wb") as fh:
+                        fh.write(env)
+                    _os.rename(tmp, _os.path.join(self.spool, name))
+                    n += 1
+            else:
+                # TCP publish path: one connection per partition, publish to
+                # the TRANSPORT topic (the reference quirk: lib/nats.js:175).
+                import socket
+
+                host_port = (self.url or "nats://127.0.0.1:4222").split("://", 1)[-1]
+                host, _, port = host_port.partition(":")
+                sock = socket.create_connection((host, int(port or 4222)), timeout=10)
+                buf = b""
+                while b"\r\n" not in buf:
+                    buf += sock.recv(65536)
+                sock.sendall(b'CONNECT {"verbose":false,"protocol":0}\r\n')
+                for row in iterator:
+                    env = enc(row)
+                    sock.sendall(
+                        f"PUB {self.topic} {len(env)}\r\n".encode() + env + b"\r\n"
+                    )
+                    n += 1
+                sock.close()
+            return WCM()
+
+        def commit(self, messages, batch_id):
+            pass  # fire-and-forget, at-most-once (lib/nats.js:175-179)
+
+        def abort(self, messages, batch_id):
+            pass
+
+    class NatsCdcDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "nats_cdc"
+
+        def schema(self):
+            return (
+                "publisher string, channel string, contentType string, "
+                "protocol string, reply string, QOS int, retain boolean, "
+                "payload binary"
+            )
+
+        def simpleStreamReader(self, schema):
+            return NatsCdcStreamReader(self.options)
+
+        def streamWriter(self, schema, overwrite):
+            return NatsCdcStreamWriter(self.options)
+
+    return NatsCdcDataSource
+
+
+def register_nats_source(spark: SparkSession) -> None:
+    """Register the ``nats_cdc`` streaming format on this session."""
+    spark.dataSource.register(_make_datasource_cls())

@@ -1,0 +1,156 @@
+"""Connector-layer tests that need no Spark session: the CDCMsg wire codec
+(property-based, mirrors SURVEY.md §5.2 item 3) and the core-NATS TCP
+client against an in-process fake broker (no NATS server exists in this
+container; the broker speaks just enough of the public text protocol).
+
+Reference semantics checked (SURVEY.md §2.1 S6/S8 behaviors):
+- publish validation order and error codes (lib/nats.js:163-172)
+- publish/subscribe through a broker delivers the exact bytes
+- operations on a closed connection raise CONN_CLOSED (lib/nats.js:68-74)
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from node_cdc_nats_spark.functions.cdcmsg import decode_cdcmsg, encode_cdcmsg
+from node_cdc_nats_spark.sources.nats import (
+    BAD_MSG,
+    BAD_SUBJECT,
+    CONN_CLOSED,
+    NatsClient,
+    NatsError,
+)
+
+# -- codec ---------------------------------------------------------------------
+text = st.text(max_size=40)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    publisher=text,
+    channel=text,
+    content_type=text,
+    protocol=text,
+    reply=text,
+    qos=st.integers(min_value=0, max_value=2**31 - 1),
+    retain=st.booleans(),
+    payload=st.binary(max_size=200),
+)
+def test_codec_roundtrip(publisher, channel, content_type, protocol, reply, qos, retain, payload):
+    wire = encode_cdcmsg(publisher, channel, content_type, protocol, reply, qos, retain, payload)
+    got = decode_cdcmsg(wire)
+    assert got == {
+        "publisher": publisher,
+        "channel": channel,
+        "contentType": content_type,
+        "protocol": protocol,
+        "reply": reply,
+        "QOS": qos,
+        "retain": retain,
+        "payload": payload,
+    }
+
+
+def test_codec_zero_fields_omitted():
+    # Like protobufjs, default-valued fields take no wire bytes at all.
+    assert encode_cdcmsg("", "", "", "", "", 0, False, b"") == b""
+
+
+# -- fake broker ---------------------------------------------------------------
+class FakeBroker:
+    """Minimal core-NATS broker: INFO greeting, CONNECT/PING handling, PUB
+    routed to every SUB with an exactly-matching subject."""
+
+    def __init__(self):
+        self.server = socket.create_server(("127.0.0.1", 0))
+        self.port = self.server.getsockname()[1]
+        self.subs: list[tuple[str, str, socket.socket]] = []  # subject, sid, conn
+        self.lock = threading.Lock()
+        self.alive = True
+        threading.Thread(target=self._accept_loop, daemon=True).start()
+
+    def _accept_loop(self):
+        while self.alive:
+            try:
+                conn, _ = self.server.accept()
+            except OSError:
+                return
+            conn.sendall(b'INFO {"server_id":"fake"}\r\n')
+            threading.Thread(target=self._serve, args=(conn,), daemon=True).start()
+
+    def _serve(self, conn):
+        buf = b""
+        while self.alive:
+            try:
+                chunk = conn.recv(65536)
+            except OSError:
+                return
+            if not chunk:
+                return
+            buf += chunk
+            while b"\r\n" in buf:
+                line, buf = buf.split(b"\r\n", 1)
+                parts = line.decode().split(" ")
+                if parts[0] == "CONNECT" or parts[0] == "PONG":
+                    continue
+                if parts[0] == "PING":
+                    conn.sendall(b"PONG\r\n")
+                elif parts[0] == "SUB":
+                    with self.lock:
+                        self.subs.append((parts[1], parts[2], conn))
+                elif parts[0] == "PUB":
+                    subject, nbytes = parts[1], int(parts[-1])
+                    while len(buf) < nbytes + 2:
+                        buf += conn.recv(65536)
+                    payload, buf = buf[:nbytes], buf[nbytes + 2 :]
+                    with self.lock:
+                        targets = [s for s in self.subs if s[0] == subject]
+                    for subj, sid, dst in targets:
+                        dst.sendall(
+                            f"MSG {subj} {sid} {nbytes}\r\n".encode() + payload + b"\r\n"
+                        )
+
+    def close(self):
+        self.alive = False
+        self.server.close()
+
+
+@pytest.fixture()
+def broker():
+    b = FakeBroker()
+    yield b
+    b.close()
+
+
+def test_tcp_pub_sub_roundtrip(broker):
+    sub = NatsClient(f"nats://127.0.0.1:{broker.port}")
+    sub.subscribe("cdc.client", sid=7)
+    pub = NatsClient(f"nats://127.0.0.1:{broker.port}")
+    wire = encode_cdcmsg("nms", "sensor/1/temp", "json", "http", "", 1, True, b'{"v":42}')
+    pub.publish("cdc.client", wire)
+    subject, payload = sub.next_msg()
+    assert subject == "cdc.client"
+    decoded = decode_cdcmsg(payload)
+    assert decoded["channel"] == "sensor/1/temp"
+    assert decoded["payload"] == b'{"v":42}'
+    pub.close()
+    sub.close()
+
+
+def test_publish_validation(broker):
+    c = NatsClient(f"nats://127.0.0.1:{broker.port}")
+    with pytest.raises(NatsError) as ei:
+        c.publish("", b"x")
+    assert ei.value.code == BAD_SUBJECT
+    with pytest.raises(NatsError) as ei:
+        c.publish("subj", None)
+    assert ei.value.code == BAD_MSG
+    c.close()
+    with pytest.raises(NatsError) as ei:
+        c.publish("subj", b"x")
+    assert ei.value.code == CONN_CLOSED
