@@ -1,0 +1,73 @@
+"""Named scan/sink operators — SURVEY.md §2.2 rows "Scans/sources" and
+"Sinks" (S1/S6 batch analogs; the NATS pair lives in operators/envelope.py
+as ``nats_roundtrip``).
+
+Each sink op proves its write path by round-tripping: write the result,
+read it back, return the re-read DataFrame — the oracle is the query
+itself, so a lossy or non-deterministic sink breaks the hash.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+from ..registry import register
+from ..streaming.source import read_events_stream, run_to_memory
+
+_EVENTS_SQL = """
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+           value, props
+    FROM events
+"""
+
+
+@register(
+    "scan_parquet",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+    WHERE l_quantity >= 45
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projected + filtered parquet scan. Catalyst pushes both into the
+    scan: .explain shows PushedFilters [GreaterThanOrEqual(l_quantity,45)]
+    and a 3-column ReadSchema — at 100 TB this is the difference between
+    reading 3 columns of matching row groups and reading the table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_partkey", "l_quantity").filter(
+        F.col("l_quantity") >= 45
+    )
+
+
+@register("scan_stream", oracle=_EVENTS_SQL)
+def scan_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan (S1): the staged micro-batch source read end-to-end
+    through a streaming query — the unbounded twin of scan_parquet."""
+    src = read_events_stream(spark, sf_dir)
+    out = run_to_memory(src.select("event_id", "ts", "user_id", "event_type", "value", "props"))
+    return out.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
+@register("sink_parquet", oracle=_EVENTS_SQL)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink roundtrip. The write is partitioned (32 tasks here, N
+    thousand on a cluster) — the read-back proves schema + values survive,
+    including the TIMESTAMP_NTZ event-time column."""
+    ev = load_table(spark, sf_dir, "events")
+    out_dir = tempfile.mkdtemp(prefix="sink_parquet_")
+    ev.write.mode("overwrite").parquet(out_dir)
+    return spark.read.parquet(out_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+@register("sink_memory", oracle=_EVENTS_SQL)
+def sink_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming memory sink (the engine's test/debug sink — S6's
+    in-process analog): full passthrough of the event stream."""
+    src = read_events_stream(spark, sf_dir)
+    out = run_to_memory(src.select("event_id", "ts", "user_id", "event_type", "value", "props"))
+    return out.withColumn("ts", F.col("ts").cast("timestamp_ntz"))

@@ -49,5 +49,7 @@ def load_all() -> None:
         text,
         multimodal,
         envelope,
+        udfs,
+        sinks,
     )
     from . import streaming  # noqa: F401
