@@ -51,5 +51,6 @@ def load_all() -> None:
         envelope,
         udfs,
         sinks,
+        asof,
     )
     from . import streaming  # noqa: F401

@@ -88,22 +88,37 @@ def read_events_stream(
     )
 
 
+STREAM_SHUFFLE_PARTITIONS = "8"
+
+
 def run_to_memory(stream_df: DataFrame, mode: str = "append") -> DataFrame:
     """Run a streaming DataFrame to completion (Trigger.AvailableNow — all
     staged files, then one no-data batch so the final watermark advance
-    flushes closeable state) into a memory sink; return the sink table."""
+    flushes closeable state) into a memory sink; return the sink table.
+
+    Streaming state partition count is locked into the checkpoint at the
+    first batch and every batch pays per-partition state-store open/commit
+    I/O — so it is sized for the stream's key volume, NOT inherited from
+    the batch engine's CPU-count default (32 stores × N batches of
+    micro-batch overhead dominates at fixture scale; on a production stream
+    size it to peak keys-per-trigger instead)."""
     spark = stream_df.sparkSession
     name = f"stream_sink_{os.getpid()}_{next(_MEM_SEQ)}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
-    query = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    try:
+        query = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)
 
 

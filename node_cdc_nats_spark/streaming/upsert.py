@@ -1,0 +1,84 @@
+"""Streaming CDC upsert sink — SURVEY.md §2.2 row "CDC-specific",
+streaming half: maintain a per-key LATEST table from the event stream via
+``foreachBatch`` merge, the `MERGE INTO` pattern every CDC-to-lakehouse
+pipeline runs (`cdc_upsert_latest` is the batch view of the same table).
+
+Per micro-batch: reduce the batch to its latest row per key (max (ts,
+event_id)), then merge with the running target — keep whichever side is
+newer per key. The merge recomputes the target (overwrite), which is the
+parquet-only stand-in for a Delta/Iceberg MERGE INTO; the driver-side logic
+is identical, only the sink's commit protocol changes. Exactly-once comes
+from the checkpoint + idempotent overwrite (SURVEY.md §4.1 delivery row).
+
+Scale notes: batch-local reduction happens BEFORE the merge join, so merge
+input is distinct keys per interval, not raw events. The target re-join is
+one shuffle per batch on the key; a real table format replaces the full
+overwrite with file-level merge-on-read.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..registry import register
+from .source import read_events_stream
+
+
+@register(
+    "stream_upsert",
+    oracle="""
+    SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+    FROM (
+      SELECT user_id, event_id, event_type, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain the per-user latest-state table across micro-batches; the
+    final table equals the batch ``cdc_upsert_latest`` (same oracle), which
+    is exactly the CDC guarantee: stream-merged state == batch recompute."""
+    src = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    target = tempfile.mkdtemp(prefix="upsert_target_")
+    state = {"df": None}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if state["df"] is None:
+            merged = latest
+        else:
+            merged = (
+                state["df"].unionByName(latest)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+        # Materialize the new target version, then swap (parquet stand-in
+        # for MERGE INTO; localCheckpoint breaks the ever-growing lineage a
+        # real table format would never accumulate).
+        state["df"] = merged.localCheckpoint(eager=True)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_upsert_")
+    q = (
+        src.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = state["df"]
+    out.write.mode("overwrite").parquet(target)  # prove the sink path too
+    return spark.read.parquet(target).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    ).select("user_id", "event_id", "event_type", "value", "ts")

@@ -1,0 +1,78 @@
+"""Plan-shape assertions (SURVEY.md §5.2 item 5): the physical plans the
+engine is designed around, checked explicitly so regressions that stay
+value-correct but wreck the 100 TB story still fail CI.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from node_cdc_nats_spark import registry
+
+from .conftest import SF_DIR
+
+registry.load_all()
+
+# Streaming / side-effecting ops run real queries; plan checks here cover
+# the pure-plan batch surface.
+_SKIP = {
+    "stream_tumble", "stream_slide", "stream_session", "stream_watermark",
+    "stream_dedup", "stream_rpc_state", "nats_roundtrip", "scan_stream",
+    "sink_parquet", "sink_memory",
+}
+
+
+def _plan(spark, name: str) -> str:
+    df = registry.QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushdown(spark):
+    plan = _plan(spark, "scan_parquet")
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,45" in plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_quantity:double>" in plan
+
+
+def test_q1_partial_aggregation(spark):
+    # Pricing summary must partial-aggregate map-side: two HashAggregates
+    # around one Exchange, never a raw shuffle of line items.
+    plan = _plan(spark, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_fanout_broadcasts_subscription_registry(spark):
+    # The sub registry is tiny; the event side is the 100 TB side. The theta
+    # join must be a broadcast nested loop, never a shuffle of events.
+    plan = _plan(spark, "fanout_dispatch")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_dim_join_broadcasts_small_side(spark):
+    plan = _plan(spark, "join_inner")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_sim_topk_broadcasts_queries(spark):
+    plan = _plan(spark, "sim_topk")
+    assert "BroadcastExchange" in plan
+
+
+def test_no_cartesian_products(spark):
+    # CartesianProduct = both sides shuffled into an all-pairs zip — never
+    # acceptable in this engine; crossJoin uses include a broadcast side.
+    offenders = []
+    for name in sorted(registry.QUERIES):
+        if name in _SKIP:
+            continue
+        if "CartesianProduct" in _plan(spark, name):
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_filters_reach_parquet_scans(spark):
+    # Every batch op whose plan carries a parquet scan + filter should show
+    # at least one pushed filter where the operator filters source columns.
+    for name in ("filter_channel", "filter_predicate", "join_semi"):
+        plan = _plan(spark, name)
+        assert "PushedFilters: [" in plan, name

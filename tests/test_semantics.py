@@ -1,0 +1,109 @@
+"""Reference-semantics unit tests (SURVEY.md §5.2 items 2-3): the
+behavioral details of lib/nats.js that must survive the re-expression, plus
+the property-based MQTT compiler check.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Window as W, functions as F
+
+from node_cdc_nats_spark import registry
+from node_cdc_nats_spark.functions.mqtt import channel_matches, matches, mqtt_to_regex
+
+from .conftest import SF_DIR
+
+registry.load_all()
+
+# -- MQTT compiler: property-based vs the independent matcher ------------------
+seg = st.sampled_from(["a", "b", "cc", "+", "#", "dev1"])
+topic_seg = st.sampled_from(["a", "b", "cc", "dev1", "x"])
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    p_segs=st.lists(seg, min_size=1, max_size=4),
+    t_segs=st.lists(topic_seg, min_size=1, max_size=5),
+)
+def test_mqtt_regex_matches_reference_matcher(p_segs, t_segs):
+    # '#' is only legal as the last segment; mirror that in generation.
+    p_segs = [s if i == len(p_segs) - 1 else ("+" if s == "#" else s) for i, s in enumerate(p_segs)]
+    pattern = "/".join(p_segs)
+    topic = "/".join(t_segs)
+    assert bool(re.fullmatch(mqtt_to_regex(pattern)[1:-1], topic)) == matches(
+        pattern, topic
+    ), f"pattern={pattern!r} topic={topic!r}"
+
+
+def test_mqtt_hash_matches_parent_level():
+    # mqtt-pattern semantics: 'a/#' matches 'a' itself.
+    assert matches("a/#", "a")
+    assert re.fullmatch(mqtt_to_regex("a/#"), "a")
+
+
+def test_mqtt_plus_needs_nonempty_segment():
+    assert not matches("a/+", "a/")
+    assert not re.fullmatch(mqtt_to_regex("a/+"), "a/")
+
+
+def test_mqtt_literal_pattern_compiles_to_equality(spark):
+    # No-wildcard patterns become `=`, which Catalyst can push as an exact
+    # parquet filter instead of a regex.
+    df = spark.createDataFrame([("a/b",)], "channel string")
+    plan = df.filter(channel_matches("channel", "a/b"))._jdf.queryExecution().optimizedPlan().toString()
+    assert "rlike" not in plan.lower()
+
+
+# -- bounded subscription: inclusive max (lib/nats.js:99-107) ------------------
+def test_bounded_subscription_inclusive_max(spark):
+    # The delivery where the counter REACHES max is still delivered; later
+    # rows are dropped. With max=3 and 5 matching messages, deliveries are
+    # exactly 1,2,3.
+    rows = [(i, f"cdc/x/{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "event_id long, channel string")
+    w = W.partitionBy(F.lit(1)).orderBy("event_id")
+    delivered = (
+        df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    )
+    got = [r.rn for r in delivered.orderBy("event_id").collect()]
+    assert got == [1, 2, 3]
+
+
+def test_bounded_subscription_operator_respects_max(spark):
+    out = registry.QUERIES["bounded_subscription"](spark, SF_DIR)
+    per_sub = {
+        r.sub_id: r.mx for r in out.groupBy("sub_id").agg(F.max("delivery_no").alias("mx")).collect()
+    }
+    # s2 max=500, s3 max=100 (operators/cdc.py SUBSCRIPTIONS); neither may
+    # exceed its bound, and delivery numbers must be dense from 1.
+    assert per_sub.get("s2", 0) <= 500 and per_sub.get("s3", 0) <= 100
+    mins = {
+        r.sub_id: r.mn for r in out.groupBy("sub_id").agg(F.min("delivery_no").alias("mn")).collect()
+    }
+    assert all(v == 1 for v in mins.values())
+
+
+# -- RPC: timeout RESOLVES with 408, never rejects (lib/nats.js:238-247) -------
+def test_rpc_timeout_resolves_408(spark):
+    out = registry.QUERIES["rpc_first_response"](spark, SF_DIR)
+    codes = {r.code for r in out.select("code").distinct().collect()}
+    assert codes <= {200, 408} and 408 in codes
+    # 408 rows carry no response id; 200 rows always do.
+    assert out.filter((F.col("code") == 408) & F.col("resp_id").isNotNull()).count() == 0
+    assert out.filter((F.col("code") == 200) & F.col("resp_id").isNull()).count() == 0
+    # Exactly one resolution per request (first-wins, lib/nats.js:216-223).
+    assert out.groupBy("req_id").count().filter("count > 1").count() == 0
+
+
+def test_stream_rpc_subset_of_batch(spark):
+    # The streaming decision set is the batch result restricted to requests
+    # whose deadline the final watermark passed — never contradictory.
+    batch = registry.QUERIES["rpc_first_response"](spark, SF_DIR)
+    stream = registry.QUERIES["stream_rpc_state"](spark, SF_DIR)
+    b = {(r.req_id, r.resp_id, r.code) for r in batch.collect()}
+    s = {(r.req_id, r.resp_id, r.code) for r in stream.collect()}
+    assert s <= b
+    assert len(s) > 0
