@@ -25,6 +25,7 @@ from node_cdc_nats_spark.session import get_spark
 # layer, and the LLM-pipeline operators (the scale story).
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
     "join_inner",
     "join_left",
     "join_range",
