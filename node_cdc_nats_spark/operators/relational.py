@@ -563,3 +563,74 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+           COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (each flag alone, plus the grand total) with
+    grouping_id disambiguating the null-filled dimensions. Catalyst expands
+    to one Expand + single aggregation — one shuffle regardless of how many
+    sets are requested."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT event_id,
+           user_id % 10 AS hot_key,
+           CONCAT('seg-', CAST(user_id % 10 AS VARCHAR)) AS dim_val
+    FROM events
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join, the manual salting pattern for when BOTH sides
+    are too large to broadcast and a handful of hot keys would pin the
+    whole shuffle on a few reducers: the fact side gets a deterministic
+    salt (event_id % S — reproducible, unlike rand()), the dimension side
+    is replicated S times, and the join key becomes (key, salt), spreading
+    each hot key over S reducers. Results are provably identical to the
+    unsalted join (the oracle); AQE's skew-join handles the same problem
+    adaptively when statistics are available, salting is the explicit
+    contract when they are not. Shuffle join is forced via hint — a 10-row
+    dim would otherwise broadcast, which IS the right plan outside a
+    salting demo."""
+    salt_n = 8
+    ev = load_table(spark, sf_dir, "events")
+    big = ev.select(
+        "event_id",
+        (F.col("user_id") % 10).alias("hot_key"),
+        (F.col("event_id") % salt_n).alias("salt"),
+    )
+    dim = spark.range(10).select(
+        F.col("id").alias("hot_key"),
+        F.concat(F.lit("seg-"), F.col("id").cast("string")).alias("dim_val"),
+    )
+    dim_salted = dim.select(
+        "hot_key", "dim_val",
+        F.explode(F.array(*[F.lit(i).cast("long") for i in range(salt_n)])).alias("salt"),
+    )
+    return (
+        big.join(dim_salted.hint("shuffle_merge"), ["hot_key", "salt"])
+        .select("event_id", "hot_key", "dim_val")
+    )

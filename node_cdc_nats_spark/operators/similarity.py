@@ -314,3 +314,108 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("score") >= 0.95)
     )
+
+
+def _assign_cells(df: DataFrame, cent: "list[list[float]]") -> DataFrame:
+    """Nearest-centroid assignment as an Arrow pandas_udf (centroids are
+    broadcast by value inside the closure — K×DIM floats, trivially small;
+    the vectors never leave the executors)."""
+    import numpy as _np
+
+    c_arr = [list(map(float, c)) for c in cent]
+
+    @F.pandas_udf("int")
+    def _assign(embs):
+        import numpy as np
+        import pandas as pd
+
+        C = np.array(c_arr)  # (K, D)
+        A = np.vstack(embs.to_numpy()).astype(np.float64)  # (n, D)
+        # Squared euclidean; argmin returns the lowest index on ties.
+        d2 = ((A[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(np.argmin(d2, axis=1).astype("int32"))
+
+    return df.withColumn("cell", _assign(F.col("embedding")))
+
+
+@register("ann_ivf_topk")  # iterative (k-means) => rows-only driver check;
+                           # recall vs exact search asserted in pytest
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with learned coarse centroids: 2 Lloyd iterations of k-means
+    (K=16) build the inverted file, queries probe the 4 nearest cells and
+    brute-force only those candidate lists.
+
+    The iterative pattern at scale: per-iteration work is one map-side
+    assignment (pandas_udf, centroids broadcast by value) plus one
+    aggregation of per-dimension sums — K×D numbers to the driver, never
+    the vectors. Probing turns the exact scan into a candidate scan of
+    ~nprobe/K of the corpus; recall against the exact top-k is asserted in
+    tests (rows-only at the driver because 2-iteration k-means is not
+    SQL-expressible)."""
+    K, N_ITER, NPROBE = 16, 2, 4
+    em = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    import numpy as np
+
+    # Deterministic init: the K lowest vec_ids.
+    cent = np.array(
+        [r.embedding for r in em.orderBy("vec_id").limit(K).collect()], dtype=np.float64
+    )
+    for _ in range(N_ITER):
+        assigned = _assign_cells(em, cent.tolist())
+        sums = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = cent.copy()
+        acc = {}
+        for r in sums:
+            acc.setdefault(r.cell, [np.zeros(cent.shape[1]), 0])
+            acc[r.cell][0][r.pos] = r.s
+            acc[r.cell][1] = r.n
+        for cell, (vec, n) in acc.items():
+            if n:
+                new[cell] = vec / n
+        cent = new
+
+    cells = _assign_cells(em, cent.tolist()).withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    # Query-side probing: q × K distances on the driver (q=5, K=16).
+    qrows = cells.filter(F.col("vec_id") < 5).collect()
+    probe = [
+        (
+            r.vec_id,
+            [
+                int(i)
+                for i in np.argsort(
+                    ((np.array(r.embedding, dtype=np.float64) - cent) ** 2).sum(axis=1),
+                    kind="stable",
+                )[:NPROBE]
+            ],
+        )
+        for r in qrows
+    ]
+    probe_df = spark.createDataFrame(
+        [(qid, c) for qid, cs in probe for c in cs], "qid long, cell int"
+    )
+    q = cells.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = cells.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"), "cell",
+    )
+    cand = c.join(F.broadcast(probe_df), "cell").join(F.broadcast(q), "qid")
+    scored = cand.select(
+        "qid", "cid",
+        cosine_pre(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")).alias("score"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "cid", "score")
+    )

@@ -107,3 +107,17 @@ def test_stream_rpc_subset_of_batch(spark):
     s = {(r.req_id, r.resp_id, r.code) for r in stream.collect()}
     assert s <= b
     assert len(s) > 0
+
+
+# -- IVF ANN: quality gate beyond the rows-only driver check -------------------
+def test_ivf_recall_vs_exact(spark):
+    exact = {
+        (r.qid, r.cid)
+        for r in registry.QUERIES["sim_topk"](spark, SF_DIR).collect()
+    }
+    approx = {
+        (r.qid, r.cid)
+        for r in registry.QUERIES["ann_ivf_topk"](spark, SF_DIR).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} below floor"
