@@ -26,6 +26,7 @@ from node_cdc_nats_spark.session import get_spark
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "join_inner",
     "join_left",
     "join_range",

@@ -76,3 +76,16 @@ def test_filters_reach_parquet_scans(spark):
     for name in ("filter_channel", "filter_predicate", "join_semi"):
         plan = _plan(spark, name)
         assert "PushedFilters: [" in plan, name
+
+
+def test_q5_broadcasts_dimensions_and_prunes(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    # Dimensions broadcast; the one shuffle join is lineitem-orders.
+    assert plan.count("BroadcastHashJoin") >= 3
+    # Column pruning: the lineitem scan reads only the join/measure columns.
+    assert "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint,l_extendedprice:double,l_discount:double>" in plan
+
+
+def test_q1_scan_prunes_columns(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "l_partkey" not in plan.split("ReadSchema:")[-1]
