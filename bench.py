@@ -68,7 +68,10 @@ def main() -> None:
         for name in HEADLINE:
             fn = registry.QUERIES.get(name)
             if fn is not None:
-                fn(spark, warmup_dir).count()
+                try:
+                    fn(spark, warmup_dir).count()
+                except Exception:
+                    pass  # the timed loop records the failure
     registry.QUERIES["q1_pricing_summary"](spark, sf_dir).count()
     # Streaming source staging is a fixture-only artifact (a real deployment
     # reads an actual stream); materialize it outside the timed section.
@@ -78,27 +81,31 @@ def main() -> None:
     stage_events(spark, sf_dir, "scatter")
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = registry.QUERIES.get(name)
         if fn is None:
             continue
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        try:
+            fn(spark, sf_dir).count()
+        except Exception as exc:  # one broken query must not kill the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

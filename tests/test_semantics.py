@@ -121,3 +121,27 @@ def test_ivf_recall_vs_exact(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"IVF recall {recall:.2f} below floor"
+
+
+# -- approx distinct: accuracy gate beyond the rows-only driver check ----------
+def test_approx_distinct_within_tolerance(spark):
+    from node_cdc_nats_spark.io import load_table
+
+    approx = {
+        r.l_returnflag: (r.approx_parts, r.approx_orders)
+        for r in registry.QUERIES["agg_approx_distinct"](spark, SF_DIR).collect()
+    }
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact = {
+        r.l_returnflag: (r.p, r.o)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("p"),
+            F.countDistinct("l_orderkey").alias("o"),
+        )
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        for a, e in zip(approx[k], exact[k]):
+            assert abs(a - e) / e < 0.1, f"{k}: approx {a} vs exact {e}"
