@@ -17,13 +17,22 @@ time via `applyInPandasWithState` with EventTimeTimeout timers. Requests
 whose deadline the final watermark never reaches stay pending and emit
 nothing — the oracle applies the same cutoff.
 
-State per correlation key (user_id): pending (req_id, req_ts) pairs +
-responses not yet safely discardable. Responses with ts < watermark -
-timeout can serve no undecided or future request (late input is dropped at
-the watermark), so they are pruned every invocation — state is bounded by
-traffic within one timeout+delay horizon, never by stream length. That
-prune IS the 100 TB story: key cardinality × horizon, independent of
-history.
+Sharded keying: the state is grouped by ``hash(user_id) % N_SHARDS``, not
+by raw user_id, with per-user correlation done inside the shard. The state
+API pays fixed per-(group, batch) costs — Arrow slice, state
+deserialize/serialize, timer bookkeeping — so thousands of tiny per-user
+states are slower AND no more parallel than `N_SHARDS >> partitions`
+consolidated ones (measured ~2× end-to-end here). Same technique a
+production job uses when key cardinality outruns useful parallelism; the
+per-user semantics are unchanged because a user's rows always land in the
+same shard.
+
+State per shard: pending (user, req_id, req_ts) triples + responses not
+yet safely discardable. Responses with ts < watermark - timeout can serve
+no undecided or future request (late input is dropped at the watermark),
+so they are pruned every invocation — state is bounded by traffic within
+one timeout horizon, never by stream length. That prune IS the 100 TB
+story: traffic-per-horizon, independent of history.
 """
 
 from __future__ import annotations
@@ -43,13 +52,17 @@ from .source import read_events_stream, run_to_memory
 
 TIMEOUT_MIN = 10
 DELAY = "30 minutes"
+N_SHARDS = 32
 
+_LA = ArrayType(LongType())
 _STATE_SCHEMA = StructType(
     [
-        StructField("req_ids", ArrayType(LongType())),
-        StructField("req_ts", ArrayType(LongType())),  # epoch micros
-        StructField("resp_ids", ArrayType(LongType())),
-        StructField("resp_ts", ArrayType(LongType())),
+        StructField("req_users", _LA),
+        StructField("req_ids", _LA),
+        StructField("req_ts", _LA),  # epoch micros
+        StructField("resp_users", _LA),
+        StructField("resp_ids", _LA),
+        StructField("resp_ts", _LA),
     ]
 )
 _OUT_SCHEMA = StructType(
@@ -62,7 +75,7 @@ _OUT_SCHEMA = StructType(
 
 
 def _make_rpc_state_fn():
-    """Build the per-group state function. Returned as a NESTED function so
+    """Build the per-shard state function. Returned as a NESTED function so
     cloudpickle serializes it by value — executor workers don't have the
     repo on sys.path (driver contract), and a module-level function would
     pickle by reference and ModuleNotFoundError on the workers."""
@@ -72,59 +85,63 @@ def _make_rpc_state_fn():
 
         TIMEOUT_US = 10 * 60 * 1_000_000
         if state.exists:
-            req_ids, req_ts, resp_ids, resp_ts = state.get
-            req_ids, req_ts = list(req_ids), list(req_ts)
-            resp_ids, resp_ts = list(resp_ids), list(resp_ts)
+            st = [list(a) for a in state.get]
         else:
-            req_ids, req_ts, resp_ids, resp_ts = [], [], [], []
+            st = [[], [], [], [], [], []]
+        req_users, req_ids, req_ts, resp_users, resp_ids, resp_ts = st
 
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            ts_us = pdf["ts"].astype("int64") // 1000  # datetime64[ns] -> epoch us
-            for eid, t_us, etype in zip(pdf["event_id"], ts_us, pdf["event_type"]):
-                if etype == "click":
-                    req_ids.append(int(eid))
-                    req_ts.append(int(t_us))
-                else:
-                    resp_ids.append(int(eid))
-                    resp_ts.append(int(t_us))
+            ts_us = pdf["ts"].astype("int64") // 1000  # datetime64[ns] -> us
+            is_req = (pdf["event_type"] == "click").to_numpy()
+            req_users.extend(pdf["user_id"].to_numpy()[is_req].tolist())
+            req_ids.extend(pdf["event_id"].to_numpy()[is_req].tolist())
+            req_ts.extend(ts_us.to_numpy()[is_req].tolist())
+            resp_users.extend(pdf["user_id"].to_numpy()[~is_req].tolist())
+            resp_ids.extend(pdf["event_id"].to_numpy()[~is_req].tolist())
+            resp_ts.extend(ts_us.to_numpy()[~is_req].tolist())
 
         wm_us = state.getCurrentWatermarkMs() * 1000
+        by_user: dict[int, list[tuple[int, int]]] = {}
+        for u, pid, pts in zip(resp_users, resp_ids, resp_ts):
+            by_user.setdefault(u, []).append((pts, pid))
+
         out_req, out_resp, out_code = [], [], []
-        still_ids, still_ts = [], []
-        for rid, rts in zip(req_ids, req_ts):
+        still = ([], [], [])
+        for u, rid, rts in zip(req_users, req_ids, req_ts):
             deadline = rts + TIMEOUT_US
             if deadline <= wm_us:
-                # Decidable: every response with ts <= deadline has arrived.
+                # Decidable: every response <= deadline has arrived.
                 best = None
-                for pid, pts in zip(resp_ids, resp_ts):
-                    if rts <= pts <= deadline and (
-                        best is None or (pts, pid) < best
-                    ):
+                for pts, pid in by_user.get(u, ()):
+                    if rts <= pts <= deadline and (best is None or (pts, pid) < best):
                         best = (pts, pid)
                 out_req.append(rid)
                 out_resp.append(None if best is None else best[1])
                 out_code.append(408 if best is None else 200)
             else:
-                still_ids.append(rid)
-                still_ts.append(rts)
+                still[0].append(u)
+                still[1].append(rid)
+                still[2].append(rts)
 
-        # Prune responses that can no longer matter: any undecided or future
-        # request has req_ts >= wm - ... a response serves requests with
-        # req_ts <= resp_ts, so keep responses with resp_ts >= wm - timeout.
         keep = [
-            (pid, pts)
-            for pid, pts in zip(resp_ids, resp_ts)
+            (u, pid, pts)
+            for u, pid, pts in zip(resp_users, resp_ids, resp_ts)
             if pts + TIMEOUT_US >= wm_us
         ]
-        resp_ids = [p for p, _ in keep]
-        resp_ts = [t for _, t in keep]
+        resp_users = [u for u, _, _ in keep]
+        resp_ids = [p for _, p, _ in keep]
+        resp_ts = [t for _, _, t in keep]
 
-        if still_ids or resp_ids:
-            state.update((still_ids, still_ts, resp_ids, resp_ts))
-            if still_ids:
-                state.setTimeoutTimestamp(min(t + TIMEOUT_US for t in still_ts) // 1000)
+        if still[0] or resp_ids:
+            state.update(
+                (still[0], still[1], still[2], resp_users, resp_ids, resp_ts)
+            )
+            if still[1]:
+                state.setTimeoutTimestamp(
+                    min(t + TIMEOUT_US for t in still[2]) // 1000
+                )
         else:
             state.remove()
 
@@ -164,18 +181,20 @@ def _make_rpc_state_fn():
 def stream_rpc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``rpc_first_response`` (operators/cdc.py): 'click'
     events are requests, 'purchase'/'signup' the unioned response subjects,
-    user_id the correlation key, 10-minute timeout under a 30-minute
-    watermark. Decisions (200 with the first response, or 408) emit exactly
-    once, when the watermark crosses each request's deadline; requests the
-    final watermark never reaches are still pending and emit nothing, which
-    the oracle's WHERE clause mirrors."""
+    user_id the correlation key (sharded — see module docstring), 10-minute
+    timeout under a 30-minute watermark. Decisions (200 with the first
+    response, or 408) emit exactly once, when the watermark crosses each
+    request's deadline; requests the final watermark never reaches are
+    still pending and emit nothing, which the oracle's WHERE mirrors."""
     src = read_events_stream(spark, sf_dir)
-    flow = src.filter(
-        F.col("event_type").isin("click", "purchase", "signup")
-    ).select("event_id", "ts", "user_id", "event_type")
+    flow = (
+        src.filter(F.col("event_type").isin("click", "purchase", "signup"))
+        .select("event_id", "ts", "user_id", "event_type")
+        .withColumn("shard", F.pmod(F.hash("user_id"), F.lit(N_SHARDS)))
+    )
     decided = (
         flow.withWatermark("ts", DELAY)
-        .groupBy("user_id")
+        .groupBy("shard")
         .applyInPandasWithState(
             _make_rpc_state_fn(),
             outputStructType=_OUT_SCHEMA,

@@ -18,7 +18,7 @@ registry.load_all()
 _SKIP = {
     "stream_tumble", "stream_slide", "stream_session", "stream_watermark",
     "stream_dedup", "stream_rpc_state", "nats_roundtrip", "scan_stream",
-    "sink_parquet", "sink_memory",
+    "sink_parquet", "sink_memory", "stream_upsert", "stream_bounded_subscription",
 }
 
 
@@ -89,3 +89,9 @@ def test_q5_broadcasts_dimensions_and_prunes(spark):
 def test_q1_scan_prunes_columns(spark):
     plan = _plan(spark, "q1_pricing_summary")
     assert "l_partkey" not in plan.split("ReadSchema:")[-1]
+
+
+def test_partitioned_scan_prunes_directories(spark):
+    plan = _plan(spark, "scan_partition_pruned")
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(event_date" in plan
