@@ -685,3 +685,129 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(revenue).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
+
+
+@register(
+    "agg_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS F_qty,
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS O_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per l_linestatus value with explicit value list —
+    with the values enumerated, Catalyst plans a single aggregation pass
+    (no second scan to discover the domain)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum("l_quantity"))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("F_qty"),
+            F.col("O").alias("O_qty"),
+        )
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    WITH iv AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v FROM events)
+    SELECT event_type,
+           CAST(SUM(v) AS DOUBLE) / 100.0 AS s1,
+           CAST(SUM(v * v) AS DOUBLE) / 10000.0 AS s2,
+           (CAST(SUM(v * v) AS DOUBLE) / 10000.0
+            - (CAST(SUM(v) AS DOUBLE) / 100.0) * (CAST(SUM(v) AS DOUBLE) / 100.0)
+              / COUNT(v))
+           / (COUNT(v) - 1) AS variance
+    FROM iv GROUP BY event_type
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic variance: built-in var_samp is a float reduction whose
+    value depends on partial-aggregation order, so it can never hash-match
+    another engine. Power sums over integer cents (exact, associative,
+    within int64; bigint->double conversion is exact below 2^53) give a
+    bit-stable variance under any partitioning — the engine's pattern for
+    second-moment statistics. (Decimal power sums are NOT enough: the
+    decimal->double cast itself rounds differently across engines.)"""
+    ev = load_table(spark, sf_dir, "events")
+    iv = F.round(F.col("value") * 100).cast("long")
+    s1 = F.sum(iv).cast("double") / 100.0
+    s2 = F.sum(iv * iv).cast("double") / 10000.0
+    n = F.count("value")
+    return ev.withColumn("_iv", iv).groupBy("event_type").agg(
+        (F.sum("_iv").cast("double") / 100.0).alias("s1"),
+        (F.sum(F.col("_iv") * F.col("_iv")).cast("double") / 10000.0).alias("s2"),
+        (
+            (
+                F.sum(F.col("_iv") * F.col("_iv")).cast("double") / 10000.0
+                - (F.sum("_iv").cast("double") / 100.0)
+                * (F.sum("_iv").cast("double") / 100.0)
+                / F.count("_iv")
+            )
+            / (F.count("_iv") - 1)
+        ).alias("variance"),
+    )
+
+
+_BUCKETED: set[str] = set()
+
+
+@register(
+    "join_bucketed",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, COUNT(*) AS n_lines
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketing: both tables written bucketBy(8,
+    orderkey) + sortBy into the session warehouse, so the join needs NO
+    exchange on either side (sort-merge over pre-bucketed files) and the
+    following per-orderkey aggregation reuses the same distribution — zero
+    shuffles end-to-end, verified by tests/test_plan_shape.py. THE layout
+    move for a 100 TB fact table that is joined on the same key every day:
+    pay the shuffle once at write time, never at read time. Bucketed copies
+    are staged once per process (the fixture's stand-in for the real
+    warehouse tables)."""
+    key = f"bucketed::{sf_dir}"
+    if key not in _BUCKETED:
+        # The warehouse directory outlives the (in-memory) catalog: drop any
+        # prior-session table AND its leftover location before re-staging.
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for tbl in ("bkt_orders", "bkt_lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+        (
+            orders.write.mode("overwrite")
+            .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .saveAsTable("bkt_orders")
+        )
+        (
+            li.write.mode("overwrite")
+            .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .saveAsTable("bkt_lineitem")
+        )
+        _BUCKETED.add(key)
+    o = spark.table("bkt_orders")
+    l = spark.table("bkt_lineitem")
+    # hint("merge"): at fixture scale Spark would broadcast the small side
+    # (also shuffle-free, but then bucketing proves nothing); at 100 TB
+    # neither side broadcasts and sort-merge-over-buckets is the real plan.
+    return (
+        o.join(l.hint("merge"), o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )

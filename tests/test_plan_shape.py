@@ -95,3 +95,9 @@ def test_partitioned_scan_prunes_directories(spark):
     plan = _plan(spark, "scan_partition_pruned")
     assert "PartitionFilters: [" in plan
     assert "isnotnull(event_date" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    plan = _plan(spark, "join_bucketed")
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
