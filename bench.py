@@ -47,6 +47,10 @@ HEADLINE = [
     "sim_topk",
     "ann_lsh_topk",
     "embed_knn",
+    "join_asof",
+    "join_bucketed",
+    "udf_grouped",
+    "scan_partition_pruned",
     "stream_tumble",
     "stream_rpc_state",
 ]
@@ -79,6 +83,14 @@ def main() -> None:
 
     stage_events(spark, sf_dir, "time")
     stage_events(spark, sf_dir, "scatter")
+    # Bucketed tables and the date-partitioned archive are write-time
+    # layouts; stage them (one untimed run) so the timed pass measures the
+    # read-side plans they exist to accelerate.
+    for staged in ("join_bucketed", "scan_partition_pruned"):
+        try:
+            registry.QUERIES[staged](spark, sf_dir).count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -162,7 +162,11 @@ def _make_rpc_state_fn():
     resp AS (
       SELECT event_id AS resp_id, user_id, CAST(ts AS TIMESTAMP) AS resp_ts
       FROM events WHERE event_type IN ('purchase', 'signup')),
-    wmx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 30 MINUTE AS w FROM events),
+    wmx AS (  -- the watermark tracks rows REACHING it: the stream filters to
+              -- the three RPC event types BEFORE withWatermark, so the final
+              -- cutoff is the max ts of those types, not of all events
+      SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 30 MINUTE AS w
+      FROM events WHERE event_type IN ('click', 'purchase', 'signup')),
     matched AS (
       SELECT r.req_id, p.resp_id,
              ROW_NUMBER() OVER (PARTITION BY r.req_id

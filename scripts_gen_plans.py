@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: captured physical plans for the flagship operators,
+the evidence behind the scale claims (pushdown, broadcast choice, zero-
+shuffle bucketing, partition pruning)."""
+
+from node_cdc_nats_spark import registry
+from node_cdc_nats_spark.session import get_spark
+
+SHOWCASE = [
+    (
+        "q1_pricing_summary",
+        "Partial+final aggregation around one exchange; scan reads only the 7 needed columns.",
+    ),
+    (
+        "q3_shipping_priority",
+        "Dimension filters pushed to scans; filtered customer broadcast into orders, result broadcast into lineitem.",
+    ),
+    (
+        "q5_local_supplier_volume",
+        "6-table snowflake: region→nation→supplier pruning chain broadcast; lineitem⋈orders is the only shuffle.",
+    ),
+    (
+        "scan_parquet",
+        "PushedFilters + 3-column ReadSchema: predicate and projection reach the parquet reader.",
+    ),
+    (
+        "scan_partition_pruned",
+        "PartitionFilters restrict the file listing to the queried date window.",
+    ),
+    (
+        "join_bucketed",
+        "Sort-merge join over bucketBy(8) tables + same-key aggregation: zero exchanges end-to-end.",
+    ),
+    (
+        "fanout_dispatch",
+        "Subscription registry broadcast; the event side (the 100 TB side) is never shuffled.",
+    ),
+    (
+        "dedup_minhash",
+        "Arrow signature projection (no shuffle) → bucket groupBy → in-bucket pair generation → hashed-set verify.",
+    ),
+]
+
+
+def main() -> None:
+    registry.load_all()
+    spark = get_spark(app_name="gen_plans", shuffle_partitions=8)
+    sf = "/root/testdata/sf0.01"
+    out = [
+        "# Captured physical plans",
+        "",
+        "Auto-generated (`python scripts_gen_plans.py`), sf0.01, AQE initial plans.",
+        "The plan-shape assertions in `tests/test_plan_shape.py` keep these claims",
+        "true; this file is the human-readable evidence.",
+        "",
+    ]
+    for name, claim in SHOWCASE:
+        df = registry.QUERIES[name](spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        out += [f"## `{name}`", "", claim, "", "```", plan.rstrip(), "```", ""]
+    with open("PLANS.md", "w") as fh:
+        fh.write("\n".join(out))
+    spark.stop()
+    print(f"{len(SHOWCASE)} plans written")
+
+
+if __name__ == "__main__":
+    main()
