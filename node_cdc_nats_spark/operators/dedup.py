@@ -27,6 +27,13 @@ from ..registry import register
 SHINGLE_N = 3
 MINHASH_K = 12  # one band per hash (r=1): recall 1-(1-j)^12
 JACCARD_THRESHOLD = 0.5
+# Document-frequency cap for exact n-gram Jaccard buckets: a stop-phrase
+# shingle shared by d documents generates d·(d-1)/2 pairs in one bucket —
+# quadratic, and concentrated on a single reducer row. Shingles with
+# df > NGRAM_DF_CAP carry ~zero similarity signal (they are corpus-common
+# boilerplate) and are dropped from the intersection on BOTH the Spark and
+# oracle sides, bounding any bucket at CAP²/2 pairs.
+NGRAM_DF_CAP = 64
 SIMHASH_BITS = 60
 SIMHASH_CHUNKS = 5  # 5 × 12-bit chunks → exact recall for hamming ≤ 4
 HAMMING_MAX = 4
@@ -179,9 +186,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH sh_docs AS ({_SQL_HASHED_SHINGLED_DOCS}),
     exploded AS (SELECT doc_id, UNNEST(hl) AS h FROM sh_docs),
+    kept AS (SELECT h FROM exploded GROUP BY h
+             HAVING COUNT(*) BETWEEN 2 AND {NGRAM_DF_CAP}),
     pair_common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-      FROM exploded a JOIN exploded b ON a.h = b.h AND a.doc_id < b.doc_id
+      FROM exploded a
+      JOIN kept k ON a.h = k.h
+      JOIN exploded b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id),
     sizes AS (SELECT doc_id, LEN(hl) AS n_sh FROM sh_docs)
     SELECT doc_a, doc_b,
@@ -198,9 +209,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     is collision-free at corpus scale), group per shingle into doc buckets,
     emit in-bucket pairs, count occurrences per pair = |intersection| — one
     evaluation of the shingle pipeline and one shuffle, where a self-join
-    would evaluate it twice. Never an all-pairs cross join; frequent-shingle
-    buckets are the known quadratic corner (mitigated in practice with a
-    document-frequency cap on shingles)."""
+    would evaluate it twice. Never an all-pairs cross join; buckets whose
+    document frequency exceeds NGRAM_DF_CAP are dropped (stop-phrase
+    shingles would otherwise make one bucket quadratic), with the identical
+    cap in the oracle's HAVING clause."""
     hashed = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", hashed_shingles_udf()["hl"].alias("hl"))
@@ -210,7 +222,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         ex.groupBy("h")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") >= 2)
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= NGRAM_DF_CAP))
     )
     common = (
         buckets.select(F.explode(bucket_pairs(F.col("ds"))).alias("p"))

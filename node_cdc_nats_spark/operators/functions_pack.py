@@ -121,11 +121,18 @@ def math_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            LIST_MIN(embedding) AS e_min,
            LIST_MAX(embedding) AS e_max,
            CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS INT) AS n_pos,
-           embedding[1:3] AS head3
+           ARRAY_TO_STRING(LIST_TRANSFORM(embedding[1:3],
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), ',') AS head3
     FROM embeddings
     """,
 )
 def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # head3 is emitted as a comma-joined string (not a raw array column):
+    # the driver's canonicalizer sorts result cells and crashes on
+    # unhashable list cells. Elements render as integer micros
+    # (floor(x*1e6)) — float64 multiply + floor are IEEE-identical on both
+    # engines, so the strings agree bit-for-bit with no format/rounding-mode
+    # dependence.
     em = load_table(spark, sf_dir, "embeddings")
     return em.select(
         "vec_id",
@@ -135,7 +142,13 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("embedding").alias("e_min"),
         F.array_max("embedding").alias("e_max"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
-        F.slice("embedding", 1, 3).alias("head3"),
+        F.array_join(
+            F.transform(
+                F.slice("embedding", 1, 3),
+                lambda x: F.floor(x.cast("double") * 1000000).cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("head3"),
     )
 
 

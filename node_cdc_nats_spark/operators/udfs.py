@@ -86,28 +86,29 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def udf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandas per customer: min-max scale each customer's order
-    totals. Min/max are order-independent, the scaling is per-row double
-    math — deterministic under any partitioning; one shuffle on the group
-    key, then pure Arrow-batch compute."""
+    """applyInPandas min-max scaling of each customer's order totals,
+    SHARDED: grouping directly by o_custkey makes one Arrow slice per
+    customer (~15k tiny groups at sf0.1 — per-group Python overhead was
+    30% of the whole bench). Instead the shuffle key is a 64-way shard of
+    the customer key; every customer still lands wholly inside one shard,
+    and the per-customer min/max runs vectorized inside the shard via
+    pandas groupby.transform. Same semantics, ~64 Arrow batches instead of
+    ~15k — the same sharding pattern as streaming/rpc.py state keying."""
 
-    def scale(pdf):
-        mn, mx = pdf["o_totalprice"].min(), pdf["o_totalprice"].max()
-        import pandas as pd
-
-        scaled = (
-            pd.Series(0.5, index=pdf.index)
-            if mx == mn
-            else (pdf["o_totalprice"] - mn) / (mx - mn)
-        )
+    def scale_shard(pdf):
+        g = pdf.groupby("o_custkey")["o_totalprice"]
+        mn, mx = g.transform("min"), g.transform("max")
+        rng = mx - mn
+        scaled = ((pdf["o_totalprice"] - mn) / rng).where(rng != 0.0, 0.5)
         return pdf[["o_custkey", "o_orderkey"]].assign(price_scaled=scaled)
 
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.select("o_custkey", "o_orderkey", "o_totalprice")
-        .groupBy("o_custkey")
+        .withColumn("shard", F.pmod(F.col("o_custkey"), F.lit(64)))
+        .groupBy("shard")
         .applyInPandas(
-            scale, schema="o_custkey bigint, o_orderkey bigint, price_scaled double"
+            scale_shard, schema="o_custkey bigint, o_orderkey bigint, price_scaled double"
         )
     )
 
