@@ -179,10 +179,16 @@ def decode_col(col: Column) -> Column:
                 num, wtype = key >> 3, key & 0x07
                 if wtype == 0:
                     val = varint()
-                else:
+                elif wtype == 2:
                     ln = varint()
                     val = data[i : i + ln]
                     i += ln
+                else:
+                    # fixed64 (1) / fixed32 (5) / groups never appear in a
+                    # CDCMsg; treating them as length-delimited would shift
+                    # the cursor and silently misparse every later field —
+                    # mirror decode_cdcmsg and refuse the message instead.
+                    raise ValueError(f"unsupported wire type {wtype}")
                 if num in kinds:
                     name, kind = kinds[num]
                     if kind == "str":

@@ -192,13 +192,20 @@ def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
       USING (req_id)
     """,
 )
-def rpc_first_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rpc_first_response(spark: SparkSession, sf_dir: str, res_process=None) -> DataFrame:
     """Batch analog of the reference RPC (lib/nats.js:196-256): requests race
     responses on N subjects; the FIRST response within the timeout wins
     (lib/nats.js:215-225); requests with none resolve {code: 408}
     (lib/nats.js:238-247). 'click' events act as requests; 'purchase'/'signup'
     are the two response subjects (their union mirrors the multi-subject
-    subscribe); correlation key is user_id, timeout 10 minutes."""
+    subscribe); correlation key is user_id, timeout 10 minutes.
+
+    ``res_process`` is the reference's winner-transform hook
+    (``options.resProcess``, lib/nats.js:218-222): a callable applied to the
+    winning-response DataFrame (req_id, resp_id, resp_value) BEFORE the
+    outcome joins back to its request — extra columns it adds ride through
+    to the result (null for 408 rows, exactly like the reference, where
+    resProcess never runs on a timeout)."""
     e = load_table(spark, sf_dir, "events")
     req = e.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("req_id"), "user_id", F.col("ts").alias("req_ts")
@@ -207,6 +214,7 @@ def rpc_first_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("resp_id"),
         F.col("user_id").alias("r_user_id"),
         F.col("ts").alias("resp_ts"),
+        F.col("value").alias("resp_value"),
     )
     # Equi-join on the correlation key carries the shuffle; the time-range
     # residual bounds state — the same plan the streaming twin uses with a
@@ -218,19 +226,61 @@ def rpc_first_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (resp.resp_ts <= F.col("req_ts") + F.expr("INTERVAL 10 MINUTES")),
         "inner",
     )
-    first = (
+    winners = (
         joined.withColumn(
             "rn",
             F.row_number().over(W.partitionBy("req_id").orderBy("resp_ts", "resp_id")),
         )
         .filter(F.col("rn") == 1)
-        .select("req_id", "resp_id")
+        .select("req_id", "resp_id", "resp_value")
     )
+    if res_process is not None:
+        winners = res_process(winners)
+    extra = [c for c in winners.columns if c not in ("req_id", "resp_id", "resp_value")]
     return (
-        req.join(first, "req_id", "left")
+        req.join(winners.drop("resp_value"), "req_id", "left")
         .select(
             "req_id",
             "resp_id",
             F.when(F.col("resp_id").isNull(), 408).otherwise(200).cast("int").alias("code"),
+            *extra,
         )
     )
+
+
+@register(
+    "rpc_first_response_processed",
+    oracle="""
+    WITH req AS (
+      SELECT event_id AS req_id, user_id, CAST(ts AS TIMESTAMP) AS req_ts
+      FROM events WHERE event_type = 'click'),
+    resp AS (
+      SELECT event_id AS resp_id, user_id, CAST(ts AS TIMESTAMP) AS resp_ts,
+             value AS resp_value
+      FROM events WHERE event_type IN ('purchase', 'signup')),
+    matched AS (
+      SELECT r.req_id, p.resp_id, p.resp_value,
+             ROW_NUMBER() OVER (PARTITION BY r.req_id
+                                ORDER BY p.resp_ts, p.resp_id) AS rn
+      FROM req r JOIN resp p
+        ON p.user_id = r.user_id
+       AND p.resp_ts >= r.req_ts
+       AND p.resp_ts <= r.req_ts + INTERVAL 10 MINUTE)
+    SELECT q.req_id, m.resp_id,
+           CAST(CASE WHEN m.resp_id IS NULL THEN 408 ELSE 200 END AS INT) AS code,
+           m.resp_value * 2.0 AS result
+    FROM req q
+    LEFT JOIN (SELECT req_id, resp_id, resp_value FROM matched WHERE rn = 1) m
+      USING (req_id)
+    """,
+)
+def rpc_first_response_processed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rpc_first_response`` with a resProcess winner-transform installed
+    (the reference's lib/nats.js:218-222 hook): the winning response's
+    payload is doubled into a ``result`` column before resolution; 408 rows
+    never ran the hook, so their result is null."""
+
+    def double_payload(winners: DataFrame) -> DataFrame:
+        return winners.withColumn("result", F.col("resp_value") * 2.0)
+
+    return rpc_first_response(spark, sf_dir, res_process=double_payload)

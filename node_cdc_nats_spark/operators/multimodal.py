@@ -121,16 +121,28 @@ def extract_features(media: DataFrame) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_bytes,
-           [CAST(OCTET_LENGTH(ENCODE(text)) AS DOUBLE),
-            CAST(ASCII(SUBSTR(text, 1, 1)) AS DOUBLE),
-            CAST(ASCII(SUBSTR(text, LENGTH(text), 1)) AS DOUBLE),
-            CAST(LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
-                   LIST_TRANSFORM(RANGE(LEAST(LENGTH(text), 32)),
-                                  i -> CAST(ASCII(SUBSTR(text, CAST(i+1 AS INT), 1)) AS BIGINT))),
-                 (a, x) -> a + x) % 997 AS DOUBLE)] AS features
+           ARRAY_TO_STRING(LIST_TRANSFORM(
+             [CAST(OCTET_LENGTH(ENCODE(text)) AS DOUBLE),
+              CAST(ASCII(SUBSTR(text, 1, 1)) AS DOUBLE),
+              CAST(ASCII(SUBSTR(text, LENGTH(text), 1)) AS DOUBLE),
+              CAST(LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT),
+                     LIST_TRANSFORM(RANGE(LEAST(LENGTH(text), 32)),
+                                    i -> CAST(ASCII(SUBSTR(text, CAST(i+1 AS INT), 1)) AS BIGINT))),
+                   (a, x) -> a + x) % 997 AS DOUBLE)],
+             x -> CAST(CAST(x AS BIGINT) AS VARCHAR)), ',') AS features
     FROM documents
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The vector pipeline (extract_features) is the real operator; the
+    # registered query renders the array as a comma-joined integer string
+    # because the driver's canonicalizer cannot hash array cells. Every
+    # stub feature is integer-valued by construction, so the rendering is
+    # exact on both engines.
     media = as_media(load_table(spark, sf_dir, "documents"))
-    return extract_features(media)
+    return extract_features(media).withColumn(
+        "features",
+        F.array_join(
+            F.transform("features", lambda x: x.cast("bigint").cast("string")), ","
+        ),
+    )

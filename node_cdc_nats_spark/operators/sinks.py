@@ -73,6 +73,62 @@ def sink_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
+_CSV_STAGED: dict[str, str] = {}
+_JSON_STAGED: dict[str, str] = {}
+
+_CUSTOMER_DDL = (
+    "c_custkey bigint, c_name string, c_nationkey int, "
+    "c_acctbal double, c_mktsegment string"
+)
+_ORDERS_DDL = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+)
+
+
+@register(
+    "scan_csv",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV file-format reader (SURVEY §2.2 "File formats"): the customer
+    fixture round-tripped through a written CSV copy and read back with an
+    EXPLICIT schema (schema inference is a second full scan at 100 TB — a
+    production reader always declares its schema). Doubles survive exactly:
+    both the writer and Java's shortest-round-trip float formatting parse
+    back to the identical bit pattern, so the oracle hash is unchanged."""
+    if sf_dir not in _CSV_STAGED:
+        out = tempfile.mkdtemp(prefix="scan_csv_")
+        load_table(spark, sf_dir, "customer").write.mode("overwrite").option(
+            "header", "true"
+        ).csv(out)
+        _CSV_STAGED[sf_dir] = out
+    return spark.read.schema(_CUSTOMER_DDL).option("header", "true").csv(
+        _CSV_STAGED[sf_dir]
+    )
+
+
+@register(
+    "scan_json",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    """,
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines file-format reader (SURVEY §2.2 "File formats"): orders
+    round-tripped through a written JSON copy, read back with an explicit
+    schema — exercising bigint/double/TIMESTAMP_NTZ/string coercion on the
+    read path (the same schema-on-read contract the CDC payload decoder
+    uses for contentType='json')."""
+    if sf_dir not in _JSON_STAGED:
+        out = tempfile.mkdtemp(prefix="scan_json_")
+        load_table(spark, sf_dir, "orders").write.mode("overwrite").json(out)
+        _JSON_STAGED[sf_dir] = out
+    return spark.read.schema(_ORDERS_DDL).json(_JSON_STAGED[sf_dir])
+
+
 _PARTITIONED: dict[str, str] = {}
 
 

@@ -212,10 +212,16 @@ def _make_datasource_cls():
                     num, wtype = key >> 3, key & 0x07
                     if wtype == 0:
                         val = varint()
-                    else:
+                    elif wtype == 2:
                         ln = varint()
                         val = data[i : i + ln]
                         i += ln
+                    else:
+                        # fixed32/fixed64/group wire types never appear in a
+                        # CDCMsg; misreading one as length-delimited would
+                        # corrupt every later field — refuse instead
+                        # (mirrors functions/cdcmsg.decode_cdcmsg).
+                        raise ValueError(f"unsupported wire type {wtype}")
                     if num in kinds:
                         name, kind = kinds[num]
                         if kind == "str":

@@ -74,11 +74,18 @@ _OUT_SCHEMA = StructType(
 )
 
 
-def _make_rpc_state_fn():
+def _make_rpc_state_fn(res_process=None):
     """Build the per-shard state function. Returned as a NESTED function so
     cloudpickle serializes it by value — executor workers don't have the
     repo on sys.path (driver contract), and a module-level function would
-    pickle by reference and ModuleNotFoundError on the workers."""
+    pickle by reference and ModuleNotFoundError on the workers.
+
+    ``res_process`` is the reference's winner-transform hook
+    (``options.resProcess``, lib/nats.js:218-222): a pandas
+    DataFrame→DataFrame callable applied to each batch of DECIDED winners
+    (code 200) at resolution time, before emission — 408 decisions never
+    see it, exactly like the reference. It is captured by value in the
+    closure, so arbitrary user callables ship to the executors."""
 
     def _rpc_state_fn(key, pdfs, state: GroupState):
         import pandas as pd
@@ -146,9 +153,16 @@ def _make_rpc_state_fn():
             state.remove()
 
         if out_req:
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {"req_id": out_req, "resp_id": out_resp, "code": out_code}
             ).astype({"req_id": "int64", "resp_id": "float64", "code": "int32"})
+            if res_process is not None:
+                won = out["code"] == 200
+                if won.any():
+                    out = pd.concat(
+                        [res_process(out[won].copy()), out[~won]]
+                    ).astype({"req_id": "int64", "resp_id": "float64", "code": "int32"})
+            yield out
 
     return _rpc_state_fn
 
@@ -182,7 +196,7 @@ def _make_rpc_state_fn():
     WHERE q.req_ts + INTERVAL {TIMEOUT_MIN} MINUTE <= (SELECT w FROM wmx)
     """,
 )
-def stream_rpc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_rpc_state(spark: SparkSession, sf_dir: str, res_process=None) -> DataFrame:
     """Streaming twin of ``rpc_first_response`` (operators/cdc.py): 'click'
     events are requests, 'purchase'/'signup' the unioned response subjects,
     user_id the correlation key (sharded — see module docstring), 10-minute
@@ -200,7 +214,7 @@ def stream_rpc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         flow.withWatermark("ts", DELAY)
         .groupBy("shard")
         .applyInPandasWithState(
-            _make_rpc_state_fn(),
+            _make_rpc_state_fn(res_process),
             outputStructType=_OUT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",

@@ -62,12 +62,23 @@ def stage_events(spark: SparkSession, sf_dir: str, order: str = "time") -> str:
         batch_of = F.col("event_id") % N_FILES
     else:
         batch_of = (F.col("event_id") * N_FILES / (max_id + 1)).cast("int")
+    # ONE pass: partitionBy writes every batch file in a single job (the
+    # partition column lives in the directory name, not the file), instead
+    # of N filtered re-scans of the fixture. repartition on the batch column
+    # puts each batch in exactly one task → exactly one file per batch dir.
+    tmpd = tempfile.mkdtemp()
+    (
+        ev.withColumn("__b", batch_of)
+        .repartition("__b")
+        .write.mode("overwrite")
+        .partitionBy("__b")
+        .parquet(tmpd)
+    )
     for i in range(N_FILES):
-        tmpd = tempfile.mkdtemp()
-        ev.filter(batch_of == i).coalesce(1).write.mode("overwrite").parquet(tmpd)
-        part = next(f for f in os.listdir(tmpd) if f.endswith(".parquet"))
+        bdir = os.path.join(tmpd, f"__b={i}")
+        part = next(f for f in os.listdir(bdir) if f.endswith(".parquet"))
         dst = os.path.join(stage, f"{i:04d}.parquet")
-        os.rename(os.path.join(tmpd, part), dst)
+        os.rename(os.path.join(bdir, part), dst)
         # FileStreamSource orders by modification time; pin it.
         os.utime(dst, (1_000_000 + i * 10, 1_000_000 + i * 10))
     _STAGED[key] = stage
@@ -88,7 +99,7 @@ def read_events_stream(
     )
 
 
-STREAM_SHUFFLE_PARTITIONS = "8"
+STREAM_SHUFFLE_PARTITIONS = "4"
 
 
 def run_to_memory(stream_df: DataFrame, mode: str = "append") -> DataFrame:
@@ -107,6 +118,10 @@ def run_to_memory(stream_df: DataFrame, mode: str = "append") -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    # Checkpoints are throwaway (one bounded run per query): retaining one
+    # batch of state/offset history skips the multi-version snapshot I/O the
+    # default (100) pays per commit.
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
     try:
         query = (
             stream_df.writeStream.format("memory")

@@ -63,6 +63,22 @@ def compare(spark, name: str, query_fn, oracle: str, sf_dir: str) -> list[str]:
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
 
+    # Driver-faithfulness gate: the external driver canonicalizes results
+    # with pandas sort/factorize, which REQUIRES hashable cells — a query
+    # that emits array/binary/struct cells passes value comparison here but
+    # crashes the driver (array_ops / nats_roundtrip, round 1). Catch the
+    # whole class locally.
+    if srows:
+        for i, cell in enumerate(srows[0]):
+            if isinstance(cell, (list, dict, set, bytearray)):
+                problems.append(
+                    f"{name}: column {scols[i]!r} emits unhashable "
+                    f"{type(cell).__name__} cells — the driver canonicalizer "
+                    "will crash; render as string/scalar instead"
+                )
+        if problems:
+            return problems
+
     con = duckdb_conn(sf_dir)
     res = con.execute(oracle)
     dcols = [d[0] for d in res.description]

@@ -145,3 +145,40 @@ def test_approx_distinct_within_tolerance(spark):
     for k in exact:
         for a, e in zip(approx[k], exact[k]):
             assert abs(a - e) / e < 0.1, f"{k}: approx {a} vs exact {e}"
+
+
+# -- resProcess winner-transform hook (lib/nats.js:218-222) --------------------
+def test_stream_rpc_res_process_transforms_winners_only(spark):
+    """The streaming RPC's res_process hook runs on decided winners (code
+    200) at resolution time and never on 408 timeouts — same contract as
+    the reference's options.resProcess, which only runs on a received
+    response."""
+    from node_cdc_nats_spark.streaming.rpc import stream_rpc_state
+
+    plain = {r.req_id: r for r in registry.QUERIES["stream_rpc_state"](spark, SF_DIR).collect()}
+
+    def mark(winners):  # pandas DataFrame of code-200 decisions
+        winners["code"] = 299
+        return winners
+
+    hooked = {
+        r.req_id: r
+        for r in stream_rpc_state(spark, SF_DIR, res_process=mark).collect()
+    }
+    assert hooked.keys() == plain.keys()
+    assert any(p.code == 200 for p in plain.values())  # fixture has winners
+    for rid, p in plain.items():
+        h = hooked[rid]
+        assert h.resp_id == p.resp_id
+        assert h.code == (299 if p.code == 200 else 408)
+
+
+def test_batch_rpc_res_process_missing_rows_null(spark):
+    # The processed batch variant: result = 2*value for winners, null on 408.
+    out = registry.QUERIES["rpc_first_response_processed"](spark, SF_DIR).collect()
+    assert any(r.code == 200 for r in out)
+    for r in out:
+        if r.code == 408:
+            assert r.result is None
+        else:
+            assert r.result is not None
