@@ -17,6 +17,47 @@ from ..registry import register
 
 
 @register(
+    "array_ops",
+    oracle="""
+    SELECT vec_id,
+           CAST(LEN(embedding) AS INT) AS dim,
+           embedding[1] AS e_first,
+           embedding[64] AS e_last,
+           LIST_MIN(embedding) AS e_min,
+           LIST_MAX(embedding) AS e_max,
+           CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS INT) AS n_pos,
+           ARRAY_TO_STRING(LIST_TRANSFORM(embedding[1:3],
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), ',') AS head3
+    FROM embeddings
+    """,
+)
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # head3 is emitted as a comma-joined string (not a raw array column):
+    # the driver's canonicalizer sorts result cells and crashes on
+    # unhashable list cells. Elements render as integer micros
+    # (floor(x*1e6)) — float64 multiply + floor are IEEE-identical on both
+    # engines, so the strings agree bit-for-bit with no format/rounding-mode
+    # dependence.
+    em = load_table(spark, sf_dir, "embeddings")
+    return em.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("e_first"),
+        F.element_at("embedding", 64).alias("e_last"),
+        F.array_min("embedding").alias("e_min"),
+        F.array_max("embedding").alias("e_max"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.array_join(
+            F.transform(
+                F.slice("embedding", 1, 3),
+                lambda x: F.floor(x.cast("double") * 1000000).cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("head3"),
+    )
+
+
+@register(
     "str_ops",
     oracle="""
     SELECT c_custkey,
@@ -108,47 +149,6 @@ def math_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
         F.greatest("l_tax", "l_discount").alias("max_rate"),
         F.least("l_tax", "l_discount").alias("min_rate"),
-    )
-
-
-@register(
-    "array_ops",
-    oracle="""
-    SELECT vec_id,
-           CAST(LEN(embedding) AS INT) AS dim,
-           embedding[1] AS e_first,
-           embedding[64] AS e_last,
-           LIST_MIN(embedding) AS e_min,
-           LIST_MAX(embedding) AS e_max,
-           CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS INT) AS n_pos,
-           ARRAY_TO_STRING(LIST_TRANSFORM(embedding[1:3],
-               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), ',') AS head3
-    FROM embeddings
-    """,
-)
-def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # head3 is emitted as a comma-joined string (not a raw array column):
-    # the driver's canonicalizer sorts result cells and crashes on
-    # unhashable list cells. Elements render as integer micros
-    # (floor(x*1e6)) — float64 multiply + floor are IEEE-identical on both
-    # engines, so the strings agree bit-for-bit with no format/rounding-mode
-    # dependence.
-    em = load_table(spark, sf_dir, "embeddings")
-    return em.select(
-        "vec_id",
-        F.size("embedding").alias("dim"),
-        F.element_at("embedding", 1).alias("e_first"),
-        F.element_at("embedding", 64).alias("e_last"),
-        F.array_min("embedding").alias("e_min"),
-        F.array_max("embedding").alias("e_max"),
-        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
-        F.array_join(
-            F.transform(
-                F.slice("embedding", 1, 3),
-                lambda x: F.floor(x.cast("double") * 1000000).cast("bigint").cast("string"),
-            ),
-            ",",
-        ).alias("head3"),
     )
 
 

@@ -52,7 +52,11 @@ from .source import read_events_stream, run_to_memory
 
 TIMEOUT_MIN = 10
 DELAY = "30 minutes"
-N_SHARDS = 32
+# Sharded state keying (see module docstring). 8 shards ≈ 2 Arrow groups
+# per state partition at the fixture's 4 stream shuffle partitions — the
+# per-(group, batch) fixed costs dominate below that; on a real cluster
+# size this to ~2× the state-store partition count.
+N_SHARDS = 8
 
 _LA = ArrayType(LongType())
 _STATE_SCHEMA = StructType(
