@@ -43,6 +43,9 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_simhash",
     "text_stats",
+    "topk_ngrams",
+    "decontaminate_ngram",
+    "corpus_vocab_stats",
     "token_count",
     "sim_topk",
     "ann_lsh_topk",

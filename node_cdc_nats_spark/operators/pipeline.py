@@ -1,0 +1,440 @@
+"""Training-data-pipeline operators (round 2 widening of the north-star
+surface): deterministic corpus splits/sampling, Gopher-style quality
+gates, corpus n-gram statistics, benchmark decontamination, repetition
+scoring, PII redaction, and embedding normalization/quantization.
+
+The reference (rigoiot/node-cdc-nats) is transport-only — none of this
+exists there (`lib/nats.js:1-256` has no data operators at all); these
+ops extend the engine the same way `operators/text.py` / `dedup.py` do,
+per the project north star (BASELINE.json: LLM-data-pipeline operators).
+
+Scale notes (100 TB design point):
+- Splits / sampling / quality gates / repetition / redaction are pure
+  map-side projections or filters over built-in expressions — no
+  shuffle, whole-stage codegen, trivially parallel at any scale.
+- `topk_ngrams` / `corpus_vocab_stats` are explode → partial+final hash
+  aggregation (Catalyst map-side combines before the one shuffle on the
+  gram/token key) + `TakeOrderedAndProject` for the top-k.
+- `decontaminate_ngram` broadcasts the (small, fixed) benchmark gram
+  set; the train side never shuffles — contamination marking is a
+  broadcast left-semi-style join + aggregation keyed by doc_id only.
+
+Determinism: split/sample bucketing hashes the md5 hex of the key —
+identical text on both engines; ratio columns use single-division IEEE
+expressions with the same shape in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..io import load_table
+from ..registry import register
+
+_HEX = "0123456789abcdef"
+
+# md5-hex nibble buckets, expressible identically in Spark SQL and
+# DuckDB: position of hex digit k of md5(key-as-string) in the hex
+# alphabet. b16 in [0,16); b256 in [0,256).
+_B16_SPARK = (
+    "instr('{hex}', substr(md5(cast({key} as binary)), 1, 1)) - 1"
+)
+_B256_SPARK = (
+    "(instr('{hex}', substr(md5(cast({key} as binary)), 1, 1)) - 1) * 16 + "
+    "instr('{hex}', substr(md5(cast({key} as binary)), 2, 1)) - 1"
+)
+_B16_DUCK = "STRPOS('{hex}', SUBSTR(MD5(CAST({key} AS VARCHAR)), 1, 1)) - 1"
+_B256_DUCK = (
+    "(STRPOS('{hex}', SUBSTR(MD5(CAST({key} AS VARCHAR)), 1, 1)) - 1) * 16 + "
+    "STRPOS('{hex}', SUBSTR(MD5(CAST({key} AS VARCHAR)), 2, 1)) - 1"
+)
+
+
+def _b16_spark(key: str) -> F.Column:
+    return F.expr(_B16_SPARK.format(hex=_HEX, key=f"cast({key} as string)")).cast("int")
+
+
+def _b256_spark(key: str) -> F.Column:
+    return F.expr(_B256_SPARK.format(hex=_HEX, key=f"cast({key} as string)")).cast("int")
+
+
+# Normalized whitespace tokens (same chain as text_normalize).
+_NORM_SPARK = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' '))"
+)
+_NORM_DUCK = (
+    "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+)
+
+
+@register(
+    "train_val_split",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST({_B16_DUCK.format(hex=_HEX, key='doc_id')} AS INT) AS bucket,
+           CASE WHEN {_B16_DUCK.format(hex=_HEX, key='doc_id')} < 13 THEN 'train'
+                WHEN {_B16_DUCK.format(hex=_HEX, key='doc_id')} < 15 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 13/2/1 train/val/test assignment by md5-nibble bucket
+    of the document key. Content-addressed (not random): re-runs, backfills
+    and multi-cluster jobs agree on the split with zero coordination — the
+    property a 100 TB corpus split actually needs. Pure map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    b = _b16_spark("doc_id")
+    split = (
+        F.when(b < 13, "train").when(b < 15, "val").otherwise("test")
+    )
+    return d.select("doc_id", "lang", b.alias("bucket"), split.alias("split"))
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang, source,
+             CAST({_B256_DUCK.format(hex=_HEX, key='doc_id')} AS INT) AS bucket
+      FROM documents)
+    SELECT doc_id, lang, source, bucket
+    FROM b
+    WHERE bucket < CASE lang WHEN 'en' THEN 64 WHEN 'zh' THEN 128 ELSE 256 END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-language keep rates (en 25%,
+    zh 50%, rest 100%) — the language-rebalancing pass of a pre-training
+    mix. Hash-bucketed (deterministic, coordination-free), map-side
+    filter; at scale this is a scan+filter with zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    b = _b256_spark("doc_id")
+    rate = (
+        F.when(F.col("lang") == "en", 64)
+        .when(F.col("lang") == "zh", 128)
+        .otherwise(256)
+    )
+    return (
+        d.select("doc_id", "lang", "source", b.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+    )
+
+
+_STOP_EN = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+
+@register(
+    "quality_filter_gopher",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             STRING_SPLIT({_NORM_DUCK}, ' ') AS toks,
+             LENGTH(REPLACE({_NORM_DUCK}, ' ', '')) AS alpha_chars
+      FROM documents)
+    SELECT doc_id, lang,
+           LEN(toks) BETWEEN 20 AND 1000 AS len_ok,
+           CAST(alpha_chars AS DOUBLE) / LEN(toks) BETWEEN 2.0 AND 12.0 AS word_len_ok,
+           CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks) >= 0.2 AS diversity_ok,
+           LEN(LIST_FILTER(toks, x -> x IN ({", ".join(f"''{w}''".replace("''", chr(39)) for w in _STOP_EN)}))) >= 1 AS stopword_ok,
+           (LEN(toks) BETWEEN 20 AND 1000)
+             AND (CAST(alpha_chars AS DOUBLE) / LEN(toks) BETWEEN 2.0 AND 12.0)
+             AND (CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks) >= 0.2)
+             AND (LEN(LIST_FILTER(toks, x -> x IN ({", ".join(f"''{w}''".replace("''", chr(39)) for w in _STOP_EN)}))) >= 1) AS passes
+    FROM t
+    """,
+)
+def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (length bounds, mean word
+    length bounds, lexical diversity, stopword presence). All built-in
+    HOF projections — map-side, codegen'd, no shuffle at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.expr(_NORM_SPARK)
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    awl = F.length(F.replace(norm, F.lit(" "), F.lit(""))).cast("double") / n
+    div = F.size(F.array_distinct(toks)).cast("double") / n
+    stop = F.size(F.filter(toks, lambda t: t.isin(*_STOP_EN)))
+    len_ok = (n >= 20) & (n <= 1000)
+    wl_ok = (awl >= 2.0) & (awl <= 12.0)
+    div_ok = div >= 0.2
+    stop_ok = stop >= 1
+    return d.select(
+        "doc_id",
+        "lang",
+        len_ok.alias("len_ok"),
+        wl_ok.alias("word_len_ok"),
+        div_ok.alias("diversity_ok"),
+        stop_ok.alias("stopword_ok"),
+        (len_ok & wl_ok & div_ok & stop_ok).alias("passes"),
+    )
+
+
+# Bigram list over normalized tokens. Spark sequence(1, n-1) is DESCENDING
+# when n-1 < 1, so gate on n >= 2; DuckDB RANGE(1, n) is empty for n <= 1.
+_BIGRAMS_SPARK = (
+    "case when size({toks}) >= 2 then "
+    "transform(sequence(1, size({toks}) - 1), i -> concat_ws(' ', slice({toks}, i, 2))) "
+    "else array() end"
+)
+_BIGRAMS_DUCK = (
+    "LIST_TRANSFORM(RANGE(1, GREATEST(LEN({toks}), 1)), i -> ARRAY_TO_STRING({toks}[i:i+1], ' '))"
+)
+_TRIGRAMS_SPARK = (
+    "case when size({toks}) >= 3 then "
+    "transform(sequence(1, size({toks}) - 2), i -> concat_ws(' ', slice({toks}, i, 3))) "
+    "else array() end"
+)
+_TRIGRAMS_DUCK = (
+    "LIST_TRANSFORM(RANGE(1, GREATEST(LEN({toks}) - 1, 1)), i -> ARRAY_TO_STRING({toks}[i:i+2], ' '))"
+)
+
+
+@register(
+    "topk_ngrams",
+    oracle=f"""
+    WITH toks AS (SELECT STRING_SPLIT({_NORM_DUCK}, ' ') AS t FROM documents),
+    g AS (SELECT UNNEST({_BIGRAMS_DUCK.format(toks='t')}) AS gram FROM toks)
+    SELECT gram, COUNT(*) AS cnt
+    FROM g GROUP BY gram
+    ORDER BY cnt DESC, gram
+    LIMIT 20
+    """,
+)
+def topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-k bigrams: explode → hash agg → top-k. Catalyst
+    runs the count as partial (map-side combine) + final on the single
+    gram-key shuffle; the top-k is `TakeOrderedAndProject` (no global
+    sort). Tie-broken (cnt DESC, gram ASC) so the result set is
+    deterministic on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.expr(_NORM_SPARK), " ")
+    grams = F.expr(_BIGRAMS_SPARK.format(toks="split(" + _NORM_SPARK + ", ' ')"))
+    return (
+        d.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("gram"))
+        .limit(20)
+    )
+
+
+@register(
+    "decontaminate_ngram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT({_NORM_DUCK}, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id, UNNEST({_TRIGRAMS_DUCK.format(toks='t')}) AS gram FROM toks),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+    train AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 50 <> 0),
+    hits AS (
+      SELECT train.doc_id, COUNT(*) AS shared_ngrams
+      FROM train JOIN bench USING (gram)
+      GROUP BY train.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(h.shared_ngrams, 0) AS BIGINT) AS shared_ngrams,
+           COALESCE(h.shared_ngrams, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 50 <> 0
+    """,
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    token n-gram with a held-out benchmark set (here every 50th doc;
+    n=3 for fixture-scale discrimination — production pipelines use
+    n=10..13 with the identical plan shape).
+
+    Scale: the benchmark gram set is small and broadcast; the train side
+    explodes grams map-side, the broadcast inner join marks hits without
+    shuffling the corpus, and the only shuffle is the per-doc count
+    keyed by doc_id. No corpus-vs-corpus shuffle join anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    grams_expr = _TRIGRAMS_SPARK.format(toks="split(" + _NORM_SPARK + ", ' ')")
+    g = d.select("doc_id", F.explode_outer(F.expr(grams_expr)).alias("gram"))
+    bench = g.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
+    train = g.filter(F.col("doc_id") % 50 != 0).select("doc_id", "gram").distinct()
+    hits = (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+    base = d.filter(F.col("doc_id") % 50 != 0).select("doc_id")
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("shared_ngrams"), F.lit(0)).cast("long").alias("shared_ngrams"),
+        (F.coalesce(F.col("shared_ngrams"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+@register(
+    "repetition_ratio",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             STRING_SPLIT({_NORM_DUCK}, ' ') AS toks,
+             {_TRIGRAMS_DUCK.format(toks=f"STRING_SPLIT({_NORM_DUCK}, ' ')")} AS tri
+      FROM documents)
+    SELECT doc_id,
+           1.0 - CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks) AS dup_token_ratio,
+           CASE WHEN LEN(tri) = 0 THEN 0.0
+                ELSE 1.0 - CAST(LEN(LIST_DISTINCT(tri)) AS DOUBLE) / LEN(tri) END AS dup_trigram_ratio
+    FROM t
+    """,
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition scores (duplicate-token and
+    duplicate-trigram fractions) — the repetition filters applied to
+    pre-training corpora. Pure HOF projection, map-side at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.expr(_NORM_SPARK), " ")
+    tri = F.expr(_TRIGRAMS_SPARK.format(toks="split(" + _NORM_SPARK + ", ' ')"))
+    dup_tok = 1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    dup_tri = F.when(F.size(tri) == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(tri)).cast("double") / F.size(tri)
+    )
+    return d.select(
+        "doc_id",
+        dup_tok.alias("dup_token_ratio"),
+        dup_tri.alias("dup_trigram_ratio"),
+    )
+
+
+_PHONE_RE = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_LONGNUM_RE = "[0-9]{5,}"
+
+
+# Deterministic phone-shaped string derived from the customer key (the
+# fixture customer table carries no phone column) — same arithmetic on
+# both engines, so redaction is exercised non-vacuously.
+_PHONE_DUCK = (
+    "CONCAT(CAST(10 + c_nationkey % 90 AS VARCHAR), '-', "
+    "LPAD(CAST(c_custkey % 1000 AS VARCHAR), 3, '0'), '-', "
+    "LPAD(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0'), '-', "
+    "LPAD(CAST((c_custkey * 31) % 10000 AS VARCHAR), 4, '0'))"
+)
+_PHONE_SPARK = (
+    "concat(cast(10 + c_nationkey % 90 as string), '-', "
+    "lpad(cast(c_custkey % 1000 as string), 3, '0'), '-', "
+    "lpad(cast((c_custkey * 7) % 1000 as string), 3, '0'), '-', "
+    "lpad(cast((c_custkey * 31) % 10000 as string), 4, '0'))"
+)
+
+
+@register(
+    "pii_redact",
+    oracle=f"""
+    WITH t AS (
+      SELECT c_custkey,
+             CONCAT(c_name, ' ph ', {_PHONE_DUCK}, ' ', c_mktsegment) AS blob
+      FROM customer)
+    SELECT c_custkey,
+           REGEXP_REPLACE(REGEXP_REPLACE(blob, '{_PHONE_RE}', '<PHONE>', 'g'),
+                          '{_LONGNUM_RE}', '<NUM>', 'g') AS redacted,
+           CAST(LEN(REGEXP_EXTRACT_ALL(blob, '{_PHONE_RE}')) AS INT) AS n_phones,
+           CAST(LEN(REGEXP_EXTRACT_ALL(REGEXP_REPLACE(blob, '{_PHONE_RE}', '<PHONE>', 'g'),
+                                       '{_LONGNUM_RE}')) AS INT) AS n_longnums
+    FROM t
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: phone numbers and long digit runs replaced by
+    typed placeholders, with per-row redaction counts (c_name carries a
+    9-digit run; the phone field is synthesized deterministically from
+    the key since the fixture has no phone column). Patterns evaluate
+    identically under Java regex and RE2. Map-side regexp chain —
+    codegen'd, no shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    blob = F.concat(
+        F.col("c_name"), F.lit(" ph "), F.expr(_PHONE_SPARK), F.lit(" "), F.col("c_mktsegment")
+    )
+    dephoned = F.regexp_replace(blob, _PHONE_RE, "<PHONE>")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace(dephoned, _LONGNUM_RE, "<NUM>").alias("redacted"),
+        F.regexp_count(blob, F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+        F.regexp_count(dephoned, F.lit(_LONGNUM_RE)).cast("int").alias("n_longnums"),
+    )
+
+
+@register(
+    "corpus_vocab_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT UNNEST(STRING_SPLIT({_NORM_DUCK}, ' ')) AS token FROM documents),
+    counts AS (
+      SELECT token, COUNT(*) AS cnt FROM tok WHERE token <> '' GROUP BY token)
+    SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+           CAST(MAX(cnt) AS BIGINT) AS max_token_freq
+    FROM counts
+    """,
+)
+def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics (total/distinct/hapax/max-frequency)
+    — the vocabulary-coverage report a tokenizer-training pass needs.
+    Two-stage aggregation: per-token hash agg (map-side partial combine
+    before the token-key shuffle), then a single-row final agg."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.expr(_NORM_SPARK), " ")
+    counts = (
+        d.select(F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts.agg(
+        F.sum("cnt").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).cast("long").alias("hapax_count"),
+        F.max("cnt").cast("long").alias("max_token_freq"),
+    )
+
+
+@register(
+    "embed_norm_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, label, embedding,
+             SQRT(LIST_REDUCE(
+               LIST_PREPEND(CAST(0 AS DOUBLE),
+                 LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+               (a, b) -> a + b)) AS nrm
+      FROM embeddings)
+    SELECT vec_id, label,
+           CASE WHEN nrm = 0 THEN 'ZERO'
+                ELSE ARRAY_TO_STRING(
+                  LIST_TRANSFORM(embedding,
+                    x -> CAST(FLOOR(CAST(x AS DOUBLE) / nrm * 127.0) AS INT)), ',')
+           END AS q8,
+           CAST(FLOOR(nrm * 1000000.0) AS BIGINT) AS norm_micros
+    FROM s
+    """,
+)
+def embed_norm_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize embeddings and int8-quantize (floor(x/||x|| * 127))
+    — the storage-compression pass before ANN indexing. Left-fold
+    sum-of-squares (bit-exact against DuckDB LIST_REDUCE), quantized
+    vector rendered as a joined string so the driver canonicalizer only
+    sees hashable cells. Map-side HOFs, no shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sumsq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    withn = e.select("vec_id", "label", "embedding", F.sqrt(sumsq).alias("nrm"))
+    q8 = F.array_join(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") / F.col("nrm") * 127.0).cast("int"),
+        ),
+        ",",
+    )
+    return withn.select(
+        "vec_id",
+        "label",
+        F.when(F.col("nrm") == 0, "ZERO").otherwise(q8).alias("q8"),
+        F.floor(F.col("nrm") * 1000000.0).alias("norm_micros"),
+    )

@@ -826,3 +826,38 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_totalprice")
         .agg(F.count(F.lit(1)).alias("n_lines"))
     )
+
+
+@register(
+    "agg_quantiles",
+    oracle="""
+    SELECT event_type,
+           QUANTILE_DISC(value, 0.25) AS p25,
+           QUANTILE_DISC(value, 0.5) AS p50,
+           QUANTILE_DISC(value, 0.9) AS p90,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles per group via percentile_disc — returns an
+    actual data value (no interpolation arithmetic), so results are
+    bit-identical across engines regardless of float rounding. At scale,
+    exact percentiles need a full sort per group; percentile_disc
+    aggregates within the one groupBy shuffle (no global sort). For the
+    approximate/streaming path see agg_approx_distinct's HLL analog:
+    approx_percentile with the same plan shape."""
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("__agg_quantiles_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS p25,
+               percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS p50,
+               percentile_disc(0.9)  WITHIN GROUP (ORDER BY value) AS p90,
+               COUNT(*) AS n
+        FROM __agg_quantiles_events
+        GROUP BY event_type
+        """
+    )

@@ -154,3 +154,29 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("c_nationkey", "c_custkey", "c_acctbal")
     )
+
+
+@register(
+    "win_ntile",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+           NTILE(10) OVER (PARTITION BY c_nationkey
+                           ORDER BY c_acctbal, c_custkey) AS decile_in_nation
+    FROM customer
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth bucketing (quartiles global, deciles per nation) with a
+    unique-key tie-break so bucket assignment is deterministic on both
+    engines. The global NTILE is single-partition by construction
+    (documented trade-off, same as win_percent); the per-nation variant
+    is the scale path."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(W.orderBy("c_acctbal", "c_custkey")).alias("quartile"),
+        F.ntile(10)
+        .over(W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey"))
+        .alias("decile_in_nation"),
+    )

@@ -61,6 +61,7 @@ def load_all() -> None:
     from . import streaming  # noqa: F401
     from .operators import (  # noqa: F401
         functions_pack,
+        pipeline,
         relational,
         window,
     )

@@ -112,3 +112,27 @@ def test_bucketed_join_has_no_shuffle(spark):
     plan = _plan(spark, "join_bucketed")
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_split_and_sample_are_map_side(spark):
+    # Deterministic split/sampling must stay scan+project/filter only —
+    # at 100 TB any Exchange here would shuffle the whole corpus for
+    # what is a per-row hash decision.
+    for name in ("train_val_split", "sample_stratified"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+
+
+def test_topk_ngrams_partial_agg_and_topk(spark):
+    # explode -> partial+final hash agg around one gram-key exchange,
+    # and TakeOrderedAndProject (never a global Sort) for the top-k.
+    plan = _plan(spark, "topk_ngrams")
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    # The benchmark gram set is the small side; the training corpus must
+    # never shuffle for the containment join.
+    plan = _plan(spark, "decontaminate_ngram")
+    assert "BroadcastHashJoin" in plan
