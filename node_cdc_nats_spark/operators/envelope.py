@@ -84,7 +84,12 @@ def cdc_encode_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def nats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_nats_source(spark)
     spool = tempfile.mkdtemp(prefix="nats_spool_")
-    env_stream = _envelope_cols(read_events_stream(spark, sf_dir))
+    # Publish in ONE micro-batch (no maxFilesPerTrigger): the roundtrip op
+    # proves transport+codec losslessness, not incremental batching — the
+    # reader's multi-segment offset path is covered separately by the
+    # durable-offset resume test (tests/test_nats_connector.py). 5 batches
+    # of Python-datasource writer startup cost ~7s of pure overhead here.
+    env_stream = _envelope_cols(read_events_stream(spark, sf_dir, single_batch=True))
     ckpt = tempfile.mkdtemp(prefix="ckpt_pub_")
     pub = (
         env_stream.writeStream.format("nats_cdc")

@@ -206,12 +206,16 @@ def topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs the count as partial (map-side combine) + final on the single
     gram-key shuffle; the top-k is `TakeOrderedAndProject` (no global
     sort). Tie-broken (cnt DESC, gram ASC) so the result set is
-    deterministic on both engines."""
+    deterministic on both engines.
+
+    The token array is materialized as a column BEFORE the gram lambda:
+    HOF lambdas are interpreted (not codegen'd), so inlining the full
+    normalize+split chain into the lambda re-evaluates it per element —
+    O(tokens²) per document (measured 10.5s → ~1s at sf0.1)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.expr(_NORM_SPARK), " ")
-    grams = F.expr(_BIGRAMS_SPARK.format(toks="split(" + _NORM_SPARK + ", ' ')"))
+    toked = d.select(F.split(F.expr(_NORM_SPARK), " ").alias("toks"))
     return (
-        d.select(F.explode(grams).alias("gram"))
+        toked.select(F.explode(F.expr(_BIGRAMS_SPARK.format(toks="toks"))).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("gram"))
@@ -250,8 +254,10 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffling the corpus, and the only shuffle is the per-doc count
     keyed by doc_id. No corpus-vs-corpus shuffle join anywhere."""
     d = load_table(spark, sf_dir, "documents")
-    grams_expr = _TRIGRAMS_SPARK.format(toks="split(" + _NORM_SPARK + ", ' ')")
-    g = d.select("doc_id", F.explode_outer(F.expr(grams_expr)).alias("gram"))
+    toked = d.select("doc_id", F.split(F.expr(_NORM_SPARK), " ").alias("toks"))
+    g = toked.select(
+        "doc_id", F.explode_outer(F.expr(_TRIGRAMS_SPARK.format(toks="toks"))).alias("gram")
+    )
     bench = g.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
     train = g.filter(F.col("doc_id") % 50 != 0).select("doc_id", "gram").distinct()
     hits = (
@@ -287,13 +293,15 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-trigram fractions) — the repetition filters applied to
     pre-training corpora. Pure HOF projection, map-side at any scale."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.expr(_NORM_SPARK), " ")
-    tri = F.expr(_TRIGRAMS_SPARK.format(toks="split(" + _NORM_SPARK + ", ' ')"))
+    staged = d.select(
+        "doc_id", F.split(F.expr(_NORM_SPARK), " ").alias("toks")
+    ).select("doc_id", "toks", F.expr(_TRIGRAMS_SPARK.format(toks="toks")).alias("tri"))
+    toks, tri = F.col("toks"), F.col("tri")
     dup_tok = 1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
     dup_tri = F.when(F.size(tri) == 0, F.lit(0.0)).otherwise(
         1.0 - F.size(F.array_distinct(tri)).cast("double") / F.size(tri)
     )
-    return d.select(
+    return staged.select(
         "doc_id",
         dup_tok.alias("dup_token_ratio"),
         dup_tri.alias("dup_trigram_ratio"),

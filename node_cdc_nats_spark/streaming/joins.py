@@ -1,0 +1,93 @@
+"""Stream-stream correlation join — the join-based twin of the RPC
+operator (SURVEY.md §2.1 S7: `lib/nats.js:196-256` maps to a stream-stream
+join on correlation key with a time-range residual; `streaming/rpc.py`
+implements the stateful-timer variant, this module the join variant).
+
+Semantics chosen to be oracle-exact: with time-ordered micro-batches, a
+30-minute watermark, and a 2-hour join horizon, no boundary-crossing match
+is ever (a) dropped late — batch k+1's rows all sit above the watermark
+computed from batch k — or (b) state-evicted early — a click is evicted
+only once the watermark passes click_ts + horizon, by which time every
+matching purchase has already arrived. The streaming inner join therefore
+equals the plain relational join, and the DuckDB oracle is that join.
+
+Scale: both streams shuffle once on the correlation key (user_id); join
+state per key is bounded by the horizon (watermark eviction drops a row
+the moment it can no longer match), so state size tracks horizon × rate,
+not stream length — the property that keeps this runnable forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from .source import read_events_stream, run_to_memory
+
+_DELAY = "30 minutes"
+_HORIZON_SQL = "INTERVAL 2 HOUR"
+
+
+def _ntz(col: str):
+    return F.col(col).cast("timestamp_ntz").alias(col)
+
+
+@register(
+    "stream_stream_join",
+    oracle=f"""
+    SELECT r.event_id AS click_id,
+           s.event_id AS purchase_id,
+           r.user_id,
+           CAST(r.ts AS TIMESTAMP) AS click_ts,
+           CAST(s.ts AS TIMESTAMP) AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') r
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') s
+      ON r.user_id = s.user_id
+     AND s.ts > r.ts
+     AND s.ts <= r.ts + {_HORIZON_SQL}
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlate each click with the purchases the same user makes within
+    the next 2 hours — requests joined to responses on (key, time-range),
+    the reference's RPC correlation expressed as Structured Streaming's
+    stream-stream inner join with watermark-bounded state."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", _DELAY)
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", _DELAY)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("r_user") == F.col("s_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("r_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+    )
+    return run_to_memory(joined, "append").select(
+        F.col("click_id"),
+        F.col("purchase_id"),
+        F.col("user_id"),
+        _ntz("click_ts"),
+        _ntz("purchase_ts"),
+    )

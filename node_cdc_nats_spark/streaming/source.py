@@ -86,17 +86,18 @@ def stage_events(spark: SparkSession, sf_dir: str, order: str = "time") -> str:
 
 
 def read_events_stream(
-    spark: SparkSession, sf_dir: str, order: str = "time"
+    spark: SparkSession, sf_dir: str, order: str = "time", single_batch: bool = False
 ) -> DataFrame:
     """The events fixture as a streaming DataFrame, one staged file per
-    micro-batch."""
+    micro-batch (``single_batch=True`` ingests all files in one trigger —
+    for ops that need a streaming source but not batch-by-batch
+    semantics)."""
     stage = stage_events(spark, sf_dir, order)
     schema = spark.read.parquet(stage).schema
-    return (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stage)
-    )
+    reader = spark.readStream.schema(schema)
+    if not single_batch:
+        reader = reader.option("maxFilesPerTrigger", "1")
+    return reader.parquet(stage)
 
 
 STREAM_SHUFFLE_PARTITIONS = "4"
