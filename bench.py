@@ -27,6 +27,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q10_returned_items",
     "join_inner",
     "join_left",
     "join_range",

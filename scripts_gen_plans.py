@@ -39,6 +39,22 @@ SHOWCASE = [
         "dedup_minhash",
         "Arrow signature projection (no shuffle) → bucket groupBy → in-bucket pair generation → hashed-set verify.",
     ),
+    (
+        "q10_returned_items",
+        "Returnflag filter pushed into the lineitem scan; nation broadcast; no forced broadcast on SF-scaling sides; TakeOrderedAndProject top-20.",
+    ),
+    (
+        "topk_ngrams",
+        "Materialized token array → explode → partial+final hash agg on the gram key → TakeOrderedAndProject (no global sort).",
+    ),
+    (
+        "decontaminate_ngram",
+        "Benchmark gram set broadcast into the exploded train side; the corpus shuffles only on doc_id for the per-doc count.",
+    ),
+    (
+        "sample_stratified",
+        "Content-addressed md5-nibble bucket filter: scan+project+filter only, zero exchanges.",
+    ),
 ]
 
 
