@@ -284,3 +284,41 @@ def rpc_first_response_processed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return winners.withColumn("result", F.col("resp_value") * 2.0)
 
     return rpc_first_response(spark, sf_dir, res_process=double_payload)
+
+
+@register(
+    "cdc_scd2",
+    oracle="""
+    SELECT user_id, event_id, value,
+           CAST(ts AS TIMESTAMP) AS valid_from,
+           CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS TIMESTAMP) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM events
+    WHERE event_type = 'signup' OR event_type = 'purchase'
+    """,
+)
+def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension from the change stream: each change
+    row becomes a versioned interval [valid_from, valid_to), open-ended for
+    the current version — the standard CDC materialization for historical
+    joins (the reference's transport layer feeds exactly this pattern;
+    cf. cdc_upsert_latest for the type-1 twin, `operators/cdc.py`).
+
+    Plan: one window over the per-key shuffle — same single-shuffle shape
+    as cdc_upsert_latest; at 100 TB the partition key (user) distributes
+    evenly and no global sort exists."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

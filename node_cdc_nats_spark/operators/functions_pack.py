@@ -194,3 +194,42 @@ def json_schema_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum(F.col("p.k").cast("long")).alias("sum_k"), F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "map_ops",
+    oracle="""
+    SELECT event_id,
+           'k,m' AS key_csv,
+           CONCAT(CAST(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS VARCHAR), ',',
+                  CAST(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) % 10 AS VARCHAR)) AS val_csv,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k_lookup,
+           2 AS map_size,
+           'k,m,z' AS merged_keys
+    FROM events
+    """,
+)
+def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column functions (SURVEY §2.2 array/map row): build a map
+    from scalars, then map_keys / map_values / element lookup / size /
+    map_concat — all rendered to hashable scalar columns (raw map cells,
+    like arrays, crash the driver canonicalizer). The oracle mirrors the
+    rendered values: DuckDB needs no map type to verify the semantics.
+    Map construction + extraction stay map-side (no shuffle)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    m = F.create_map(
+        F.lit("k"), k,
+        F.lit("m"), k % 10,
+    )
+    merged = F.map_concat(m, F.create_map(F.lit("z"), F.lit(0)))
+    return e.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("key_csv"),
+        F.array_join(F.transform(F.map_values(m), lambda v: v.cast("string")), ",").alias(
+            "val_csv"
+        ),
+        F.element_at(m, F.lit("k")).alias("k_lookup"),
+        F.size(m).alias("map_size"),
+        F.array_join(F.map_keys(merged), ",").alias("merged_keys"),
+    )

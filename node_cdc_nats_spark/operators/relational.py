@@ -908,3 +908,18 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
     )
+
+
+@register("agg_approx_quantiles")
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch) per event_type —
+    the streaming/huge-cardinality path next to agg_quantiles' exact
+    percentile_disc. Sketches are engine-specific, so this is a rows-only
+    driver entry; tests/test_semantics.py gates the sketch against the
+    exact quantiles within the configured relative error (same pattern as
+    agg_approx_distinct)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(1000)).alias("p50_approx"),
+        F.percentile_approx("value", F.lit(0.9), F.lit(1000)).alias("p90_approx"),
+    )

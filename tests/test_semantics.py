@@ -14,7 +14,7 @@ from pyspark.sql import Window as W, functions as F
 from node_cdc_nats_spark import registry
 from node_cdc_nats_spark.functions.mqtt import channel_matches, matches, mqtt_to_regex
 
-from .conftest import SF_DIR
+from .conftest import SF_DIR, SF_DIR_ORACLE
 
 registry.load_all()
 
@@ -182,3 +182,25 @@ def test_batch_rpc_res_process_missing_rows_null(spark):
             assert r.result is None
         else:
             assert r.result is not None
+
+
+# -- approx quantiles: accuracy gate beyond the rows-only driver check ---------
+def test_approx_quantiles_within_tolerance(spark):
+    from node_cdc_nats_spark import registry
+
+    registry.load_all()
+    approx = {
+        r["event_type"]: (r["p50_approx"], r["p90_approx"])
+        for r in registry.QUERIES["agg_approx_quantiles"](spark, SF_DIR_ORACLE).collect()
+    }
+    exact = {
+        r["event_type"]: (r["p50"], r["p90"])
+        for r in registry.QUERIES["agg_quantiles"](spark, SF_DIR_ORACLE).collect()
+    }
+    assert set(approx) == set(exact)
+    for et, (a50, a90) in approx.items():
+        e50, e90 = exact[et]
+        # accuracy=1000 => <=0.1% rank error; values are U(0,100)-ish, so a
+        # generous 5% value tolerance is far beyond the sketch's bound.
+        assert abs(a50 - e50) <= max(2.0, 0.05 * abs(e50))
+        assert abs(a90 - e90) <= max(2.0, 0.05 * abs(e90))
