@@ -19,7 +19,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from ..io import load_table
 from ..registry import register
@@ -469,3 +469,98 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= HAMMING_MAX)
         .distinct()
     )
+
+
+# -- Duplicate clusters (connected components over the near-dup graph) ---------
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM (
+        WITH sh_docs AS ({_SQL_HASHED_SHINGLED_DOCS}),
+        bands AS ({_sql_minhash_band_union()}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id),
+        verified AS (
+          SELECT doc_a, doc_b,
+                 CAST(LEN(LIST_INTERSECT(sa.hl, sb.hl)) AS DOUBLE)
+                   / (LEN(sa.hl) + LEN(sb.hl) - LEN(LIST_INTERSECT(sa.hl, sb.hl))) AS jaccard
+          FROM cand
+          JOIN sh_docs sa ON sa.doc_id = doc_a
+          JOIN sh_docs sb ON sb.doc_id = doc_b)
+        SELECT doc_a, doc_b FROM verified WHERE jaccard >= {JACCARD_THRESHOLD})
+    ),
+    edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(s, t) AS (
+      SELECT s, t FROM edges
+      UNION
+      SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+    comp AS (SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id
+             FROM reach GROUP BY s)
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY COALESCE(c.cluster_id, d.doc_id)) AS BIGINT)
+             AS cluster_size,
+           d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from the MinHash near-dup pair graph: connected
+    components by iterative min-label propagation, then canonical-doc
+    election (keep the smallest doc_id per component) — the step an actual
+    dedup pipeline runs after pair generation, since near-dup is not
+    transitive but removal decisions must be.
+
+    Distributed pattern: the classic large-graph CC loop — each iteration
+    is one join + one min-aggregation, both shuffling on the node key only
+    (never materializing the transitive closure), converging in
+    O(component diameter) rounds; near-dup components are shallow (text
+    clusters, not chains), so rounds stay single-digit at any corpus
+    size. The driver-side loop holds one integer (the converged flag) per
+    round — same bounded-iteration shape as ann_ivf_topk's k-means. The
+    DuckDB oracle computes the same fixpoint via recursive transitive
+    closure (affordable at oracle scale only)."""
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").persist()
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
+        .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t")))
+        .persist()
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.select("doc_id", F.col("doc_id").alias("lbl")).persist()
+    labels.count()
+    for _ in range(20):
+        nbr = (
+            edges.join(labels, edges.s == labels.doc_id)
+            .groupBy(F.col("t").alias("doc_id"))
+            .agg(F.min("lbl").alias("nbr_min"))
+        )
+        nxt = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lbl"), F.coalesce("nbr_min", F.col("lbl"))).alias("lbl"),
+                (F.coalesce("nbr_min", F.col("lbl")) < F.col("lbl")).alias("chg"),
+            )
+            .persist()
+        )
+        changed = nxt.filter("chg").count()
+        labels.unpersist()
+        labels = nxt.select("doc_id", "lbl").persist()
+        if changed == 0:
+            break
+    w = W.partitionBy("lbl")
+    out = labels.select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("lbl")).alias("is_canonical"),
+    )
+    # Materialize before unpersisting the inputs it derives from.
+    result = out.localCheckpoint(eager=True)
+    labels.unpersist(); edges.unpersist(); pairs.unpersist()
+    return result
