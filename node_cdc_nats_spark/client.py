@@ -1,0 +1,231 @@
+"""Reference-parity client API: the `Nats` class surface of
+rigoiot/node-cdc-nats re-implemented over pluggable transports, so a user
+of the reference can switch to this engine and keep their call sites.
+
+Behavioral contract (from the reference, cited per method):
+- `connect(opts, topic)` subscribes once to ONE transport topic
+  (`lib/nats.js:49-65`); every logical subject travels INSIDE the CDCMsg
+  `channel` field, and the wire subject of `publish` is always the
+  transport topic, not the passed subject (`lib/nats.js:175`).
+- `subscribe` registers an MQTT-wildcard pattern in a local registry
+  keyed by a monotonically increasing ssid (`lib/nats.js:116-144`);
+  delivery counting is per subscription (`received`, `lib/nats.js:97`).
+- The `max` bound is INCLUSIVE: the row where `received == max` is still
+  delivered, then the subscription is dropped; rows past it are silenced
+  (`lib/nats.js:99-107`). `unsubscribe(sid, max)` with the bound already
+  satisfied deletes immediately (`lib/nats.js:147-161`).
+- `rpc` subscribes to N response subjects, publishes the request, and the
+  FIRST matching response wins (all response subscriptions dropped,
+  optional `res_process` transform of the winner — `lib/nats.js:196-256`);
+  a timeout RESOLVES (does not raise) with ``{"code": 408, "message":
+  "request time out"}`` (`lib/nats.js:238-247`); a string `res_subjects`
+  is coerced to a one-element list (`lib/nats.js:210-212`).
+- Closed-connection calls raise `NatsError(CONN_CLOSED)`
+  (`lib/nats.js:117-119,164-166`); bad arguments raise
+  `BAD_SUBJECT` / `BAD_MSG` (`lib/nats.js:15-23,167-172`).
+
+The engine side is unchanged by this module — `filter_channel`,
+`bounded_subscription`, `rpc_first_response` et al. are the set-based
+twins of these per-message semantics (tests/test_semantics.py pins both
+to the same behaviors). Transports: `LocalBroker` (in-process, tests) or
+the core-NATS TCP / spool transports in `sources/nats.py`.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from typing import Any
+
+from .functions.cdcmsg import decode_cdcmsg, encode_cdcmsg
+from .functions.mqtt import matches
+from .sources.nats import BAD_MSG, BAD_SUBJECT, CONN_CLOSED, NatsError
+
+DEFAULT_TOPIC = "cdc.client"
+RPC_TIMEOUT_S = 10  # lib/nats.js:238-239 (seconds)
+
+
+class LocalBroker:
+    """Minimal in-process broker: wire-subject -> subscriber callbacks.
+    Synchronous delivery, at-most-once, no acks — the reference's core-NATS
+    delivery model (`lib/nats.js:163-183`)."""
+
+    def __init__(self) -> None:
+        self._subs: dict[str, list[Callable[[bytes], None]]] = {}
+
+    def subscribe(self, subject: str, handler: Callable[[bytes], None]) -> None:
+        self._subs.setdefault(subject, []).append(handler)
+
+    def unsubscribe(self, subject: str, handler: Callable[[bytes], None]) -> None:
+        handlers = self._subs.get(subject, [])
+        if handler in handlers:
+            handlers.remove(handler)
+
+    def publish(self, subject: str, data: bytes) -> None:
+        for handler in list(self._subs.get(subject, ())):
+            handler(data)
+
+
+class CdcNats:
+    """The reference's client object (`lib/nats.js:46-256`), one logical
+    transport-topic subscription fanning out to MQTT-pattern subscriptions."""
+
+    def __init__(self, broker: LocalBroker, topic: str = DEFAULT_TOPIC) -> None:
+        self.topic = topic
+        self._broker = broker
+        self._closed = False
+        self.ssid = 0                      # lib/nats.js:53
+        self.subs: dict[int, dict] = {}    # lib/nats.js:52
+        broker.subscribe(topic, self._process_msg)
+
+    # -- lifecycle -------------------------------------------------------------
+    def close(self) -> None:
+        """Drop connection + registry (`lib/nats.js:68-74`)."""
+        if not self._closed:
+            self._broker.unsubscribe(self.topic, self._process_msg)
+            self.subs = {}
+            self._closed = True
+
+    def _check_open(self) -> None:
+        if self._closed:
+            raise NatsError("connection closed", CONN_CLOSED)
+
+    # -- subscribe / unsubscribe -----------------------------------------------
+    def subscribe(
+        self,
+        subject: str,
+        opts_or_cb: dict | Callable | None = None,
+        callback: Callable | None = None,
+    ) -> int:
+        """Register an MQTT-pattern subscription; returns the ssid
+        (`lib/nats.js:116-144`). ``opts['max']`` arms the inclusive bound
+        via deferred unsubscribe, as the reference does."""
+        self._check_open()
+        if not isinstance(subject, str):
+            raise NatsError("subject must be a string", BAD_SUBJECT)
+        opts: dict = {}
+        if callable(opts_or_cb):
+            callback = opts_or_cb
+        elif isinstance(opts_or_cb, dict):
+            opts = opts_or_cb
+        self.ssid += 1
+        sid = self.ssid
+        self.subs[sid] = {"subject": subject, "callback": callback, "received": 0}
+        if "max" in opts:
+            self.unsubscribe(sid, opts["max"])  # lib/nats.js:139-141
+        return sid
+
+    def unsubscribe(self, sid: int, max_n: int | None = None) -> None:
+        """Immediate removal, or arm/refresh the inclusive bound
+        (`lib/nats.js:147-161`)."""
+        self._check_open()
+        sub = self.subs.get(sid)
+        if sub is None:
+            return
+        if max_n is None:
+            del self.subs[sid]
+            return
+        sub["max"] = max_n
+        if sub["received"] >= max_n:
+            del self.subs[sid]
+
+    # -- publish ---------------------------------------------------------------
+    def publish(self, subject: str, msg: bytes, callback: Callable | None = None) -> None:
+        """Validate, then publish the encoded envelope to the TRANSPORT
+        topic — the logical subject rides inside `CDCMsg.channel`
+        (`lib/nats.js:163-183`)."""
+        self._check_open()  # lib/nats.js:164-166
+        if not isinstance(subject, str):
+            raise NatsError("subject must be a string", BAD_SUBJECT)
+        if msg is None:
+            raise NatsError("msg must not be null", BAD_MSG)
+        self._broker.publish(self.topic, msg)
+        if callback is not None:
+            callback()
+
+    # -- dispatch --------------------------------------------------------------
+    def _process_msg(self, message: bytes) -> None:
+        """Decode + linear registry scan with MQTT match + counter/max
+        bookkeeping (`lib/nats.js:86-113`)."""
+        cdc_msg = decode_cdcmsg(message)
+        for sid in list(self.subs):
+            sub = self.subs.get(sid)
+            if sub is None or not matches(sub["subject"], cdc_msg["channel"]):
+                continue
+            sub["received"] += 1
+            cb = sub["callback"]
+            if "max" in sub:
+                if sub["received"] == sub["max"]:
+                    del self.subs[sid]          # delivered, then dropped
+                elif sub["received"] > sub["max"]:
+                    cb = None                   # lib/nats.js:103-106
+            if cb is not None:
+                cb(cdc_msg)
+
+    # -- RPC -------------------------------------------------------------------
+    def rpc(
+        self,
+        req_subject: str,
+        res_subjects: str | list[str],
+        data: bytes,
+        timeout: float | None = None,
+        res_process: Callable[[dict], Any] | None = None,
+        pump: Callable[[], None] | None = None,
+    ) -> Any:
+        """First-response-wins request/response (`lib/nats.js:196-256`).
+
+        Synchronous twin of the reference's promise: subscribe to every
+        response subject, publish the request, then wait until the first
+        response or the timeout. ``pump`` (optional) is called while
+        waiting so a test harness can drive responder delivery without
+        threads; with the synchronous LocalBroker a responder typically
+        answers during ``publish`` already. Timeout RESOLVES with the 408
+        object — it does not raise (`lib/nats.js:242-246`)."""
+        timeout = timeout if timeout is not None else RPC_TIMEOUT_S
+        if isinstance(res_subjects, str):
+            res_subjects = [res_subjects]  # lib/nats.js:210-212
+        won: list[Any] = []
+        sids: list[int] = []
+
+        def resolver(cdc_msg: dict) -> None:
+            if won:
+                return  # first response already won
+            for s in sids:
+                self.subs.pop(s, None)  # unsubscribe-all, lib/nats.js:216-223
+            won.append(res_process(cdc_msg) if res_process else cdc_msg)
+
+        for rs in res_subjects:
+            sids.append(self.subscribe(rs, resolver))
+        self.publish(req_subject, data)
+        deadline = time.monotonic() + timeout
+        while not won and time.monotonic() < deadline:
+            if pump is None:
+                break  # synchronous broker: no further deliveries can arrive
+            pump()
+        if won:
+            return won[0]
+        for s in sids:
+            self.subs.pop(s, None)
+        return {"code": 408, "message": "request time out"}  # lib/nats.js:242-246
+
+
+def connect(broker: LocalBroker | None = None, topic: str = DEFAULT_TOPIC) -> CdcNats:
+    """`connect(opts, topic)` factory (`lib/nats.js:49-65`)."""
+    return CdcNats(broker if broker is not None else LocalBroker(), topic)
+
+
+def make_envelope(
+    channel: str,
+    payload: bytes,
+    publisher: str = "nms",
+    content_type: str = "json",
+    protocol: str = "http",
+    reply: str = "",
+    qos: int = 0,
+    retain: bool = False,
+) -> bytes:
+    """Encoded CDCMsg exactly as the reference's publish example builds it
+    (`examples/cdc-pub.js:31-42`)."""
+    return encode_cdcmsg(
+        publisher, channel, content_type, protocol, reply, qos, retain, payload
+    )

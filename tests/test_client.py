@@ -1,0 +1,142 @@
+"""Reference-parity tests for the client facade (`node_cdc_nats_spark/
+client.py`) — each test pins one behavior documented in SURVEY.md §2.1's
+"behavioral details worth preserving" list, with the lib/nats.js citation
+in the client docstrings. No Spark session needed."""
+
+from __future__ import annotations
+
+import pytest
+
+from node_cdc_nats_spark.client import CdcNats, LocalBroker, connect, make_envelope
+from node_cdc_nats_spark.sources.nats import (
+    BAD_MSG,
+    BAD_SUBJECT,
+    CONN_CLOSED,
+    NatsError,
+)
+
+
+def env(channel: str, body: bytes = b"{}") -> bytes:
+    return make_envelope(channel, body)
+
+
+def test_pattern_fanout_and_wire_topic_quirk():
+    # One message fans out to every matching subscription; the wire subject
+    # is the transport topic, so the LOGICAL subject only matters inside
+    # CDCMsg.channel (lib/nats.js:175).
+    broker = LocalBroker()
+    nats = connect(broker)
+    got: dict[str, list[str]] = {"plus": [], "hash": [], "exact": [], "other": []}
+    nats.subscribe("device/+/temp", lambda m: got["plus"].append(m["channel"]))
+    nats.subscribe("device/#", lambda m: got["hash"].append(m["channel"]))
+    nats.subscribe("device/42/temp", lambda m: got["exact"].append(m["channel"]))
+    nats.subscribe("fleet/#", lambda m: got["other"].append(m["channel"]))
+    # published "subject" argument is IGNORED for routing:
+    nats.publish("totally/unrelated", env("device/42/temp"))
+    assert got == {
+        "plus": ["device/42/temp"],
+        "hash": ["device/42/temp"],
+        "exact": ["device/42/temp"],
+        "other": [],
+    }
+
+
+def test_inclusive_max_delivers_boundary_row_then_stops():
+    # received == max still fires the callback, then the sub is dropped
+    # (lib/nats.js:99-107).
+    nats = connect()
+    seen: list[int] = []
+    sid = nats.subscribe("s/#", {"max": 3}, lambda m: seen.append(int(m["payload"])))
+    for i in range(5):
+        nats.publish("x", env("s/a", str(i).encode()))
+    assert seen == [0, 1, 2]
+    assert sid not in nats.subs
+
+
+def test_deferred_unsubscribe_already_satisfied_deletes_immediately():
+    # unsubscribe(sid, max) with received >= max deletes at once
+    # (lib/nats.js:156-160).
+    nats = connect()
+    seen: list[dict] = []
+    sid = nats.subscribe("s/#", seen.append)
+    nats.publish("x", env("s/a"))
+    nats.publish("x", env("s/a"))
+    assert len(seen) == 2
+    nats.unsubscribe(sid, 2)
+    assert sid not in nats.subs
+
+
+def test_closed_connection_raises_conn_closed():
+    nats = connect()
+    nats.close()
+    with pytest.raises(NatsError) as e1:
+        nats.subscribe("a/b", lambda m: None)
+    assert e1.value.code == CONN_CLOSED  # lib/nats.js:117-119
+    with pytest.raises(NatsError) as e2:
+        nats.publish("a/b", env("a/b"))
+    assert e2.value.code == CONN_CLOSED  # lib/nats.js:164-166
+
+
+def test_publish_validation_codes():
+    nats = connect()
+    with pytest.raises(NatsError) as e1:
+        nats.publish(123, env("a"))  # type: ignore[arg-type]
+    assert e1.value.code == BAD_SUBJECT  # lib/nats.js:167-169
+    with pytest.raises(NatsError) as e2:
+        nats.publish("a", None)  # type: ignore[arg-type]
+    assert e2.value.code == BAD_MSG  # lib/nats.js:170-172
+
+
+def test_rpc_first_response_wins_and_unsubscribes_all():
+    # Two responders race; the first response resolves and the second is
+    # never delivered (lib/nats.js:215-225).
+    broker = LocalBroker()
+    nats = connect(broker)
+
+    def responder(m):
+        if m["channel"] == "req/sum":
+            # synchronous broker: this answer arrives during publish()
+            nats_resp.publish("x", env("res/a", b"first"))
+            nats_resp.publish("x", env("res/b", b"second"))
+
+    nats_resp = connect(broker)
+    nats_resp.subscribe("req/#", responder)
+    result = nats.rpc("req/sum", ["res/a", "res/b"], env("req/sum"), timeout=0.05)
+    assert result["payload"] == b"first"
+    assert all(s["subject"] not in ("res/a", "res/b") for s in nats.subs.values())
+
+
+def test_rpc_string_res_subjects_coerced_and_res_process_applied():
+    broker = LocalBroker()
+    nats = connect(broker)
+    nats_resp = connect(broker)
+    nats_resp.subscribe(
+        "req/#", lambda m: nats_resp.publish("x", env("res/only", b"42"))
+    )
+    out = nats.rpc(
+        "req/q",
+        "res/only",  # string, not list (lib/nats.js:210-212)
+        env("req/q"),
+        timeout=0.05,
+        res_process=lambda m: int(m["payload"]),  # lib/nats.js:218-222
+    )
+    assert out == 42
+
+
+def test_rpc_timeout_resolves_408_and_cleans_registry():
+    nats = connect()
+    result = nats.rpc("req/never", ["res/never"], env("req/never"), timeout=0.01)
+    assert result == {"code": 408, "message": "request time out"}  # lib/nats.js:242-246
+    assert not any(s["subject"] == "res/never" for s in nats.subs.values())
+
+
+def test_counters_are_per_subscription():
+    # received is tracked per ssid, not per client (lib/nats.js:97).
+    nats = connect()
+    a: list[dict] = []
+    b: list[dict] = []
+    nats.subscribe("s/#", {"max": 1}, a.append)
+    nats.subscribe("s/#", {"max": 2}, b.append)
+    for _ in range(3):
+        nats.publish("x", env("s/t"))
+    assert (len(a), len(b)) == (1, 2)
