@@ -146,3 +146,72 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("features", lambda x: x.cast("bigint").cast("string")), ","
         ),
     )
+
+
+def resize_media(media: DataFrame, target: int = 16) -> DataFrame:
+    """Resize plumbing over opaque payloads (`mapInPandas`, Arrow batches):
+    nearest-neighbor downsample of the payload byte sequence to a fixed
+    target length — the exact batch shape, schema, and partition behavior
+    of an image resize, with the pixel decode stubbed (no image libs in
+    this container; swap the inner function for PIL `Image.resize` and
+    nothing else changes). Map-side only: no shuffle at any scale."""
+
+    tgt = target
+
+    def op(batches):
+        import pandas as pd
+
+        def resize_stub(payload: bytes) -> bytes:
+            # STUB decode+resize: nearest-neighbor sample of the byte
+            # stream at `tgt` evenly spaced offsets (deterministic; byte
+            # k of the output = byte floor(k*n/tgt) of the input).
+            n = len(payload)
+            if n == 0:
+                return b"\x00" * tgt
+            return bytes(payload[(k * n) // tgt] for k in range(tgt))
+
+        for pdf in batches:
+            out = pdf["payload"].map(resize_stub)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "resized": out,
+                    "orig_bytes": pdf["payload"].map(len).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(
+        op, schema="doc_id long, resized binary, orig_bytes int"
+    )
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+    SELECT doc_id,
+           ARRAY_TO_STRING(LIST_TRANSFORM(RANGE({16}),
+             k -> CAST(ASCII(SUBSTR(text,
+                    CAST((k * LENGTH(text)) // {16} + 1 AS INT), 1)) AS VARCHAR)),
+             ',') AS resized_csv,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS orig_bytes
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Driver-facing rendering: the resized binary as a comma-joined byte
+    # string (binary cells crash the driver canonicalizer; fixture text is
+    # ASCII so DuckDB's char-indexed oracle sees the same bytes).
+    media = as_media(load_table(spark, sf_dir, "documents"))
+    resized = resize_media(media)
+    csv = F.array_join(
+        F.transform(
+            # binary -> byte values: ASCII fixture payloads decode 1:1, so
+            # ascii(char k) == byte k
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda k: F.ascii(
+                F.col("resized").cast("string").substr(k + 1, F.lit(1))
+            ).cast("string"),
+        ),
+        ",",
+    )
+    return resized.select("doc_id", csv.alias("resized_csv"), "orig_bytes")
