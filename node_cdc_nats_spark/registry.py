@@ -37,16 +37,31 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-def load_all() -> None:
-    """Import every operator module so registrations run.
+# Ops with a fully green row (rows+schema+hash) in CORRECTNESS_r01.json.
+# The driver verifies in registration order and round 1's run stopped at
+# exactly 50 entries; these proven ops yield their early slots to the ops
+# that still need a first green row (everything round-1-unverified plus
+# every round-2 addition).
+_R1_GREEN = (
+    "agg_avg", "agg_count", "agg_cube", "agg_distinct", "agg_grouping_sets",
+    "agg_min_max", "agg_multi", "agg_pivot", "agg_rollup", "agg_stats",
+    "agg_sum", "bounded_subscription", "date_ops", "except_distinct",
+    "fanout_dispatch", "filter_channel", "filter_predicate", "intersect",
+    "join_anti", "join_bucketed", "join_cross", "join_full", "join_inner",
+    "join_left", "join_range", "join_right", "join_semi", "join_skew_salted",
+    "join_theta", "json_extract", "json_schema_projection", "limit",
+    "math_ops", "project", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "sort", "str_ops", "topk", "topk_per_group",
+    "union_all", "union_distinct", "win_frame_sliding", "win_lag_lead",
+    "win_percent", "win_rank", "win_running",
+)
 
-    Order is deliberate: the driver verifies queries in registration order
-    and round 1's run cut off after 50 entries, leaving everything after
-    ``operators/cdc.py`` unverified. The LLM-pipeline / UDF / sink / CDC /
-    streaming surface (plus ``functions_pack``, which held round 1's one
-    failing op) therefore registers FIRST — exactly 50 ops — and the 41
-    relational/window ops that already went green in round 1 register last.
-    """
+
+def load_all() -> None:
+    """Import every operator module so registrations run, then order the
+    registry: round-1-unverified and round-2 ops first (they need their
+    first driver CORRECTNESS row), round-1-green ops last (re-verified
+    only if the driver's budget reaches them)."""
     from .operators import (  # noqa: F401
         dedup,
         similarity,
@@ -65,3 +80,6 @@ def load_all() -> None:
         relational,
         window,
     )
+    for name in _R1_GREEN:
+        if name in QUERIES:
+            QUERIES[name] = QUERIES.pop(name)  # move to the tail, keep order
