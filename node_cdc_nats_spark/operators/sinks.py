@@ -167,3 +167,57 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "event_type", "event_date")
     )
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CASE WHEN event_id % 2 = 0 THEN CAST(NULL AS DOUBLE) ELSE value END AS value,
+           CASE WHEN event_id % 2 = 0 THEN 'v2' ELSE CAST(NULL AS VARCHAR) END AS schema_tag
+    FROM events
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet files (the 100 TB archive reality:
+    columns appear and disappear over years of writers): one file written
+    with the v1 schema (has `value`), one with v2 (drops `value`, adds
+    `schema_tag`), read back as ONE table via mergeSchema with null-fill
+    on both sides. The oracle reconstructs the same null pattern from the
+    row split. Explicit-schema reads stay the default everywhere else —
+    mergeSchema costs a footer pass per file and is the exception path."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out_dir = tempfile.mkdtemp(prefix="schema_evo_")
+    v1 = ev.filter(F.col("event_id") % 2 != 0)
+    v2 = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .drop("value")
+        .withColumn("schema_tag", F.lit("v2"))
+    )
+    v1.write.mode("overwrite").parquet(f"{out_dir}/part=v1")
+    v2.write.mode("overwrite").parquet(f"{out_dir}/part=v2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{out_dir}/part=v1", f"{out_dir}/part=v2"
+    )
+    return merged.select("event_id", "user_id", "event_type", "value", "schema_tag")
+
+
+@register("sink_compacted", oracle=_EVENTS_SQL)
+def sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: rewrite a fragmented layout (64 files here;
+    millions in a real ingest landing zone) into size-targeted files via
+    repartition, proving losslessness by re-reading. At 100 TB this is the
+    maintenance job that keeps scan task counts sane — file-count metadata
+    asserted in tests/test_semantics (compacted layout must be exactly 4
+    files)."""
+    ev = load_table(spark, sf_dir, "events")
+    frag_dir = tempfile.mkdtemp(prefix="fragmented_")
+    ev.repartition(64).write.mode("overwrite").parquet(frag_dir)
+    compact_dir = tempfile.mkdtemp(prefix="compacted_")
+    spark.read.parquet(frag_dir).repartition(4).write.mode("overwrite").parquet(
+        compact_dir
+    )
+    out = spark.read.parquet(compact_dir)
+    return out.select("event_id", "ts", "user_id", "event_type", "value", "props")

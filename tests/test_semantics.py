@@ -204,3 +204,21 @@ def test_approx_quantiles_within_tolerance(spark):
         # generous 5% value tolerance is far beyond the sketch's bound.
         assert abs(a50 - e50) <= max(2.0, 0.05 * abs(e50))
         assert abs(a90 - e90) <= max(2.0, 0.05 * abs(e90))
+
+
+def test_sink_compacted_file_count(spark, tmp_path):
+    # The compaction op's whole point: fragmented layout in, exactly-N
+    # sized files out, values untouched (value equality is the oracle's
+    # job; the layout claim is checked here).
+    import glob
+
+    from node_cdc_nats_spark.io import load_table
+
+    ev = load_table(spark, SF_DIR_ORACLE, "events")
+    frag = str(tmp_path / "frag")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    assert len(glob.glob(f"{frag}/part-*.parquet")) == 64
+    compact = str(tmp_path / "compact")
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compact)
+    assert len(glob.glob(f"{compact}/part-*.parquet")) == 4
+    assert spark.read.parquet(compact).count() == ev.count()
