@@ -239,3 +239,64 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", norm.alias("norm_text"), F.length(norm).alias("norm_len")
     )
+
+
+EMBED_DIM = 16
+
+
+@register(
+    "text_embed_hash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS t FROM documents),
+    dims AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(RANGE(0, {EMBED_DIM}), d ->
+               LIST_REDUCE(
+                 LIST_PREPEND(CAST(0 AS BIGINT),
+                   LIST_TRANSFORM(t, tok ->
+                     CASE WHEN CAST(CONCAT('0x', SUBSTR(MD5(tok), 1, 15)) AS BIGINT)
+                               % {EMBED_DIM} = d
+                          THEN ((CAST(CONCAT('0x', SUBSTR(MD5(tok), 1, 15)) AS BIGINT)
+                                 >> 4) % 2) * 2 - 1
+                          ELSE CAST(0 AS BIGINT) END)),
+                 (a, x) -> a + x)) AS emb
+      FROM toks)
+    SELECT doc_id,
+           ARRAY_TO_STRING(LIST_TRANSFORM(emb, x -> CAST(x AS VARCHAR)), ',') AS emb_csv,
+           CAST(LEN(LIST_FILTER(emb, x -> x <> 0)) AS INT) AS nnz
+    FROM dims
+    """,
+)
+def text_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document embedder (the hashing-trick bag-of-words:
+    each token adds ±1 to dimension hash(token) % D, sign from the next
+    hash bit) — the deterministic, vocabulary-free 'embed' stage that
+    completes the text → embedding → ANN chain next to the dedup
+    signatures. One Arrow pass per batch (same pattern and rationale as
+    dedup.hashed_shingles_udf: per-token md5 in interpreted HOFs is the
+    measured slow path), map-side, no shuffle; integer-valued output so
+    the rendering is exact on both engines."""
+    dim = EMBED_DIM
+
+    @F.pandas_udf("string")
+    def embed_csv(texts):
+        import hashlib
+
+        def one(text: str) -> str:
+            acc = [0] * dim
+            for tok in text.lower().split(" "):
+                h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+                acc[h % dim] += ((h >> 4) % 2) * 2 - 1
+            return ",".join(str(x) for x in acc)
+
+        return texts.map(one)
+
+    d = load_table(spark, sf_dir, "documents")
+    out = d.select("doc_id", embed_csv("text").alias("emb_csv"))
+    nnz = F.size(
+        F.filter(
+            F.split(F.col("emb_csv"), ","), lambda x: x != "0"
+        )
+    ).cast("int")
+    return out.select("doc_id", "emb_csv", nnz.alias("nnz"))

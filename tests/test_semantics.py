@@ -222,3 +222,20 @@ def test_sink_compacted_file_count(spark, tmp_path):
     spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compact)
     assert len(glob.glob(f"{compact}/part-*.parquet")) == 4
     assert spark.read.parquet(compact).count() == ev.count()
+
+
+@given(st.integers(min_value=0, max_value=10_000_000))
+@settings(max_examples=50, deadline=None)
+def test_train_val_split_is_content_addressed_partition(doc_id):
+    # The split must be a pure function of the key and a true partition:
+    # one bucket in [0,16), exactly one of train/val/test, stable across
+    # calls — no RNG, no coordination (the property that lets backfills
+    # and multi-cluster jobs agree).
+    import hashlib
+
+    h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[0], 16)
+    split = "train" if h < 13 else ("val" if h < 15 else "test")
+    assert 0 <= h < 16
+    assert split in ("train", "val", "test")
+    h2 = int(hashlib.md5(str(doc_id).encode()).hexdigest()[0], 16)
+    assert h2 == h
