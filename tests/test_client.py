@@ -140,3 +140,16 @@ def test_counters_are_per_subscription():
     for _ in range(3):
         nats.publish("x", env("s/t"))
     assert (len(a), len(b)) == (1, 2)
+
+
+def test_example_clis_run():
+    # The ported reference example CLIs (examples/cdc_pub_sub.py,
+    # examples/cdc_rpc.py) must stay runnable — they are the switch-over
+    # demonstration for reference users.
+    import examples.cdc_pub_sub as pub_sub
+    import examples.cdc_rpc as rpc_ex
+
+    assert pub_sub.main() == ["device/7/temp: 21.5", "device/42/temp: 19.0"]
+    answer, timed_out = rpc_ex.main()
+    assert answer == "pong: ping"
+    assert timed_out == {"code": 408, "message": "request time out"}
