@@ -45,6 +45,20 @@ DEFAULT_TOPIC = "cdc.client"
 RPC_TIMEOUT_S = 10  # lib/nats.js:238-239 (seconds)
 
 
+def _invoke(cb: Callable, msg: dict, subject: str, sid: int) -> None:
+    """Deliver with the reference's callback signature
+    ``(cdcMsg, subject, sid)`` (`lib/nats.js:109-111`). JS ignores extra
+    arguments automatically; Python cannot, so single-parameter callbacks
+    (the overwhelmingly common shape) get just the message."""
+    import inspect
+
+    try:
+        n = len(inspect.signature(cb).parameters)
+    except (TypeError, ValueError):
+        n = 1
+    cb(msg, subject, sid) if n >= 3 else cb(msg)
+
+
 class LocalBroker:
     """Minimal in-process broker: wire-subject -> subscriber callbacks.
     Synchronous delivery, at-most-once, no acks — the reference's core-NATS
@@ -101,8 +115,8 @@ class CdcNats:
         (`lib/nats.js:116-144`). ``opts['max']`` arms the inclusive bound
         via deferred unsubscribe, as the reference does."""
         self._check_open()
-        if not isinstance(subject, str):
-            raise NatsError("subject must be a string", BAD_SUBJECT)
+        # NB: the reference validates the subject type only on publish
+        # (lib/nats.js:167-169); subscribe accepts anything, mirrored here.
         opts: dict = {}
         if callable(opts_or_cb):
             callback = opts_or_cb
@@ -116,9 +130,11 @@ class CdcNats:
         return sid
 
     def unsubscribe(self, sid: int, max_n: int | None = None) -> None:
-        """Immediate removal, or arm/refresh the inclusive bound
-        (`lib/nats.js:147-161`)."""
-        self._check_open()
+        """Immediate removal, or arm/refresh the inclusive bound. On a
+        closed connection this silently no-ops — the reference returns,
+        it does not throw (`lib/nats.js:147-161`)."""
+        if self._closed:
+            return
         sub = self.subs.get(sid)
         if sub is None:
             return
@@ -153,14 +169,14 @@ class CdcNats:
             if sub is None or not matches(sub["subject"], cdc_msg["channel"]):
                 continue
             sub["received"] += 1
-            cb = sub["callback"]
             if "max" in sub:
                 if sub["received"] == sub["max"]:
                     del self.subs[sid]          # delivered, then dropped
                 elif sub["received"] > sub["max"]:
-                    cb = None                   # lib/nats.js:103-106
-            if cb is not None:
-                cb(cdc_msg)
+                    self.subs.pop(sid, None)    # lib/nats.js:103-106
+                    sub["callback"] = None
+            if sub["callback"] is not None:
+                _invoke(sub["callback"], cdc_msg, sub["subject"], sid)
 
     # -- RPC -------------------------------------------------------------------
     def rpc(

@@ -153,3 +153,22 @@ def test_example_clis_run():
     answer, timed_out = rpc_ex.main()
     assert answer == "pong: ping"
     assert timed_out == {"code": 408, "message": "request time out"}
+
+
+def test_callback_receives_reference_signature():
+    # Reference callbacks get (cdcMsg, subject, sid) (lib/nats.js:109-111);
+    # single-parameter Python callbacks get just the message.
+    nats = connect()
+    triples: list[tuple] = []
+    sid = nats.subscribe("a/#", lambda m, subj, s: triples.append((m["channel"], subj, s)))
+    nats.publish("x", env("a/b"))
+    assert triples == [("a/b", "a/#", sid)]
+
+
+def test_unsubscribe_after_close_is_silent_noop():
+    # The reference's unsubscribe returns on a closed connection — it does
+    # not throw (lib/nats.js:147-150).
+    nats = connect()
+    sid = nats.subscribe("a/#", lambda m: None)
+    nats.close()
+    nats.unsubscribe(sid)  # must not raise
