@@ -26,6 +26,29 @@ from ..registry import register
 from .source import read_events_stream
 
 
+def merge_latest(target: DataFrame | None, batch_df: DataFrame) -> DataFrame:
+    """One upsert step: reduce the batch to latest-per-key, merge with the
+    running target keeping the newer side per key. IDEMPOTENT under batch
+    replay — re-merging an already-applied batch is a no-op (newest-wins
+    is associative/commutative/idempotent), which is what makes
+    checkpoint-replayed ``foreachBatch`` exactly-once on this sink
+    (`tests/test_semantics.py::test_upsert_merge_replay_idempotent`)."""
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    latest = (
+        batch_df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    if target is None:
+        return latest
+    return (
+        target.unionByName(latest)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 @register(
     "stream_upsert",
     oracle="""
@@ -49,25 +72,10 @@ def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = {"df": None}
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-        latest = (
-            batch_df.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
-        if state["df"] is None:
-            merged = latest
-        else:
-            merged = (
-                state["df"].unionByName(latest)
-                .withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .drop("rn")
-            )
         # Materialize the new target version, then swap (parquet stand-in
         # for MERGE INTO; localCheckpoint breaks the ever-growing lineage a
         # real table format would never accumulate).
-        state["df"] = merged.localCheckpoint(eager=True)
+        state["df"] = merge_latest(state["df"], batch_df).localCheckpoint(eager=True)
 
     ckpt = tempfile.mkdtemp(prefix="ckpt_upsert_")
     q = (

@@ -239,3 +239,21 @@ def test_train_val_split_is_content_addressed_partition(doc_id):
     assert split in ("train", "val", "test")
     h2 = int(hashlib.md5(str(doc_id).encode()).hexdigest()[0], 16)
     assert h2 == h
+
+
+def test_upsert_merge_replay_idempotent(spark):
+    # The exactly-once claim for the foreachBatch upsert sink rests on
+    # newest-wins being idempotent under batch replay: applying the same
+    # micro-batch twice must leave the target identical.
+    from node_cdc_nats_spark.io import load_table
+    from node_cdc_nats_spark.streaming.upsert import merge_latest
+
+    ev = load_table(spark, SF_DIR_ORACLE, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    batch1 = ev.filter(F.col("event_id") % 3 == 0)
+    batch2 = ev.filter(F.col("event_id") % 3 == 1)
+    once = merge_latest(merge_latest(None, batch1), batch2)
+    replayed = merge_latest(once, batch2)  # checkpoint replay of batch2
+    assert once.exceptAll(replayed).count() == 0
+    assert replayed.exceptAll(once).count() == 0
