@@ -218,6 +218,7 @@ class CdcNats:
             if pump is None:
                 break  # synchronous broker: no further deliveries can arrive
             pump()
+            time.sleep(0.001)  # yield between polls — no busy-spin to deadline
         if won:
             return won[0]
         for s in sids:

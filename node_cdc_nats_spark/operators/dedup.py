@@ -531,7 +531,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The verified pair set is localCheckpointed once per (session, sf) and
     shared with any other consumer in the process — pair generation is
     the expensive stage and real pipelines materialize it exactly once."""
-    key = f"minhash_pairs::{id(spark)}::{sf_dir}"
+    # applicationId is unique per SparkContext (id() can be reused by the
+    # allocator after a session is GC'd, aliasing a dead session's cache).
+    key = f"minhash_pairs::{spark.sparkContext.applicationId}::{sf_dir}"
     pairs = _PAIR_CACHE.get(key)
     if pairs is None:
         pairs = (
@@ -546,14 +548,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    labels = docs.select("doc_id", F.col("doc_id").alias("lbl")).persist()
-    labels.count()
-    for _ in range(20):
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("lbl"), F.lit(False).alias("chg")
+    ).localCheckpoint(eager=True)
+    # Fail LOUDLY if the fixpoint is not reached: a silent cap would emit a
+    # split cluster (several cluster_ids, several canonicals) for any
+    # component whose diameter exceeds the round count.
+    max_rounds, converged = 50, False
+    for _ in range(max_rounds):
         nbr = (
             edges.join(labels, edges.s == labels.doc_id)
             .groupBy(F.col("t").alias("doc_id"))
             .agg(F.min("lbl").alias("nbr_min"))
         )
+        # localCheckpoint (not persist): materializes once, breaks lineage,
+        # and leaves nothing in executor storage memory across iterations.
         nxt = (
             labels.join(nbr, "doc_id", "left")
             .select(
@@ -561,13 +570,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(F.col("lbl"), F.coalesce("nbr_min", F.col("lbl"))).alias("lbl"),
                 (F.coalesce("nbr_min", F.col("lbl")) < F.col("lbl")).alias("chg"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = nxt.filter("chg").count()
-        labels.unpersist()
-        labels = nxt.select("doc_id", "lbl").persist()
+        labels = nxt
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters: label propagation did not converge in "
+            f"{max_rounds} rounds (component diameter > {max_rounds})"
+        )
     w = W.partitionBy("lbl")
     out = labels.select(
         "doc_id",
@@ -575,7 +589,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col("doc_id") == F.col("lbl")).alias("is_canonical"),
     )
-    # Materialize before unpersisting the inputs it derives from.
     result = out.localCheckpoint(eager=True)
-    labels.unpersist(); edges.unpersist()
+    edges.unpersist()
     return result

@@ -58,13 +58,9 @@ def _b256_spark(key: str) -> F.Column:
     return F.expr(_B256_SPARK.format(hex=_HEX, key=f"cast({key} as string)")).cast("int")
 
 
-# Normalized whitespace tokens (same chain as text_normalize).
-_NORM_SPARK = (
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' '))"
-)
-_NORM_DUCK = (
-    "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
-)
+# Normalized whitespace tokens — the SAME chain as text_normalize, imported
+# so the ngram/quality consumers can never drift from it.
+from .text import NORM_DUCK_SQL as _NORM_DUCK, NORM_SPARK_SQL as _NORM_SPARK  # noqa: E402
 
 
 @register(

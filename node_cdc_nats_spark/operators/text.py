@@ -29,6 +29,17 @@ LANG_ORDER = ("de", "en", "es", "fr")
 # A small English stopword list for quality scoring.
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
+# THE canonical text normalization chain (lowercase, strip non-alnum,
+# collapse whitespace) — single source of truth for text_normalize and
+# every ngram consumer in operators/pipeline.py; the Spark and DuckDB
+# strings must stay semantically identical.
+NORM_SPARK_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' '))"
+)
+NORM_DUCK_SQL = (
+    "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+)
+
 
 def _sql_in_list(words: tuple[str, ...]) -> str:
     return ", ".join(f"'{w}'" for w in words)
@@ -216,12 +227,10 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_normalize",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
-           TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
-                               ' +', ' ', 'g')) AS norm_text,
-           LENGTH(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
-                                      ' +', ' ', 'g'))) AS norm_len
+           {NORM_DUCK_SQL} AS norm_text,
+           LENGTH({NORM_DUCK_SQL}) AS norm_len
     FROM documents
     """,
 )
@@ -230,12 +239,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline): lowercase, strip non-alphanumerics, collapse whitespace.
     Pure codegen'd regexp_replace chain — map-side at any scale."""
     d = load_table(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
-            " +", " ",
-        )
-    )
+    norm = F.expr(NORM_SPARK_SQL)
     return d.select(
         "doc_id", norm.alias("norm_text"), F.length(norm).alias("norm_len")
     )

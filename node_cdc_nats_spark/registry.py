@@ -37,21 +37,23 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# Ops with a fully green row (rows+schema+hash) in CORRECTNESS_r01.json.
-# The driver verifies in registration order and round 1's run stopped at
-# exactly 50 entries; these proven ops yield their early slots to the ops
-# that still need a first green row (everything round-1-unverified plus
-# every round-2 addition).
+# Ops with a fully green row (rows+schema+hash) in CORRECTNESS_r01.json
+# AND whose query/oracle output is unchanged since — the driver verifies in
+# registration order and round 1's run stopped at exactly 50 entries, so
+# these proven ops yield their early slots to the ops that still need a
+# first green row. NOT listed despite r1 green, because round 2 changed
+# their outputs (de-vacuating empty results): q5_local_supplier_volume,
+# join_anti, except_distinct — their r1 rows verified the OLD definitions.
 _R1_GREEN = (
     "agg_avg", "agg_count", "agg_cube", "agg_distinct", "agg_grouping_sets",
     "agg_min_max", "agg_multi", "agg_pivot", "agg_rollup", "agg_stats",
-    "agg_sum", "bounded_subscription", "date_ops", "except_distinct",
+    "agg_sum", "bounded_subscription", "date_ops",
     "fanout_dispatch", "filter_channel", "filter_predicate", "intersect",
-    "join_anti", "join_bucketed", "join_cross", "join_full", "join_inner",
+    "join_bucketed", "join_cross", "join_full", "join_inner",
     "join_left", "join_range", "join_right", "join_semi", "join_skew_salted",
     "join_theta", "json_extract", "json_schema_projection", "limit",
     "math_ops", "project", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "sort", "str_ops", "topk", "topk_per_group",
+    "sort", "str_ops", "topk", "topk_per_group",
     "union_all", "union_distinct", "win_frame_sliding", "win_lag_lead",
     "win_percent", "win_rank", "win_running",
 )

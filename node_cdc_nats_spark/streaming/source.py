@@ -118,6 +118,9 @@ def run_to_memory(stream_df: DataFrame, mode: str = "append") -> DataFrame:
     name = f"stream_sink_{os.getpid()}_{next(_MEM_SEQ)}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # Default "100" if unset — restored either way so a caller's durable
+    # streaming queries keep their full recovery history.
+    old_retain = spark.conf.get("spark.sql.streaming.minBatchesToRetain", "100")
     spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
     # Checkpoints are throwaway (one bounded run per query): retaining one
     # batch of state/offset history skips the multi-version snapshot I/O the
@@ -135,6 +138,7 @@ def run_to_memory(stream_df: DataFrame, mode: str = "append") -> DataFrame:
         query.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set("spark.sql.streaming.minBatchesToRetain", old_retain)
     return spark.table(name)
 
 

@@ -66,10 +66,13 @@ def compare(spark, name: str, query_fn, oracle: str, sf_dir: str) -> list[str]:
     # Driver-faithfulness gate: the external driver canonicalizes results
     # with pandas sort/factorize, which REQUIRES hashable cells — a query
     # that emits array/binary/struct cells passes value comparison here but
-    # crashes the driver (array_ops / nats_roundtrip, round 1). Catch the
-    # whole class locally.
+    # crashes the driver (array_ops / nats_roundtrip, round 1). Checked on
+    # the first NON-NULL cell per column (not just row 0 — a nullable
+    # column whose first row is None would slip an unhashable column past
+    # a row-0-only check).
     if srows:
-        for i, cell in enumerate(srows[0]):
+        for i in range(len(scols)):
+            cell = next((row[i] for row in srows if row[i] is not None), None)
             if isinstance(cell, (list, dict, set, bytearray)):
                 problems.append(
                     f"{name}: column {scols[i]!r} emits unhashable "
