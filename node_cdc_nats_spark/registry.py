@@ -59,11 +59,28 @@ _R1_GREEN = (
 )
 
 
+# Absolute head of the verification order, most-critical first: the round-1
+# outright failure, the two crash-class envelope/connector ops, and the
+# three ops whose outputs changed in round 2 (their r1 green rows verified
+# old definitions).
+_VERIFY_HEAD = (
+    "array_ops",
+    "nats_roundtrip",
+    "cdc_encode_decode",
+    "q5_local_supplier_volume",
+    "join_anti",
+    "except_distinct",
+)
+# Rows-only ops can never earn a hash-green row — they go right before the
+# r1-green block so hash-checkable ops never lose a budget slot to them.
+_ROWS_ONLY_LATE = ("ann_ivf_topk", "agg_approx_distinct")
+
+
 def load_all() -> None:
     """Import every operator module so registrations run, then order the
-    registry: round-1-unverified and round-2 ops first (they need their
-    first driver CORRECTNESS row), round-1-green ops last (re-verified
-    only if the driver's budget reaches them)."""
+    registry for the driver's budgeted walk: _VERIFY_HEAD first, then all
+    ops needing their first green row (registration order), then rows-only
+    ops, then round-1-green ops (re-verified only if budget reaches them)."""
     from .operators import (  # noqa: F401
         dedup,
         similarity,
@@ -82,6 +99,11 @@ def load_all() -> None:
         relational,
         window,
     )
-    for name in _R1_GREEN:
-        if name in QUERIES:
-            QUERIES[name] = QUERIES.pop(name)  # move to the tail, keep order
+    ordered = [n for n in _VERIFY_HEAD if n in QUERIES]
+    late = set(_ROWS_ONLY_LATE) | set(_R1_GREEN)
+    ordered += [n for n in QUERIES if n not in ordered and n not in late]
+    ordered += [n for n in _ROWS_ONLY_LATE if n in QUERIES]
+    ordered += [n for n in _R1_GREEN if n in QUERIES]
+    reordered = {n: QUERIES[n] for n in ordered}
+    QUERIES.clear()
+    QUERIES.update(reordered)
