@@ -91,3 +91,91 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ntz("click_ts"),
         _ntz("purchase_ts"),
     )
+
+
+@register(
+    "stream_stream_left_join",
+    oracle=f"""
+    WITH c AS (SELECT event_id AS click_id, user_id,
+                      CAST(ts AS TIMESTAMP) AS click_ts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id,
+                 CAST(ts AS TIMESTAMP) AS purchase_ts
+          FROM events WHERE event_type = 'purchase'),
+    m AS (SELECT c.click_id, p.purchase_id, c.user_id, c.click_ts, p.purchase_ts
+          FROM c JOIN p ON c.user_id = p.user_id
+                       AND p.purchase_ts > c.click_ts
+                       AND p.purchase_ts <= c.click_ts + {_HORIZON_SQL})
+    SELECT click_id, purchase_id, user_id, click_ts, purchase_ts FROM m
+    UNION ALL
+    SELECT c.click_id, CAST(NULL AS BIGINT), c.user_id, c.click_ts,
+           CAST(NULL AS TIMESTAMP)
+    FROM c
+    WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+      AND c.click_ts < (SELECT MAX(CAST(ts AS TIMESTAMP))
+                          - INTERVAL 210 MINUTE FROM events)
+    """,
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RPC-timeout analog in join form (SURVEY §2.1 S7's alternative
+    implementation): clicks LEFT-joined to purchases — a matched row per
+    response, and a null row (the 408) once the watermark proves no
+    response can arrive. Null emission at the exact watermark boundary
+    depends on micro-batch phasing (eviction lags the late-filter by one
+    batch), so the op finalizes CONSERVATIVELY: null rows are kept only
+    below a horizon one hour older than the theoretical eviction point
+    (max ts - delay - join horizon - 1h slack), where emission is
+    unambiguous — the same slack reasoning a production pipeline applies
+    before acting on timeout records. The oracle mirrors the horizon
+    exactly; matched rows are always complete (verified: inner-join
+    results equal the batch join at every boundary)."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", _DELAY)
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", _DELAY)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("r_user") == F.col("s_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")),
+        "left_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("r_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+    )
+    out = run_to_memory(joined, "append")
+    from ..io import load_table
+
+    horizon = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max(F.col("ts").cast("timestamp")) - F.expr("INTERVAL 210 MINUTES"))
+        .first()[0]
+    )
+    return out.filter(
+        F.col("purchase_id").isNotNull() | (F.col("click_ts") < F.lit(horizon))
+    ).select(
+        F.col("click_id"),
+        F.col("purchase_id"),
+        F.col("user_id"),
+        _ntz("click_ts"),
+        _ntz("purchase_ts"),
+    )
