@@ -55,3 +55,19 @@ def test_inventory_is_substantial():
     # (extras like flagships/variants are allowed to exceed it).
     assert len(_matrix_op_names()) >= 60
     assert len(registry.QUERIES) >= 100
+
+
+def test_r1_green_demotion_list_is_sound():
+    # Every demoted name must actually exist (a typo would silently waste a
+    # head slot), and ops whose outputs changed in round 2 must NOT be
+    # demoted — their round-1 green rows verified the old definitions.
+    from node_cdc_nats_spark.registry import _R1_GREEN, _VERIFY_HEAD
+
+    unknown = [n for n in _R1_GREEN if n not in registry.QUERIES]
+    assert not unknown, f"_R1_GREEN names not registered: {unknown}"
+    changed_in_r2 = {"q5_local_supplier_volume", "join_anti", "except_distinct"}
+    assert not changed_in_r2 & set(_R1_GREEN)
+    assert changed_in_r2 <= set(_VERIFY_HEAD)
+    # Head ops must occupy the first len(_VERIFY_HEAD) slots.
+    names = list(registry.QUERIES)
+    assert names[: len(_VERIFY_HEAD)] == [n for n in _VERIFY_HEAD if n in registry.QUERIES]
