@@ -25,8 +25,9 @@ SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"
 NOTES = """
 Notes:
 
-- `dedup_minhash` is the one headline op that is already compute-bound at
-  sf0.1 (10.4x time for 10x docs — linear, as designed: signature cost is
+- `dedup_minhash` is the one headline op whose cost visibly grows with
+  corpus size at these scales (4-10x per 10x docs depending on
+  signature-table cache reuse — linear, as designed: signature cost is
   O(corpus), candidate cost is O(collisions)). Everything else is still
   fixed-cost dominated at these sizes; the per-10x ratios well under 10
   mean the measured times are floors, not slopes.
