@@ -373,14 +373,44 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# HLL sketches are implementation-specific; no cross-engine oracle exists, so
-# the driver records the weaker rows-only check for this one (SURVEY.md §5.1).
-@register("agg_approx_distinct")
+# HLL sketch values are implementation-specific (no cross-engine oracle),
+# so the query emits the EXACT counts plus engine-independent boolean
+# error gates: the oracle asserts `true` for each gate, making the hash
+# check meaningful — it verifies the exact counts AND that Spark's HLL
+# landed within the documented ~2.3% default relative standard deviation
+# (10% gate leaves wide margin). HLL is deterministic for a fixed input
+# set, so the gate is stable across runs.
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           true AS parts_within_10pct,
+           true AS orders_within_10pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    within = lambda approx, exact: (  # noqa: E731
+        F.abs(F.col(approx) - F.col(exact)) <= 0.1 * F.col(exact)
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.approx_count_distinct("l_partkey").alias("_approx_parts"),
+            F.approx_count_distinct("l_orderkey").alias("_approx_orders"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "exact_orders",
+            within("_approx_parts", "exact_parts").alias("parts_within_10pct"),
+            within("_approx_orders", "exact_orders").alias("orders_within_10pct"),
+        )
     )
 
 
@@ -910,16 +940,48 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_quantiles")
+@register(
+    "agg_approx_quantiles",
+    oracle="""
+    SELECT event_type,
+           QUANTILE_DISC(value, 0.5) AS p50_exact,
+           QUANTILE_DISC(value, 0.9) AS p90_exact,
+           true AS p50_within_5pct,
+           true AS p90_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (Greenwald-Khanna sketch) per event_type —
     the streaming/huge-cardinality path next to agg_quantiles' exact
-    percentile_disc. Sketches are engine-specific, so this is a rows-only
-    driver entry; tests/test_semantics.py gates the sketch against the
-    exact quantiles within the configured relative error (same pattern as
-    agg_approx_distinct)."""
+    percentile_disc. Sketch values are engine-specific, so the query emits
+    the EXACT discrete percentiles plus boolean error gates the oracle
+    reproduces as `true` (hash-verifiable, same pattern as
+    agg_approx_distinct). GK rank error is bounded by n/accuracy = n/1000
+    ranks — at sf0.1's per-group counts that is a handful of ranks, far
+    inside the 5% value gate (plus an absolute epsilon for near-zero
+    values)."""
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.percentile_approx("value", F.lit(0.5), F.lit(1000)).alias("p50_approx"),
-        F.percentile_approx("value", F.lit(0.9), F.lit(1000)).alias("p90_approx"),
+    e.createOrReplaceTempView("__agg_approx_quantiles_events")
+    gate = lambda approx, exact: (  # noqa: E731
+        F.abs(F.col(approx) - F.col(exact))
+        <= 0.05 * F.abs(F.col(exact)) + F.lit(1e-6)
+    )
+    base = spark.sql(
+        """
+        SELECT event_type,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50_exact,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90_exact,
+               approx_percentile(value, 0.5, 1000) AS _p50_approx,
+               approx_percentile(value, 0.9, 1000) AS _p90_approx
+        FROM __agg_approx_quantiles_events
+        GROUP BY event_type
+        """
+    )
+    return base.select(
+        "event_type",
+        "p50_exact",
+        "p90_exact",
+        gate("_p50_approx", "p50_exact").alias("p50_within_5pct"),
+        gate("_p90_approx", "p90_exact").alias("p90_within_5pct"),
     )

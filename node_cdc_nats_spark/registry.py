@@ -59,28 +59,53 @@ _R1_GREEN = (
 )
 
 
-# Absolute head of the verification order, most-critical first: the round-1
-# outright failure, the two crash-class envelope/connector ops, and the
-# three ops whose outputs changed in round 2 (their r1 green rows verified
-# old definitions).
+# Ops with a fully green row in CORRECTNESS_r02.json whose query/oracle
+# output is unchanged since — demoted to the late block so round 3's 50
+# driver slots reach the ops that have never been verified (the whole
+# pipeline.py module, join_asof, map_ops, scan_json, scan_schema_evolution,
+# sink_compacted, agg_quantiles, q10, win_ntile, scan_partition_pruned).
+# NOT listed despite r2 green, because round 3 changes their
+# implementation: nats_roundtrip (partitioned JetStream-shaped reader),
+# stream_stream_left_join (streaming-native finalization horizon) — both
+# sit in _VERIFY_HEAD instead.
+_R2_GREEN = (
+    "array_ops", "cdc_encode_decode", "q5_local_supplier_volume",
+    "join_anti", "except_distinct", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_minhash", "dedup_simhash", "dedup_clusters", "sim_topk",
+    "ann_lsh_topk", "embed_knn", "dedup_embedding_cosine", "text_stats",
+    "lang_id", "token_count", "quality_score", "doc_fingerprint",
+    "text_normalize", "text_embed_hash", "multimodal_meta",
+    "multimodal_frame_sample", "multimodal_features", "multimodal_resize",
+    "udf_scalar", "udf_grouped", "udf_grouped_agg", "udtf_tokens",
+    "cdc_upsert_latest", "cdc_changelog", "rpc_first_response",
+    "rpc_first_response_processed", "cdc_scd2",
+    "stream_bounded_subscription", "stream_stream_join", "stream_rpc_state",
+    "stream_upsert", "stream_tumble", "stream_slide", "stream_session",
+    "stream_watermark", "stream_dedup", "scan_parquet", "scan_stream",
+    "sink_parquet", "sink_memory", "scan_csv",
+)
+
+
+# Absolute head of the verification order, most-critical first: ops whose
+# implementation or output changes in round 3, so their prior green rows
+# verified old definitions and they need a fresh verdict.
 _VERIFY_HEAD = (
-    "array_ops",
-    "nats_roundtrip",
-    "cdc_encode_decode",
-    "q5_local_supplier_volume",
-    "join_anti",
-    "except_distinct",
+    "agg_approx_distinct",  # r3: redefined hash-checkable (error-gate cols)
+    "agg_approx_quantiles",  # r3: redefined hash-checkable (error-gate cols)
+    "nats_roundtrip",  # r3: executor-parallel partitioned reader
+    "stream_stream_left_join",  # r3: streaming-native finalization horizon
 )
 # Rows-only ops can never earn a hash-green row — they go right before the
-# r1-green block so hash-checkable ops never lose a budget slot to them.
-_ROWS_ONLY_LATE = ("ann_ivf_topk", "agg_approx_distinct")
+# green blocks so hash-checkable ops never lose a budget slot to them.
+_ROWS_ONLY_LATE = ("ann_ivf_topk",)
 
 
 def load_all() -> None:
     """Import every operator module so registrations run, then order the
     registry for the driver's budgeted walk: _VERIFY_HEAD first, then all
     ops needing their first green row (registration order), then rows-only
-    ops, then round-1-green ops (re-verified only if budget reaches them)."""
+    ops, then round-2- and round-1-green ops (re-verified only if budget
+    reaches them)."""
     from .operators import (  # noqa: F401
         dedup,
         similarity,
@@ -100,9 +125,10 @@ def load_all() -> None:
         window,
     )
     ordered = [n for n in _VERIFY_HEAD if n in QUERIES]
-    late = set(_ROWS_ONLY_LATE) | set(_R1_GREEN)
+    late = set(_ROWS_ONLY_LATE) | set(_R1_GREEN) | set(_R2_GREEN)
     ordered += [n for n in QUERIES if n not in ordered and n not in late]
     ordered += [n for n in _ROWS_ONLY_LATE if n in QUERIES]
+    ordered += [n for n in _R2_GREEN if n in QUERIES]
     ordered += [n for n in _R1_GREEN if n in QUERIES]
     reordered = {n: QUERIES[n] for n in ordered}
     QUERIES.clear()

@@ -57,17 +57,41 @@ def test_inventory_is_substantial():
     assert len(registry.QUERIES) >= 100
 
 
-def test_r1_green_demotion_list_is_sound():
+def test_green_demotion_lists_are_sound():
     # Every demoted name must actually exist (a typo would silently waste a
-    # head slot), and ops whose outputs changed in round 2 must NOT be
-    # demoted — their round-1 green rows verified the old definitions.
-    from node_cdc_nats_spark.registry import _R1_GREEN, _VERIFY_HEAD
+    # head slot), and ops whose implementation changed in round 3 must NOT
+    # be demoted — their prior green rows verified the old definitions.
+    from node_cdc_nats_spark.registry import _R1_GREEN, _R2_GREEN, _VERIFY_HEAD
 
-    unknown = [n for n in _R1_GREEN if n not in registry.QUERIES]
-    assert not unknown, f"_R1_GREEN names not registered: {unknown}"
-    changed_in_r2 = {"q5_local_supplier_volume", "join_anti", "except_distinct"}
-    assert not changed_in_r2 & set(_R1_GREEN)
-    assert changed_in_r2 <= set(_VERIFY_HEAD)
+    for lst, label in ((_R1_GREEN, "_R1_GREEN"), (_R2_GREEN, "_R2_GREEN")):
+        unknown = [n for n in lst if n not in registry.QUERIES]
+        assert not unknown, f"{label} names not registered: {unknown}"
+    changed_in_r3 = {"nats_roundtrip", "stream_stream_left_join"}
+    demoted = set(_R1_GREEN) | set(_R2_GREEN)
+    assert not changed_in_r3 & demoted
+    assert changed_in_r3 <= set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
     names = list(registry.QUERIES)
     assert names[: len(_VERIFY_HEAD)] == [n for n in _VERIFY_HEAD if n in registry.QUERIES]
+
+
+def test_never_verified_ops_precede_green_reverification():
+    # The point of the r3 reorder: every op that has never held a driver
+    # verdict must sit inside the driver's 50-slot budget, ahead of all
+    # green re-verification entries.
+    from node_cdc_nats_spark.registry import _R1_GREEN, _R2_GREEN
+
+    names = list(registry.QUERIES)
+    never_verified = [
+        n
+        for n in names
+        if n not in set(_R1_GREEN) | set(_R2_GREEN)
+    ]
+    first_green = min(
+        names.index(n) for n in names if n in set(_R1_GREEN) | set(_R2_GREEN)
+    )
+    worst_unverified = max(names.index(n) for n in never_verified)
+    assert worst_unverified < first_green
+    assert worst_unverified < 50, (
+        f"{len(never_verified)} never-verified ops exceed the 50-slot budget"
+    )
