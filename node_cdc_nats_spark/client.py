@@ -48,15 +48,16 @@ RPC_TIMEOUT_S = 10  # lib/nats.js:238-239 (seconds)
 def _invoke(cb: Callable, msg: dict, subject: str, sid: int) -> None:
     """Deliver with the reference's callback signature
     ``(cdcMsg, subject, sid)`` (`lib/nats.js:109-111`). JS ignores extra
-    arguments automatically; Python cannot, so single-parameter callbacks
-    (the overwhelmingly common shape) get just the message."""
+    arguments automatically; Python cannot, so the callback receives the
+    first ``n`` of (msg, subject, sid) for its declared arity — one- and
+    two-parameter callbacks are both legal in the reference."""
     import inspect
 
     try:
         n = len(inspect.signature(cb).parameters)
     except (TypeError, ValueError):
-        n = 1
-    cb(msg, subject, sid) if n >= 3 else cb(msg)
+        n = 3
+    cb(*(msg, subject, sid)[: max(1, min(n, 3))])
 
 
 class LocalBroker:
@@ -88,7 +89,7 @@ class CdcNats:
         self.topic = topic
         self._broker = broker
         self._closed = False
-        self.ssid = 0                      # lib/nats.js:53
+        self.ssid = -1                     # lib/nats.js:52 (first sid is 0)
         self.subs: dict[int, dict] = {}    # lib/nats.js:52
         broker.subscribe(topic, self._process_msg)
 
@@ -125,8 +126,10 @@ class CdcNats:
         self.ssid += 1
         sid = self.ssid
         self.subs[sid] = {"subject": subject, "callback": callback, "received": 0}
-        if "max" in opts:
-            self.unsubscribe(sid, opts["max"])  # lib/nats.js:139-141
+        # Truthiness, not presence: the reference's `if (max)` leaves a
+        # {max: 0} subscription unbounded (lib/nats.js:126-141).
+        if opts.get("max"):
+            self.unsubscribe(sid, opts["max"])
         return sid
 
     def unsubscribe(self, sid: int, max_n: int | None = None) -> None:
@@ -197,7 +200,9 @@ class CdcNats:
         threads; with the synchronous LocalBroker a responder typically
         answers during ``publish`` already. Timeout RESOLVES with the 408
         object — it does not raise (`lib/nats.js:242-246`)."""
-        timeout = timeout if timeout is not None else RPC_TIMEOUT_S
+        # `timeout || 10`: ANY falsy timeout (None, 0) takes the default
+        # (lib/nats.js:238-239).
+        timeout = timeout or RPC_TIMEOUT_S
         if isinstance(res_subjects, str):
             res_subjects = [res_subjects]  # lib/nats.js:210-212
         won: list[Any] = []
@@ -215,9 +220,11 @@ class CdcNats:
         self.publish(req_subject, data)
         deadline = time.monotonic() + timeout
         while not won and time.monotonic() < deadline:
-            if pump is None:
-                break  # synchronous broker: no further deliveries can arrive
-            pump()
+            # With no pump, still wait out the window polling `won`: a
+            # transport delivering on another thread (TCP/spool) must get
+            # first-response-within-timeout, not an instant 408.
+            if pump is not None:
+                pump()
             time.sleep(0.001)  # yield between polls — no busy-spin to deadline
         if won:
             return won[0]

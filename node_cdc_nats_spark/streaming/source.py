@@ -76,6 +76,16 @@ def stage_events(spark: SparkSession, sf_dir: str, order: str = "time") -> str:
     )
     for i in range(N_FILES):
         bdir = os.path.join(tmpd, f"__b={i}")
+        # partitionBy writes no directory for an empty partition value;
+        # sparse/non-contiguous event_id could legally produce one. The
+        # oracles reconstruct batch contents from the batch_of function, so
+        # a silently missing micro-batch must be loud, not skipped.
+        if not os.path.isdir(bdir):
+            raise ValueError(
+                f"staging bucket {i}/{N_FILES} is empty for {sf_dir!r} "
+                f"(order={order!r}): event_id distribution left no rows in "
+                f"__b={i}; the fixture cannot drive {N_FILES} micro-batches"
+            )
         part = next(f for f in os.listdir(bdir) if f.endswith(".parquet"))
         dst = os.path.join(stage, f"{i:04d}.parquet")
         os.rename(os.path.join(bdir, part), dst)

@@ -172,3 +172,72 @@ def test_unsubscribe_after_close_is_silent_noop():
     sid = nats.subscribe("a/#", lambda m: None)
     nats.close()
     nats.unsubscribe(sid)  # must not raise
+
+
+def test_max_zero_is_unbounded_like_js_falsy():
+    # JS `if (max)` is a truthiness check: {max: 0} never arms the bound
+    # and the subscription stays live (lib/nats.js:126-141).
+    nats = connect()
+    seen: list[dict] = []
+    sid = nats.subscribe("s/#", {"max": 0}, seen.append)
+    for _ in range(3):
+        nats.publish("x", env("s/a"))
+    assert len(seen) == 3
+    assert sid in nats.subs
+
+
+def test_first_ssid_is_zero():
+    # ssid starts at -1 and pre-increments, so the first sid is 0
+    # (lib/nats.js:52,130-131).
+    nats = connect()
+    assert nats.subscribe("a/#", lambda m: None) == 0
+    assert nats.subscribe("b/#", lambda m: None) == 1
+
+
+def test_two_parameter_callback_gets_msg_and_subject():
+    # (cdcMsg, subject) is a legal callback shape in the reference — JS
+    # simply drops the unused third argument (lib/nats.js:109-111).
+    nats = connect()
+    pairs: list[tuple] = []
+    nats.subscribe("a/#", lambda m, subj: pairs.append((m["channel"], subj)))
+    nats.publish("x", env("a/b"))
+    assert pairs == [("a/b", "a/#")]
+
+
+def test_rpc_falsy_timeout_coerces_to_default(monkeypatch):
+    # `timeout || 10`: timeout=0 takes the default window instead of an
+    # instant 408 (lib/nats.js:238-239). Shrink the default so the test
+    # proves the wait actually happens.
+    import node_cdc_nats_spark.client as client_mod
+
+    monkeypatch.setattr(client_mod, "RPC_TIMEOUT_S", 0.2)
+    broker = LocalBroker()
+    nats = connect(broker)
+    nats_resp = connect(broker)
+    calls = {"n": 0}
+
+    def pump():
+        calls["n"] += 1
+        if calls["n"] == 3:  # deliver only on the 3rd poll
+            nats_resp.publish("x", env("res/late", b"slow"))
+
+    out = nats.rpc("req/q", ["res/late"], env("req/q"), timeout=0, pump=pump)
+    assert out["payload"] == b"slow"
+
+
+def test_rpc_without_pump_waits_for_threaded_delivery():
+    # A transport delivering on another thread must win within the window
+    # even with no pump — rpc polls `won` until the deadline instead of
+    # breaking out immediately.
+    import threading
+
+    broker = LocalBroker()
+    nats = connect(broker)
+    nats_resp = connect(broker)
+    t = threading.Timer(0.05, lambda: nats_resp.publish("x", env("res/t", b"bg")))
+    t.start()
+    try:
+        out = nats.rpc("req/q", ["res/t"], env("req/q"), timeout=2)
+    finally:
+        t.cancel()
+    assert out["payload"] == b"bg"
