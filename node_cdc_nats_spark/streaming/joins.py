@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import register
-from .source import read_events_stream, run_to_memory
+from .source import final_watermark, read_events_stream, run_to_memory
 
 _DELAY = "30 minutes"
 _HORIZON_SQL = "INTERVAL 2 HOUR"
@@ -112,8 +112,12 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS TIMESTAMP)
     FROM c
     WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
-      AND c.click_ts < (SELECT MAX(CAST(ts AS TIMESTAMP))
-                          - INTERVAL 210 MINUTE FROM events)
+      -- Spark's global watermark under the default 'min' policy is the
+      -- LEAST of the per-stream watermarks (each stream's max ts - delay);
+      -- the cutoff is that watermark minus the 2h join horizon + 1h slack.
+      AND c.click_ts < (SELECT LEAST((SELECT MAX(click_ts) FROM c),
+                                     (SELECT MAX(purchase_ts) FROM p))
+                          - INTERVAL 210 MINUTE)
     """,
 )
 def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,11 +128,15 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     depends on micro-batch phasing (eviction lags the late-filter by one
     batch), so the op finalizes CONSERVATIVELY: null rows are kept only
     below a horizon one hour older than the theoretical eviction point
-    (max ts - delay - join horizon - 1h slack), where emission is
+    (final watermark - join horizon - 1h slack), where emission is
     unambiguous — the same slack reasoning a production pipeline applies
-    before acting on timeout records. The oracle mirrors the horizon
-    exactly; matched rows are always complete (verified: inner-join
-    results equal the batch join at every boundary)."""
+    before acting on timeout records. The horizon comes from the
+    query's OWN final event-time watermark (``lastProgress``), the
+    streaming-native signal — no batch rescan of the source, which on a
+    real unbounded stream would not even be defined. The oracle mirrors
+    the horizon exactly (watermark = max ts - 30min delay, so the cutoff
+    is max ts - 210min); matched rows are always complete (verified:
+    inner-join results equal the batch join at every boundary)."""
     clicks = (
         read_events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "click")
@@ -162,14 +170,10 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_ts",
         "purchase_ts",
     )
-    out = run_to_memory(joined, "append")
-    from ..io import load_table
+    out, query = run_to_memory(joined, "append", with_query=True)
+    import datetime
 
-    horizon = (
-        load_table(spark, sf_dir, "events")
-        .agg(F.max(F.col("ts").cast("timestamp")) - F.expr("INTERVAL 210 MINUTES"))
-        .first()[0]
-    )
+    horizon = final_watermark(query) - datetime.timedelta(hours=3)
     return out.filter(
         F.col("purchase_id").isNotNull() | (F.col("click_ts") < F.lit(horizon))
     ).select(

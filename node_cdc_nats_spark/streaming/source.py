@@ -113,10 +113,16 @@ def read_events_stream(
 STREAM_SHUFFLE_PARTITIONS = "4"
 
 
-def run_to_memory(stream_df: DataFrame, mode: str = "append") -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame, mode: str = "append", with_query: bool = False
+):
     """Run a streaming DataFrame to completion (Trigger.AvailableNow — all
     staged files, then one no-data batch so the final watermark advance
-    flushes closeable state) into a memory sink; return the sink table.
+    flushes closeable state) into a memory sink; return the sink table
+    (or ``(table, query)`` with ``with_query=True`` — the terminated
+    query still exposes ``lastProgress``, e.g. the final event-time
+    watermark, which is how streaming ops derive post-run horizons
+    without re-scanning the source).
 
     Streaming state partition count is locked into the checkpoint at the
     first batch and every batch pays per-partition state-store open/commit
@@ -149,7 +155,21 @@ def run_to_memory(stream_df: DataFrame, mode: str = "append") -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         spark.conf.set("spark.sql.streaming.minBatchesToRetain", old_retain)
-    return spark.table(name)
+    table = spark.table(name)
+    return (table, query) if with_query else table
+
+
+def final_watermark(query) -> "datetime.datetime":
+    """The event-time watermark after a bounded run drains: read from the
+    query's last progress — the streaming-native signal a production
+    pipeline consumes — never by re-scanning the source (a 'max event
+    time of the whole table' does not exist on an unbounded stream)."""
+    import datetime
+
+    wm = (query.lastProgress or {}).get("eventTime", {}).get("watermark")
+    if wm is None:
+        raise ValueError(f"query {query.name!r} reported no event-time watermark")
+    return datetime.datetime.strptime(wm, "%Y-%m-%dT%H:%M:%S.%fZ")
 
 
 # Shared oracle fragments ------------------------------------------------------
