@@ -64,6 +64,39 @@ def filter_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "channel_params",
+    oracle=f"""
+    SELECT event_id, channel,
+           REGEXP_EXTRACT(channel, '^cdc/([^/]+)(?:/(.*))?$', 1) AS etype,
+           REGEXP_EXTRACT(channel, '^cdc/([^/]+)(?:/(.*))?$', 2) AS rest
+    FROM (SELECT event_id, {_CHANNEL_SQL} AS channel FROM events) t
+    WHERE REGEXP_MATCHES(channel, '^cdc/[^/]+(/.*)?$')
+    """,
+)
+def channel_params_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter extraction from the channel path — the
+    `mqtt-pattern` dep's extract surface (`+name`/`#name` captures,
+    package.json:11 of the reference) as a vectorized regexp projection.
+    The `#rest` capture is an array<string> in the API
+    (functions/mqtt.py:channel_params); it is re-joined to a string here
+    because the driver's canonicalizer needs hashable cells — same
+    convention as array_ops."""
+    from ..functions.mqtt import channel_params
+
+    e = with_channel(load_table(spark, sf_dir, "events"))
+    params = channel_params(F.col("channel"), "cdc/+etype/#rest")
+    return (
+        e.filter(channel_matches("channel", "cdc/+/#"))
+        .select(
+            "event_id",
+            "channel",
+            params["etype"].alias("etype"),
+            F.array_join(params["rest"], "/").alias("rest"),
+        )
+    )
+
+
+@register(
     "fanout_dispatch",
     oracle=f"""
     SELECT s.sub_id, e.event_id, e.channel

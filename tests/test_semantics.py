@@ -49,6 +49,83 @@ def test_mqtt_plus_needs_nonempty_segment():
     assert not re.fullmatch(mqtt_to_regex("a/+"), "a/")
 
 
+# -- MQTT named params: the mqtt-pattern dep's extract/fill surface ------------
+named_seg = st.sampled_from(["a", "b", "cc", "+", "+id", "+name", "dev1"])
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    p_segs=st.lists(named_seg, min_size=1, max_size=4),
+    t_segs=st.lists(topic_seg, min_size=1, max_size=5),
+    tail=st.sampled_from(["", "#", "#rest"]),
+)
+def test_mqtt_extract_fill_roundtrip(p_segs, t_segs, tail):
+    # On a matching topic, fill(pattern, extract(pattern, topic))
+    # reconstructs the topic — the mqtt-pattern dep's documented law —
+    # when every wildcard is named (unnamed ones lose their segment).
+    from node_cdc_nats_spark.functions.mqtt import exec_params, fill
+
+    pattern = "/".join(p_segs + ([tail] if tail else []))
+    topic = "/".join(t_segs)
+    params = exec_params(pattern, topic)
+    if params is None:
+        assert not matches(pattern, topic)
+    elif all(s not in ("+", "#") for s in p_segs + [tail]):
+        assert fill(pattern, params) == topic
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    p_segs=st.lists(named_seg, min_size=1, max_size=3),
+    t_segs=st.lists(topic_seg, min_size=1, max_size=4),
+    tail=st.sampled_from(["", "#rest"]),
+)
+def test_mqtt_capture_regex_agrees_with_python_extract(p_segs, t_segs, tail):
+    # The regex the Spark column uses, evaluated with `re`, must produce
+    # exactly the pure-Python extract on matching topics.
+    from node_cdc_nats_spark.functions.mqtt import _capture_regex, extract_params
+
+    pattern = "/".join(p_segs + ([tail] if tail else []))
+    topic = "/".join(t_segs)
+    if not matches(pattern, topic):
+        return
+    regex, captures = _capture_regex(pattern)
+    m = re.fullmatch(regex[1:-1], topic)
+    assert m is not None
+    got = {}
+    for name, kind, gid in captures:
+        raw = m.group(gid) or ""
+        got[name] = ([] if raw == "" else raw.split("/")) if kind == "#" else raw
+    assert got == extract_params(pattern, topic), f"{pattern=} {topic=}"
+
+
+def test_mqtt_extract_named_captures():
+    from node_cdc_nats_spark.functions.mqtt import extract_params
+
+    assert extract_params("device/+id/+metric", "device/42/temp") == {
+        "id": "42",
+        "metric": "temp",
+    }
+    assert extract_params("device/#rest", "device/a/b") == {"rest": ["a", "b"]}
+    assert extract_params("device/#rest", "device") == {"rest": []}
+    # unnamed wildcards contribute nothing
+    assert extract_params("device/+/#", "device/42/a/b") == {}
+
+
+def test_channel_params_column_matches_python(spark):
+    from node_cdc_nats_spark.functions.mqtt import channel_params, extract_params
+
+    topics = ["cdc/click/3", "cdc/error/5/extra", "cdc/purchase"]
+    df = spark.createDataFrame([(t,) for t in topics], "channel string")
+    rows = df.select(
+        "channel", channel_params("channel", "cdc/+etype/#rest").alias("p")
+    ).collect()
+    for r in rows:
+        want = extract_params("cdc/+etype/#rest", r.channel)
+        assert r.p.etype == want["etype"]
+        assert list(r.p.rest) == want["rest"]
+
+
 def test_mqtt_literal_pattern_compiles_to_equality(spark):
     # No-wildcard patterns become `=`, which Catalyst can push as an exact
     # parquet filter instead of a regex.
