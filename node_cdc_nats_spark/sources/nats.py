@@ -50,11 +50,15 @@ CONN_CLOSED = "CONN_CLOSED"
 
 
 class NatsError(Exception):
-    """Mirror of the reference's NatsError (lib/nats.js:29-38)."""
+    """Mirror of the reference's NatsError (lib/nats.js:29-38): code and
+    chained error are optional exactly as in the JS constructor —
+    `processErr` re-emits broker errors with a message only
+    (lib/nats.js:82-84)."""
 
-    def __init__(self, message: str, code: str):
-        super().__init__(f"{code}: {message}")
+    def __init__(self, message: str, code: str | None = None, chained=None):
+        super().__init__(f"{code}: {message}" if code else message)
         self.code = code
+        self.chained_error = chained
 
 
 # -- spool transport (in-process broker stand-in) ------------------------------

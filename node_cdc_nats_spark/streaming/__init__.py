@@ -11,4 +11,4 @@ micro-batches → memory sink) to completion and returning the sink table, so
 results stay collectable AND oracle-checkable.
 """
 
-from . import bounded, joins, rpc, source, upsert, windows  # noqa: F401
+from . import bounded, errors, joins, rpc, source, upsert, windows  # noqa: F401
