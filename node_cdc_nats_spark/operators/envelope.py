@@ -99,7 +99,16 @@ def nats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     pub.awaitTermination()
-    sub = spark.readStream.format("nats_cdc").option("spool", spool).load()
+    # Read back through the executor-parallel partitioned reader (the
+    # JetStream-shaped scale path) so the driver exercises it end-to-end;
+    # the driver-side simple reader keeps its own coverage in
+    # tests/test_nats_connector.py.
+    sub = (
+        spark.readStream.format("nats_cdc")
+        .option("spool", spool)
+        .option("partitions", "4")
+        .load()
+    )
     return run_to_memory(sub, "append").withColumn(
         "payload", F.col("payload").cast("string")
     )

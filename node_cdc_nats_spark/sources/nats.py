@@ -25,12 +25,15 @@ Two transports, chosen by options:
   and connect-failures surface as NatsError with the reference's error
   codes (`lib/nats.js:15-23`).
 
-Scale notes: the reader is a SimpleDataSourceStreamReader (driver-side
-drain, like Spark's socket source) — correct for core-NATS semantics where
-there is exactly one subscription per engine (S1) and replay is impossible
-anyway. The partition-parallel path is the JetStream variant above, where
-per-partition durable cursors let executors pull independently. The sink
-writes per partition (one connection per task, like foreachPartition).
+Scale notes: the default reader is a SimpleDataSourceStreamReader
+(driver-side drain, like Spark's socket source) — correct for core-NATS
+semantics where there is exactly one subscription per engine (S1) and
+replay is impossible anyway. ``.option("partitions", N)`` selects the
+executor-parallel ``DataSourceStreamReader`` instead: N logical partitions
+hash the spool by filename, each carrying its own durable cursor in the
+offset — the JetStream-consumer shape, where drain throughput scales with
+the cluster rather than the single-driver ceiling. The sink writes per
+partition (one connection per task, like foreachPartition).
 
 All DataSource classes are BUILT INSIDE factory functions so cloudpickle
 ships them by value — executor Python workers do not have this repo on
@@ -170,7 +173,9 @@ class NatsClient:
 def _make_datasource_cls():
     from pyspark.sql.datasource import (
         DataSource,
+        DataSourceStreamReader,
         DataSourceStreamWriter,
+        InputPartition,
         SimpleDataSourceStreamReader,
         WriterCommitMessage,
     )
@@ -262,6 +267,134 @@ def _make_datasource_cls():
 
         def commit(self, end):
             pass  # at-most-once: spool files are retained for inspection
+
+    class NatsCdcPartitionedStreamReader(DataSourceStreamReader):
+        """Executor-parallel reader — the JetStream-shaped scale path
+        documented in the module docstring. N logical partitions hash the
+        spool by filename (crc32 % N — stable across processes); each
+        holds its own durable cursor (last-drained filename), exactly the
+        shape of N JetStream durable-consumer sequences. The driver only
+        LISTS names to advance offsets; all file reads + envelope decode
+        run in executor tasks, so drain throughput scales with the
+        cluster instead of the single-driver ceiling of the
+        SimpleDataSourceStreamReader (which remains the core-NATS parity
+        default). Selected with ``.option("partitions", N)``."""
+
+        def __init__(self, options):
+            self.spool = options.get("spool")
+            self.topic = options.get("topic", "cdc.client")
+            self.n = int(options.get("partitions", "4"))
+            if self.n < 1:
+                # plain ValueError: this class ships to executor workers,
+                # so it must not reference any engine-module global (the
+                # repo is not on executor sys.path — driver contract).
+                raise ValueError(f"partitions must be >= 1, got {self.n}")
+
+        @staticmethod
+        def _pid_of(name: str, n: int) -> int:
+            import zlib
+
+            return zlib.crc32(name.encode("utf-8")) % n
+
+        def initialOffset(self):
+            return {"version": 1, "last": {str(i): "" for i in range(self.n)}}
+
+        def latestOffset(self):
+            import os as _os
+
+            last = {str(i): "" for i in range(self.n)}
+            if self.spool and _os.path.isdir(self.spool):
+                for f in _os.listdir(self.spool):
+                    if not f.endswith(".msg"):
+                        continue
+                    key = str(self._pid_of(f, self.n))
+                    if f > last[key]:
+                        last[key] = f
+            return {"version": 1, "last": last}
+
+        def partitions(self, start, end):
+            out = []
+            s_last = start.get("last", {})
+            for key, upto in end.get("last", {}).items():
+                after = s_last.get(key, "")
+                if upto > after:
+                    out.append(InputPartition((int(key), after, upto)))
+            return out
+
+        def read(self, partition):
+            import os as _os
+            import zlib
+
+            pid, after, upto = partition.value
+
+            def dec(data):
+                msg = {
+                    "publisher": "", "channel": "", "contentType": "",
+                    "protocol": "", "reply": "", "QOS": 0, "retain": False,
+                    "payload": b"",
+                }
+                kinds = {
+                    1: ("publisher", "str"), 2: ("channel", "str"),
+                    3: ("contentType", "str"), 4: ("protocol", "str"),
+                    5: ("reply", "str"), 6: ("QOS", "varint"),
+                    7: ("retain", "bool"), 8: ("payload", "bytes"),
+                }
+                i, n = 0, len(data)
+
+                def varint():
+                    nonlocal i
+                    shift = res = 0
+                    while True:
+                        b = data[i]
+                        i += 1
+                        res |= (b & 0x7F) << shift
+                        if not b & 0x80:
+                            return res
+                        shift += 7
+
+                while i < n:
+                    key = varint()
+                    num, wtype = key >> 3, key & 0x07
+                    if wtype == 0:
+                        val = varint()
+                    elif wtype == 2:
+                        ln = varint()
+                        val = data[i : i + ln]
+                        i += ln
+                    else:
+                        raise ValueError(f"unsupported wire type {wtype}")
+                    if num in kinds:
+                        name, kind = kinds[num]
+                        if kind == "str":
+                            msg[name] = val.decode("utf-8")
+                        elif kind == "bytes":
+                            msg[name] = bytes(val)
+                        elif kind == "bool":
+                            msg[name] = bool(val)
+                        else:
+                            msg[name] = val
+                return msg
+
+            if not self.spool or not _os.path.isdir(self.spool):
+                return
+            names = sorted(
+                f
+                for f in _os.listdir(self.spool)
+                if f.endswith(".msg")
+                and after < f <= upto
+                and zlib.crc32(f.encode("utf-8")) % self.n == pid
+            )
+            for name in names:
+                with open(_os.path.join(self.spool, name), "rb") as fh:
+                    m = dec(fh.read())
+                yield (
+                    m["publisher"], m["channel"], m["contentType"],
+                    m["protocol"], m["reply"], m["QOS"], m["retain"],
+                    m["payload"],
+                )
+
+        def commit(self, end):
+            pass  # cursors live in the checkpoint; spool files are retained
 
     class NatsCdcStreamWriter(DataSourceStreamWriter):
         def __init__(self, options):
@@ -366,6 +499,21 @@ def _make_datasource_cls():
                 "protocol string, reply string, QOS int, retain boolean, "
                 "payload binary"
             )
+
+        def streamReader(self, schema):
+            # Executor-parallel JetStream-shaped reader, opt-in via
+            # .option("partitions", N); without it Spark falls back to
+            # simpleStreamReader (core-NATS parity, driver-side drain).
+            # The fallback in pyspark's datasource_internal._streamReader
+            # catches PySparkNotImplementedError specifically.
+            if "partitions" not in self.options:
+                from pyspark.errors import PySparkNotImplementedError
+
+                raise PySparkNotImplementedError(
+                    errorClass="NOT_IMPLEMENTED",
+                    messageParameters={"feature": "streamReader"},
+                )
+            return NatsCdcPartitionedStreamReader(self.options)
 
         def simpleStreamReader(self, schema):
             return NatsCdcStreamReader(self.options)

@@ -202,3 +202,106 @@ def test_spool_durable_offset_resume(spark, tmp_path):
     # offset: total output is all 8 messages, each exactly once.
     second = drain()
     assert sorted(bytes(r.payload).decode() for r in second) == [f"m{i}" for i in range(8)]
+
+
+# -- partitioned (executor-parallel, JetStream-shaped) reader ------------------
+def _pub_range(spool, lo, hi):
+    from node_cdc_nats_spark.sources.nats import spool_publish
+
+    for i in range(lo, hi):
+        spool_publish(
+            spool, i,
+            encode_cdcmsg("p", f"ch/{i}", "json", "http", "", 1, False, f"m{i}".encode()),
+        )
+
+
+def test_partitioned_reader_covers_all_messages(spark, tmp_path):
+    """Every message lands in exactly one of the N filename-hash partitions
+    — complete, duplicate-free multi-partition coverage, with decode
+    running in executor tasks instead of on the driver."""
+    from node_cdc_nats_spark.sources.nats import register_nats_source
+
+    register_nats_source(spark)
+    spool = str(tmp_path / "spool")
+    _pub_range(spool, 0, 20)
+    q = (
+        spark.readStream.format("nats_cdc")
+        .option("spool", spool)
+        .option("partitions", "4")
+        .load()
+        .writeStream.format("memory")
+        .queryName("part_reader_all")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("part_reader_all").collect()
+    assert sorted(bytes(r.payload).decode() for r in rows) == sorted(
+        f"m{i}" for i in range(20)
+    )
+
+
+def test_partitioned_reader_checkpoint_resume(spark, tmp_path):
+    """The per-partition cursors ({pid: last-filename}) are durable: a
+    restart from the same checkpoint drains only messages past each
+    partition's cursor — the JetStream durable-consumer contract."""
+    from node_cdc_nats_spark.sources.nats import register_nats_source
+
+    register_nats_source(spark)
+    spool, ckpt = str(tmp_path / "spool"), str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("nats_cdc")
+            .option("spool", spool)
+            .option("partitions", "3")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    _pub_range(spool, 0, 6)
+    first = drain()
+    assert sorted(bytes(r.payload).decode() for r in first) == [f"m{i}" for i in range(6)]
+
+    _pub_range(spool, 6, 10)
+    second = drain()
+    assert sorted(
+        bytes(r.payload).decode() for r in second
+    ) == sorted(f"m{i}" for i in range(10))
+
+
+def test_partitioned_offsets_are_per_partition():
+    """Unit-level: latestOffset buckets filenames by crc32 % N and
+    partitions() plans work only for partitions whose cursor advanced."""
+    import zlib
+
+    from node_cdc_nats_spark.sources.nats import _make_datasource_cls, spool_publish
+    import tempfile
+
+    spool = tempfile.mkdtemp(prefix="spool_unit_")
+    names = [
+        spool_publish(spool, i, encode_cdcmsg("p", f"c/{i}", "", "", "", 0, False, b"x"))
+        for i in range(12)
+    ]
+    ds = _make_datasource_cls()(options={"spool": spool, "partitions": "4"})
+    reader = ds.streamReader(None)
+    start = reader.initialOffset()
+    end = reader.latestOffset()
+    for key, last in end["last"].items():
+        expect = max(
+            (n for n in names if zlib.crc32(n.encode()) % 4 == int(key)), default=""
+        )
+        assert last == expect
+    parts = reader.partitions(start, end)
+    planned = {p.value[0] for p in parts}
+    assert planned == {int(k) for k, v in end["last"].items() if v}
+    # a second batch with no new files plans nothing
+    assert reader.partitions(end, reader.latestOffset()) == []
