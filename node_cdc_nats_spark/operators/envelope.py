@@ -24,7 +24,7 @@ from ..functions.cdcmsg import decode_col, encode_col
 from ..io import load_table
 from ..registry import register
 from ..sources.nats import register_nats_source
-from ..streaming.source import read_events_stream, run_to_memory
+from ..streaming.source import _ckpt_dir, read_events_stream, run_to_memory
 
 _ENVELOPE_ORACLE = """
     SELECT 'nms' AS publisher,
@@ -90,7 +90,7 @@ def nats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # durable-offset resume test (tests/test_nats_connector.py). 5 batches
     # of Python-datasource writer startup cost ~7s of pure overhead here.
     env_stream = _envelope_cols(read_events_stream(spark, sf_dir, single_batch=True))
-    ckpt = tempfile.mkdtemp(prefix="ckpt_pub_")
+    ckpt = _ckpt_dir()
     pub = (
         env_stream.writeStream.format("nats_cdc")
         .option("spool", spool)

@@ -110,7 +110,17 @@ def read_events_stream(
     return reader.parquet(stage)
 
 
-STREAM_SHUFFLE_PARTITIONS = "4"
+STREAM_SHUFFLE_PARTITIONS = "2"
+
+
+def _ckpt_dir() -> str:
+    """Throwaway checkpoint root for bounded fixture runs: tmpfs when
+    available — every micro-batch commits offset/commit logs + state
+    snapshots with fsync, pure fixed overhead for a checkpoint that is
+    discarded at query end. A durable deployment points
+    checkpointLocation at real storage instead; nothing else changes."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix="ckpt_", dir=base)
 
 
 def run_to_memory(
@@ -132,7 +142,7 @@ def run_to_memory(
     size it to peak keys-per-trigger instead)."""
     spark = stream_df.sparkSession
     name = f"stream_sink_{os.getpid()}_{next(_MEM_SEQ)}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    ckpt = _ckpt_dir()
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # Default "100" if unset — restored either way so a caller's durable
     # streaming queries keep their full recovery history.

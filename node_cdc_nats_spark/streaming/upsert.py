@@ -23,7 +23,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..registry import register
-from .source import read_events_stream
+from .source import _ckpt_dir, read_events_stream
 
 
 def merge_latest(target: DataFrame | None, batch_df: DataFrame) -> DataFrame:
@@ -77,7 +77,7 @@ def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         # real table format would never accumulate).
         state["df"] = merge_latest(state["df"], batch_df).localCheckpoint(eager=True)
 
-    ckpt = tempfile.mkdtemp(prefix="ckpt_upsert_")
+    ckpt = _ckpt_dir()
     q = (
         src.writeStream.foreachBatch(merge)
         .option("checkpointLocation", ckpt)

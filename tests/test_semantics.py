@@ -68,9 +68,14 @@ def test_mqtt_extract_fill_roundtrip(p_segs, t_segs, tail):
     pattern = "/".join(p_segs + ([tail] if tail else []))
     topic = "/".join(t_segs)
     params = exec_params(pattern, topic)
+    names = [s[1:] for s in p_segs + [tail] if s[:1] in "+#" and s[1:]]
     if params is None:
         assert not matches(pattern, topic)
-    elif all(s not in ("+", "#") for s in p_segs + [tail]):
+    elif all(s not in ("+", "#") for s in p_segs + [tail]) and len(names) == len(
+        set(names)
+    ):
+        # distinct names only: a repeated +name overwrites (last wins) in
+        # extract — same as the JS dep — so fill can't reconstruct those.
         assert fill(pattern, params) == topic
 
 
