@@ -66,7 +66,11 @@ def test_green_demotion_lists_are_sound():
     for lst, label in ((_R1_GREEN, "_R1_GREEN"), (_R2_GREEN, "_R2_GREEN")):
         unknown = [n for n in lst if n not in registry.QUERIES]
         assert not unknown, f"{label} names not registered: {unknown}"
-    changed_in_r3 = {"nats_roundtrip", "stream_stream_left_join"}
+    changed_in_r3 = {
+        "nats_roundtrip",
+        "stream_stream_left_join",
+        "dedup_embedding_cosine",
+    }
     demoted = set(_R1_GREEN) | set(_R2_GREEN)
     assert not changed_in_r3 & demoted
     assert changed_in_r3 <= set(_VERIFY_HEAD)
