@@ -47,6 +47,7 @@ HEADLINE = [
     "topk_ngrams",
     "decontaminate_ngram",
     "corpus_vocab_stats",
+    "doc_rarity_score",
     "token_count",
     "sim_topk",
     "ann_lsh_topk",

@@ -397,6 +397,147 @@ def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_temperature",
+    oracle=f"""
+    WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n_lang) AS n_min FROM c),
+    r AS (SELECT lang, n_lang,
+                 CAST(FLOOR(256 * SQRT(CAST(n_min AS DOUBLE) / n_lang)) AS INT)
+                   AS keep_buckets
+          FROM c, m)
+    SELECT d.doc_id, d.lang, r.keep_buckets,
+           CAST({_B256_DUCK.format(hex=_HEX, key='d.doc_id')} AS INT) AS bucket
+    FROM documents d JOIN r USING (lang)
+    WHERE {_B256_DUCK.format(hex=_HEX, key='d.doc_id')} < r.keep_buckets
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced multilingual sampling (alpha = 0.5): each
+    language keeps floor(256*sqrt(n_min/n_lang))/256 of its documents, so
+    high-resource languages are down-sampled toward the rare ones — the
+    standard corpus-rebalancing pass before pre-training. Selection is
+    content-addressed (md5 bucket), so re-runs agree with zero
+    coordination.
+
+    Determinism across engines: n_min/n_lang, sqrt, *256 and floor are
+    each IEEE correctly-rounded, so the bucket threshold is bit-identical
+    in Spark and DuckDB. Scale: the language census is a tiny agg
+    broadcast back to the corpus; the corpus side stays a scan + map-side
+    filter with no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    census = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    n_min = census.agg(F.min("n_lang").alias("n_min"))
+    rates = census.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        F.floor(
+            256 * F.sqrt(F.col("n_min").cast("double") / F.col("n_lang"))
+        )
+        .cast("int")
+        .alias("keep_buckets"),
+    )
+    b = _b256_spark("doc_id")
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .select("doc_id", "lang", "keep_buckets", b.alias("bucket"))
+        .filter(F.col("bucket") < F.col("keep_buckets"))
+    )
+
+
+@register(
+    "doc_rarity_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT({_NORM_DUCK}, ' ')) AS token
+      FROM documents),
+    t2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    cnts AS (SELECT token, COUNT(*) AS cnt FROM t2 GROUP BY token),
+    j AS (SELECT doc_id, cnt FROM t2 JOIN cnts USING (token))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(LENGTH(PRINTF('%b', cnt)) - 1) AS DOUBLE) / COUNT(*)
+             AS mean_zipf,
+           CAST(SUM(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS rare_frac
+    FROM j GROUP BY doc_id
+    """,
+)
+def doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rarity profile against the corpus's own unigram
+    distribution — the language-model-free stand-in for a perplexity
+    quality signal: mean Zipf bucket (floor(log2(corpus count)) of each
+    token, LOW mean = rare vocabulary) and the fraction of tokens whose
+    corpus count is <= 2.
+
+    floor(log2(n)) is computed EXACTLY as binary-digit-count - 1 (Spark
+    `conv(n,10,2)`, DuckDB `PRINTF('%b')`) — integer arithmetic, no libm
+    log whose last-ulp could differ between engines. Scale: token counts
+    are one partial+final hash agg; the count join shuffles on the token
+    key (vocabulary-sized, not corpus-sized, per-partition combine
+    first); the per-doc mean is a second partial+final agg on doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    t2 = (
+        d.select("doc_id", F.explode(F.split(F.expr(_NORM_SPARK), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    cnts = t2.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    j = t2.join(cnts, "token").select("doc_id", "cnt")
+    zipf = F.length(F.conv(F.col("cnt").cast("string"), 10, 2)) - 1
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        (F.sum(zipf).cast("double") / F.count(F.lit(1))).alias("mean_zipf"),
+        (
+            F.sum(F.when(F.col("cnt") <= 2, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("rare_frac"),
+    )
+
+
+@register(
+    "corpus_mix_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, source,
+             LEN(LIST_FILTER(STRING_SPLIT({_NORM_DUCK}, ' '), x -> x <> ''))
+               AS n_toks
+      FROM documents),
+    tot AS (SELECT COUNT(*) AS d_total, SUM(n_toks) AS t_total FROM t)
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT d_total FROM tot) AS doc_share,
+           CAST(SUM(n_toks) AS DOUBLE) / (SELECT t_total FROM tot) AS token_share
+    FROM t GROUP BY lang, source
+    """,
+)
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mix report per (language, source): document and token counts
+    with their shares of the whole corpus — the table a pre-training
+    data card is built from. One partial+final hash agg on the tiny
+    (lang, source) key space plus a broadcast single-row total; shares
+    are single IEEE divisions (deterministic across engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(
+        F.filter(F.split(F.expr(_NORM_SPARK), " "), lambda x: x != "")
+    )
+    t = d.select("lang", "source", n_toks.alias("n_toks"))
+    grouped = t.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+    )
+    tot = t.agg(
+        F.count(F.lit(1)).alias("d_total"), F.sum("n_toks").alias("t_total")
+    )
+    return grouped.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_docs").cast("double") / F.col("d_total")).alias("doc_share"),
+        (F.col("n_tokens").cast("double") / F.col("t_total")).alias("token_share"),
+    )
+
+
+@register(
     "embed_norm_quantize",
     oracle="""
     WITH s AS (
