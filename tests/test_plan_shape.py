@@ -137,3 +137,28 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     # never shuffle for the containment join.
     plan = _plan(spark, "decontaminate_ngram")
     assert "BroadcastHashJoin" in plan
+
+
+def test_sample_temperature_broadcasts_census(spark):
+    # The language census joins back to the corpus as a broadcast; the
+    # corpus side must never shuffle for what is a per-row keep decision.
+    plan = _plan(spark, "sample_temperature")
+    assert "BroadcastHashJoin" in plan
+    # the only exchanges allowed are for the tiny census aggregation,
+    # never a hashpartitioning of the documents relation by doc columns
+    assert "Exchange hashpartitioning(doc_id" not in plan
+
+
+def test_doc_rarity_partial_aggs(spark):
+    # Token counting and the per-doc mean must both partial-aggregate
+    # map-side (two HashAggregates around each exchange).
+    plan = _plan(spark, "doc_rarity_score")
+    assert plan.count("HashAggregate") >= 4
+    assert "Exchange hashpartitioning(token" in plan
+
+
+def test_corpus_mix_report_broadcasts_totals(spark):
+    # Shares divide by a single-row total — broadcast, not a shuffle of
+    # the grouped result against it.
+    plan = _plan(spark, "corpus_mix_report")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
