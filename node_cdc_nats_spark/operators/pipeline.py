@@ -538,6 +538,112 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_shuffle",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST({_B256_DUCK.format(hex=_HEX, key='doc_id')} AS INT) % 8
+               AS shard,
+             MD5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents)
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                AS BIGINT) AS pos
+    FROM s
+    """,
+)
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle of the corpus into training shards:
+    shard = content-addressed md5 bucket mod 8, position within shard =
+    rank by the md5 hex of the key. This is the reproducible
+    "shuffled training order" manifest a pre-training run needs —
+    re-runs, resumes and multi-cluster writers agree on the exact order
+    with zero coordination, unlike rand()-based shuffles.
+
+    Scale: one narrow shuffle on the shard key (shard count is chosen
+    for the cluster, not the data), then an in-partition sort per shard
+    — each shard's window evaluates independently on one executor
+    partition. No global ordering bottleneck: position is per-shard, so
+    no single-partition window exists at any scale."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        (_b256_spark("doc_id") % 8).alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return s.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST({_B256_DUCK.format(hex=_HEX, key='doc_id')} AS INT) % 8
+               AS shard,
+             MD5(CAST(doc_id AS VARCHAR)) AS h,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT({_NORM_DUCK}, ' '),
+                                  x -> x <> '')) AS BIGINT) AS n_toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, shard, n_toks,
+             SUM(n_toks) OVER (PARTITION BY shard ORDER BY h, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT doc_id, shard, n_toks,
+           CAST((cum - n_toks) // 512 AS BIGINT) AS seq_id,
+           CAST((cum - n_toks) % 512 AS BIGINT) AS seq_offset
+    FROM c
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget sequence packing: documents are laid out in the
+    deterministic per-shard shuffle order (same content-addressed order
+    as `corpus_shuffle`) and concatenated into 512-token training
+    sequences — each doc is assigned the sequence its first token lands
+    in (seq_id) and its offset within it. This is the packing manifest
+    that turns a document corpus into fixed-length training examples
+    without a driver-side loop: integer running sum, floor-div, mod —
+    exact on both engines.
+
+    Scale: identical shape to `corpus_shuffle` — one shuffle on the
+    shard key, then an independent in-partition running sum per shard.
+    Token counting is the same normalized whitespace tokenizer as
+    `corpus_mix_report` (map-side, codegen)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(
+        F.filter(F.split(F.expr(_NORM_SPARK), " "), lambda x: x != "")
+    ).cast("long")
+    t = d.select(
+        "doc_id",
+        (_b256_spark("doc_id") % 8).alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        n_toks.alias("n_toks"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.select("doc_id", "shard", "n_toks", F.sum("n_toks").over(w).alias("cum"))
+    start = F.col("cum") - F.col("n_toks")
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_toks",
+        F.expr("(cum - n_toks) div 512").cast("long").alias("seq_id"),
+        (start % 512).cast("long").alias("seq_offset"),
+    )
+
+
+@register(
     "embed_norm_quantize",
     oracle="""
     WITH s AS (

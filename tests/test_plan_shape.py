@@ -157,6 +157,28 @@ def test_doc_rarity_partial_aggs(spark):
     assert "Exchange hashpartitioning(token" in plan
 
 
+def test_corpus_shuffle_single_shard_exchange(spark):
+    # The training-order manifest must be ONE narrow shuffle on the shard
+    # key and a per-shard window — never a global sort (no rangepartitioning)
+    # and never a shuffle of the full document payload.
+    plan = _plan(spark, "corpus_shuffle")
+    assert plan.count("Exchange hashpartitioning(shard") == 1
+    assert "rangepartitioning" not in plan
+    # column pruning: only the key reaches the scan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_pack_sequences_single_shard_exchange(spark):
+    # Same shape: token counts computed map-side BEFORE the one shard
+    # exchange; the running sum is a per-shard window, no global order.
+    plan = _plan(spark, "pack_sequences")
+    assert plan.count("Exchange hashpartitioning(shard") == 1
+    assert "rangepartitioning" not in plan
+    # n_toks is projected below the exchange (map-side), not above it
+    below_exchange = plan.split("Exchange hashpartitioning(shard", 1)[1]
+    assert "size(filter(split" in below_exchange
+
+
 def test_corpus_mix_report_broadcasts_totals(spark):
     # Shares divide by a single-row total — broadcast, not a shuffle of
     # the grouped result against it.
