@@ -1,0 +1,65 @@
+"""Verify driver: vanilla session, cwd outside /root/repo, oracle spot-check.
+
+Mimics the external driver's contract: imports __spark_entry__ from
+/root/repo, runs entry() plus a sample of queries() against their
+oracle_sql() counterparts at sf0.01 via DuckDB.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as ep
+
+SF = os.environ.get("VERIFY_SF_DIR", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# Which queries to check: all by default, or names from argv.
+spark = SparkSession.builder.master("local[8]").getOrCreate()  # VANILLA
+spark.sparkContext.setLogLevel("ERROR")
+
+df = ep.entry(spark)
+n = df.count()
+print(f"entry(): {n} rows, schema ok", flush=True)
+assert n >= 0
+
+qs, os_ = ep.queries(), ep.oracle_sql()
+print(f"{len(qs)} queries, {len(os_)} oracles", flush=True)
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+    )
+
+names = sys.argv[1:] or sorted(qs)
+failed = []
+for name in names:
+    try:
+        sdf = qs[name](spark, SF)
+        srows = sdf.count()
+        if name in os_:
+            orows = con.execute(
+                f"SELECT COUNT(*) FROM ({os_[name]})"
+            ).fetchone()[0]
+            ok = srows == orows
+        else:
+            orows, ok = None, srows >= 0
+        status = "OK " if ok else "ROWS-MISMATCH"
+        if not ok:
+            failed.append(name)
+        print(f"{status} {name}: spark={srows} oracle={orows}", flush=True)
+    except Exception as e:
+        failed.append(name)
+        msg = str(e).splitlines()[0][:160]
+        print(f"ERR {name}: {msg}", flush=True)
+
+print(f"\n{len(names) - len(failed)}/{len(names)} ok; failed: {failed}")
+sys.exit(1 if failed else 0)
