@@ -37,6 +37,15 @@ _PAIR_CACHE: dict[str, "DataFrame"] = {}
 # boilerplate) and are dropped from the intersection on BOTH the Spark and
 # oracle sides, bounding any bucket at CAP²/2 pairs.
 NGRAM_DF_CAP = 64
+# Per-(band, minhash) bucket cardinality cap: in-bucket pair generation is
+# quadratic in bucket size, so a degenerate corpus (hundreds of identical
+# or near-identical docs → identical signatures → one bucket) would
+# concentrate d·(d-1)/2 pairs on a single reducer row in EVERY band.
+# Buckets above the cap are dropped from candidate generation (mirrored in
+# the oracle's HAVING); the pairs they carried are exact-or-near-exact
+# duplicates that dedup_exact already catches with a linear hash-groupBy —
+# run exact dedup first, as every production pipeline does.
+MINHASH_BUCKET_CAP = 256
 SIMHASH_BITS = 60
 SIMHASH_CHUNKS = 5  # 5 × 12-bit chunks → exact recall for hamming ≤ 4
 HAMMING_MAX = 4
@@ -291,10 +300,13 @@ def _sql_minhash_band_union() -> str:
     oracle=f"""
     WITH sh_docs AS ({_SQL_HASHED_SHINGLED_DOCS}),
     bands AS ({_sql_minhash_band_union()}),
+    kept AS (SELECT band, mh FROM bands GROUP BY band, mh
+             HAVING COUNT(*) BETWEEN 2 AND {MINHASH_BUCKET_CAP}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id),
+      FROM bands a
+      JOIN kept k ON a.band = k.band AND a.mh = k.mh
+      JOIN bands b ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id),
     verified AS (
       SELECT doc_a, doc_b,
              CAST(LEN(LIST_INTERSECT(sa.hl, sb.hl)) AS DOUBLE)
@@ -311,7 +323,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, value) → exact-Jaccard verification ≥ 0.5.
 
     The all-pairs Jaccard matrix never materializes: candidates come from
-    the band shuffle, so cost scales with collisions, not n².
+    the band shuffle, so cost scales with collisions, not n² — and any
+    single band-bucket is bounded at MINHASH_BUCKET_CAP docs (cap mirrored
+    in the oracle's HAVING), so a degenerate many-identical-docs corpus
+    cannot make one bucket quadratic; those documents are exact duplicates
+    and belong to dedup_exact's linear pass.
 
     Verification intersects the HASHED shingle sets (long arrays) rather
     than the string shingles: same cardinalities (md5-60bit is
@@ -330,7 +346,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         bands.groupBy("band", "mh")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") >= 2)
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= MINHASH_BUCKET_CAP))
     )
     cand = (
         buckets.select(F.explode(bucket_pairs(F.col("ds"))).alias("p"))
@@ -482,10 +498,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_a, doc_b FROM (
         WITH sh_docs AS ({_SQL_HASHED_SHINGLED_DOCS}),
         bands AS ({_sql_minhash_band_union()}),
+        kept AS (SELECT band, mh FROM bands GROUP BY band, mh
+                 HAVING COUNT(*) BETWEEN 2 AND {MINHASH_BUCKET_CAP}),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id),
+          FROM bands a
+          JOIN kept k ON a.band = k.band AND a.mh = k.mh
+          JOIN bands b ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id),
         verified AS (
           SELECT doc_a, doc_b,
                  CAST(LEN(LIST_INTERSECT(sa.hl, sb.hl)) AS DOUBLE)

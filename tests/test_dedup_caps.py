@@ -1,0 +1,57 @@
+"""Degenerate-corpus guards for the bucketed dedup operators.
+
+A corpus with hundreds of identical documents puts them all in the same
+(band, minhash) bucket in EVERY band; without a cap, in-bucket pair
+generation goes quadratic on one reducer row. The cap drops such buckets —
+those documents are exact duplicates and dedup_exact's linear hash-groupBy
+is the operator responsible for them.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from node_cdc_nats_spark.operators.dedup import (
+    MINHASH_BUCKET_CAP,
+    dedup_exact,
+    dedup_minhash,
+)
+
+N_COPIES = 500
+COPY_TEXT = (
+    "the quick brown fox jumps over the lazy dog near the quiet river bank "
+    "while the morning sun rises slowly over the distant green hills"
+)
+NEAR_A = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+NEAR_B = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+
+
+@pytest.fixture(scope="module")
+def degenerate_dir(spark, tmp_path_factory):
+    """Fixture dir with 500 identical docs + one genuine near-dup pair."""
+    rows = [(i, COPY_TEXT, "en", "copies", len(COPY_TEXT)) for i in range(N_COPIES)]
+    rows.append((1000, NEAR_A, "en", "pair", len(NEAR_A)))
+    rows.append((1001, NEAR_B, "en", "pair", len(NEAR_B)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = tmp_path_factory.mktemp("degenerate")
+    df.coalesce(1).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+    return str(out)
+
+
+def test_minhash_bucket_cap_bounds_degenerate_corpus(spark, degenerate_dir):
+    assert N_COPIES > MINHASH_BUCKET_CAP  # the scenario actually trips the cap
+    pairs = dedup_minhash(spark, degenerate_dir).collect()
+    # The 500-copy cluster would contribute 500*499/2 ≈ 125k pairs without
+    # the cap; with it, candidate generation stays bounded far below that.
+    assert len(pairs) < MINHASH_BUCKET_CAP
+    copy_pairs = [p for p in pairs if p.doc_a < N_COPIES and p.doc_b < N_COPIES]
+    assert copy_pairs == []
+    # The genuine near-dup pair still comes through the capped plan.
+    assert any(p.doc_a == 1000 and p.doc_b == 1001 for p in pairs)
+
+
+def test_exact_dedup_owns_the_capped_duplicates(spark, degenerate_dir):
+    groups = {r.keep_doc_id: r.n_copies for r in dedup_exact(spark, degenerate_dir).collect()}
+    assert groups[0] == N_COPIES  # linear pass catches what the cap dropped
