@@ -87,6 +87,28 @@ def sql_cosine_pre(a_expr: str, b_expr: str, na_expr: str, nb_expr: str) -> str:
     return f"{sql_dot_exact(a_expr, b_expr)} / ({na_expr} * {nb_expr})"
 
 
+def d2_exact(a: Column, b: Column) -> Column:
+    """Left-fold squared euclidean distance — same fixed evaluation order as
+    :func:`dot_exact`, so bit-identical to the DuckDB mirror."""
+    diffs = F.zip_with(
+        a, b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def sql_d2_exact(a_expr: str, b_expr: str, dim: int = DIM) -> str:
+    """DuckDB mirror of :func:`d2_exact` (same left-to-right fold)."""
+    return (
+        f"LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), "
+        f"LIST_TRANSFORM(RANGE({dim}), i -> "
+        f"(CAST({a_expr}[i+1] AS DOUBLE) - CAST({b_expr}[i+1] AS DOUBLE)) * "
+        f"(CAST({a_expr}[i+1] AS DOUBLE) - CAST({b_expr}[i+1] AS DOUBLE)))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
 # -- hyperplane LSH bucket -----------------------------------------------------
 def _plane_lit(p: int) -> Column:
     return F.array(*[F.lit(v) for v in PLANES[p]])
@@ -346,20 +368,137 @@ def _assign_cells(df: DataFrame, cent: "list[list[float]]") -> DataFrame:
     return df.withColumn("cell", _assign(F.col("embedding")))
 
 
-@register("ann_ivf_topk")  # iterative (k-means) => rows-only driver check;
-                           # recall vs exact search asserted in pytest
+IVF_K = 16
+IVF_NPROBE = 4
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS ce
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {IVF_K})),
+    asg AS (
+      SELECT e.vec_id, e.embedding, {sql_norm('e.embedding')} AS nrm, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {sql_d2_exact('e.embedding', 'c.ce')}, c.cell) AS rn
+      FROM embeddings e CROSS JOIN cent c),
+    cells AS (SELECT vec_id, embedding, nrm, cell FROM asg WHERE rn = 1),
+    probe AS (
+      SELECT e.vec_id AS qid, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {sql_d2_exact('e.embedding', 'c.ce')}, c.cell) AS rn
+      FROM embeddings e CROSS JOIN cent c
+      WHERE e.vec_id < 5),
+    q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn
+          FROM cells WHERE vec_id < 5),
+    scored AS (
+      SELECT p.qid, k.vec_id AS cid,
+             {sql_cosine_pre('q.qe', 'k.embedding', 'q.qn', 'k.nrm')} AS score
+      FROM probe p
+      JOIN cells k ON k.cell = p.cell AND k.vec_id >= 5
+      JOIN q ON q.qid = p.qid
+      WHERE p.rn <= {IVF_NPROBE}),
+    ranked AS (
+      SELECT qid, cid, score,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+      FROM scored)
+    SELECT qid, cid, score FROM ranked WHERE rn <= {TOP_K}
+    """,
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with learned coarse centroids: 2 Lloyd iterations of k-means
+    """IVF ANN with FIXED coarse centroids (the K lowest vec_ids): build the
+    inverted file by nearest-centroid assignment, probe the NPROBE nearest
+    cells per query, brute-force only those candidate lists.
+
+    Fixed centroids make the whole operator deterministic and
+    SQL-expressible, so the driver hash-checks it like any other op (the
+    learned-centroid variant, :func:`ann_ivf_topk_learned`, keeps the
+    2-round Lloyd refinement and is recall-gated in pytest instead).
+
+    Scale plan: the K×D centroid matrix is collected once (tiny) and
+    embedded as double literals, so cell assignment is a map-side
+    projection — K left-fold distances per row folded through ``array_min``
+    on (d2, cell) structs, which reproduces the oracle's (d2, cell)
+    window-ordering tiebreak without shuffling the n×K cross join a window
+    would need. Probing is the same expression on the 5 query rows; only
+    the probed cells' candidates reach the top-k window."""
+    em = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    # K lowest vec_ids as centroids: K×D floats to the driver, embedded as
+    # exact double literals (float32 → double widening is lossless, and
+    # Python float repr round-trips, so Spark and DuckDB fold identical
+    # IEEE doubles).
+    cents = [
+        [float(v) for v in r.embedding]
+        for r in em.orderBy("vec_id").limit(IVF_K).collect()
+    ]
+
+    def cent_lit(c: int) -> Column:
+        return F.array(*[F.lit(v) for v in cents[c]])
+
+    def d2_structs() -> Column:
+        return F.array(*[
+            F.struct(
+                d2_exact(F.col("embedding"), cent_lit(c)).alias("d2"),
+                F.lit(c).alias("cell"),
+            )
+            for c in range(IVF_K)
+        ])
+
+    # Nearest cell: struct ordering is (d2, cell) — exactly the oracle's
+    # ORDER BY d2, cell tiebreak.
+    cells = em.select(
+        "vec_id", "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+        F.array_min(d2_structs())["cell"].alias("cell"),
+    )
+    qp = (
+        em.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.explode(
+                F.slice(F.array_sort(d2_structs()), 1, IVF_NPROBE)["cell"]
+            ).alias("cell"),
+        )
+    )
+    q = cells.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cand = (
+        cells.filter(F.col("vec_id") >= 5)
+        .join(F.broadcast(qp), "cell")
+        .join(F.broadcast(q), "qid")
+    )
+    scored = cand.select(
+        "qid",
+        F.col("vec_id").alias("cid"),
+        cosine_pre(F.col("qe"), F.col("embedding"), F.col("qn"), F.col("nrm")).alias(
+            "score"
+        ),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "cid", "score")
+    )
+
+
+def ann_ivf_topk_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with LEARNED coarse centroids: 2 Lloyd iterations of k-means
     (K=16) build the inverted file, queries probe the 4 nearest cells and
     brute-force only those candidate lists.
 
-    The iterative pattern at scale: per-iteration work is one map-side
-    assignment (pandas_udf, centroids broadcast by value) plus one
+    Not registered with the driver: 2-iteration k-means is not
+    SQL-expressible, so its quality gate is the pytest recall floor against
+    exact search. The iterative pattern at scale: per-iteration work is one
+    map-side assignment (pandas_udf, centroids broadcast by value) plus one
     aggregation of per-dimension sums — K×D numbers to the driver, never
-    the vectors. Probing turns the exact scan into a candidate scan of
-    ~nprobe/K of the corpus; recall against the exact top-k is asserted in
-    tests (rows-only at the driver because 2-iteration k-means is not
-    SQL-expressible)."""
+    the vectors."""
     K, N_ITER, NPROBE = 16, 2, 4
     em = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     import numpy as np

@@ -37,76 +37,82 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# Ops with a fully green row (rows+schema+hash) in CORRECTNESS_r01.json
-# AND whose query/oracle output is unchanged since — the driver verifies in
-# registration order and round 1's run stopped at exactly 50 entries, so
-# these proven ops yield their early slots to the ops that still need a
-# first green row. NOT listed despite r1 green, because round 2 changed
-# their outputs (de-vacuating empty results): q5_local_supplier_volume,
-# join_anti, except_distinct — their r1 rows verified the OLD definitions.
-_R1_GREEN = (
-    "agg_avg", "agg_count", "agg_cube", "agg_distinct", "agg_grouping_sets",
-    "agg_min_max", "agg_multi", "agg_pivot", "agg_rollup", "agg_stats",
-    "agg_sum", "bounded_subscription", "date_ops",
-    "fanout_dispatch", "filter_channel", "filter_predicate", "intersect",
-    "join_bucketed", "join_cross", "join_full", "join_inner",
-    "join_left", "join_range", "join_right", "join_semi", "join_skew_salted",
-    "join_theta", "json_extract", "json_schema_projection", "limit",
-    "math_ops", "project", "q1_pricing_summary", "q3_shipping_priority",
-    "sort", "str_ops", "topk", "topk_per_group",
-    "union_all", "union_distinct", "win_frame_sliding", "win_lag_lead",
-    "win_percent", "win_rank", "win_running",
-)
-
-
-# Ops with a fully green row in CORRECTNESS_r02.json whose query/oracle
-# output is unchanged since — demoted to the late block so round 3's 50
-# driver slots reach the ops that have never been verified (the whole
-# pipeline.py module, join_asof, map_ops, scan_json, scan_schema_evolution,
-# sink_compacted, agg_quantiles, q10, win_ntile, scan_partition_pruned).
-# NOT listed despite r2 green, because round 3 changes their
-# implementation: nats_roundtrip (partitioned JetStream-shaped reader),
-# stream_stream_left_join (streaming-native finalization horizon) — both
-# sit in _VERIFY_HEAD instead.
-_R2_GREEN = (
-    "array_ops", "cdc_encode_decode", "q5_local_supplier_volume",
-    "join_anti", "except_distinct", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_minhash", "dedup_simhash", "dedup_clusters", "sim_topk",
-    "ann_lsh_topk", "embed_knn", "text_stats",
-    "lang_id", "token_count", "quality_score", "doc_fingerprint",
-    "text_normalize", "text_embed_hash", "multimodal_meta",
-    "multimodal_frame_sample", "multimodal_features", "multimodal_resize",
-    "udf_scalar", "udf_grouped", "udf_grouped_agg", "udtf_tokens",
-    "cdc_upsert_latest", "cdc_changelog", "rpc_first_response",
-    "rpc_first_response_processed", "cdc_scd2",
-    "stream_bounded_subscription", "stream_stream_join", "stream_rpc_state",
-    "stream_upsert", "stream_tumble", "stream_slide", "stream_session",
-    "stream_watermark", "stream_dedup", "scan_parquet", "scan_stream",
-    "sink_parquet", "sink_memory", "scan_csv",
-)
-
-
-# Absolute head of the verification order, most-critical first: ops whose
-# implementation or output changes in round 3, so their prior green rows
-# verified old definitions and they need a fresh verdict.
+# Absolute head of round 4's verification order. Two groups, most-critical
+# first: (a) every op that ERRed in CORRECTNESS_r03 — all victims of the
+# events-loader fixture drift (fixed in io.py this round), seven of which
+# have NEVER had a green row because r3 was their first verification slot;
+# (b) ops whose definition changed in round 4 (ann_ivf_topk gained a
+# deterministic fixed-centroid oracle; dedup_minhash/dedup_clusters gained
+# the MINHASH_BUCKET_CAP, mirrored in their oracles), so their r3 greens
+# verified old definitions.
 _VERIFY_HEAD = (
-    "agg_approx_distinct",  # r3: redefined hash-checkable (error-gate cols)
-    "agg_approx_quantiles",  # r3: redefined hash-checkable (error-gate cols)
-    "nats_roundtrip",  # r3: executor-parallel partitioned reader
-    "stream_stream_left_join",  # r3: streaming-native finalization horizon
-    "dedup_embedding_cosine",  # r3: de-vacuated (threshold fires on fixture)
+    # (a) never-green: r3 was their first slot and the loader bug ate it
+    "agg_quantiles", "agg_approx_quantiles", "channel_params", "join_asof",
+    "map_ops", "scan_schema_evolution", "sink_compacted",
+    # (a) r3-redefined, erred in r3 on the loader
+    "nats_roundtrip", "stream_stream_left_join", "cdc_encode_decode",
+    "except_distinct",
+    # (a) erred in r3 on the loader
+    "scan_partition_pruned",
+    # (b) r4-redefined
+    "ann_ivf_topk", "dedup_minhash", "dedup_clusters",
 )
-# Rows-only ops can never earn a hash-green row — they go right before the
-# green blocks so hash-checkable ops never lose a budget slot to them.
-_ROWS_ONLY_LATE = ("ann_ivf_topk",)
+
+
+# r1/r2 greens that READ EVENTS: the r3 fixture drift falsified those rows
+# (the loader failed analysis), so with the loader fixed they need a fresh
+# green against the CURRENT fixture before their status is trustworthy.
+_STALE_FIXTURE_GREEN = (
+    "scan_stream", "sink_parquet", "sink_memory", "filter_channel",
+    "rpc_first_response", "rpc_first_response_processed", "agg_avg",
+    "agg_min_max", "win_lag_lead", "win_running", "union_all",
+    "union_distinct", "intersect", "json_extract", "stream_watermark",
+    "stream_tumble", "stream_slide", "stream_session", "stream_dedup",
+    "stream_rpc_state", "stream_bounded_subscription", "stream_upsert",
+    "stream_stream_join", "cdc_upsert_latest", "cdc_changelog", "cdc_scd2",
+    "fanout_dispatch", "bounded_subscription",
+)
+
+
+# Greens whose inputs never drifted, oldest evidence first — re-verified
+# only when budget reaches them. r1/r2 rows here verified non-events ops on
+# fixtures identical to today's; r3 rows are the freshest and go last.
+_R1_GREEN_SAFE = (
+    "agg_count", "agg_cube", "agg_distinct", "agg_grouping_sets",
+    "agg_multi", "agg_pivot", "agg_rollup", "agg_stats", "agg_sum",
+    "date_ops", "filter_predicate", "join_bucketed", "join_cross",
+    "join_full", "join_inner", "join_left", "join_range", "join_right",
+    "join_semi", "join_skew_salted", "join_theta",
+    "json_schema_projection", "limit", "math_ops", "project",
+    "q1_pricing_summary", "q3_shipping_priority", "sort", "str_ops",
+    "topk", "topk_per_group", "win_frame_sliding", "win_percent",
+    "win_rank",
+)
+_R2_GREEN_SAFE = (
+    "multimodal_meta", "multimodal_frame_sample", "multimodal_features",
+    "multimodal_resize", "udf_scalar", "udf_grouped", "udf_grouped_agg",
+    "udtf_tokens", "scan_parquet", "scan_csv",
+)
+_R3_GREEN = (
+    "agg_approx_distinct", "dedup_embedding_cosine", "scan_json",
+    "train_val_split", "sample_stratified", "quality_filter_gopher",
+    "topk_ngrams", "decontaminate_ngram", "repetition_ratio", "pii_redact",
+    "corpus_vocab_stats", "sample_temperature", "doc_rarity_score",
+    "corpus_mix_report", "corpus_shuffle", "pack_sequences",
+    "embed_norm_quantize", "q10_returned_items", "win_ntile", "array_ops",
+    "q5_local_supplier_volume", "join_anti", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_simhash", "sim_topk", "ann_lsh_topk",
+    "embed_knn", "text_stats", "lang_id", "token_count", "quality_score",
+    "doc_fingerprint", "text_normalize", "text_embed_hash",
+)
 
 
 def load_all() -> None:
     """Import every operator module so registrations run, then order the
-    registry for the driver's budgeted walk: _VERIFY_HEAD first, then all
-    ops needing their first green row (registration order), then rows-only
-    ops, then round-2- and round-1-green ops (re-verified only if budget
-    reaches them)."""
+    registry for the driver's budgeted walk (50 verification slots per
+    round, head first): r3 errs + r4-redefined ops, then the
+    events-touching greens the fixture drift falsified, then anything
+    without a listed status, then proven greens oldest-evidence-first."""
     from .operators import (  # noqa: F401
         dedup,
         similarity,
@@ -125,12 +131,24 @@ def load_all() -> None:
         relational,
         window,
     )
-    ordered = [n for n in _VERIFY_HEAD if n in QUERIES]
-    late = set(_ROWS_ONLY_LATE) | set(_R1_GREEN) | set(_R2_GREEN)
-    ordered += [n for n in QUERIES if n not in ordered and n not in late]
-    ordered += [n for n in _ROWS_ONLY_LATE if n in QUERIES]
-    ordered += [n for n in _R2_GREEN if n in QUERIES]
-    ordered += [n for n in _R1_GREEN if n in QUERIES]
+    blocks = (
+        _VERIFY_HEAD,
+        _STALE_FIXTURE_GREEN,
+        tuple(QUERIES),  # anything unlisted, in registration order
+        _R1_GREEN_SAFE,
+        _R2_GREEN_SAFE,
+        _R3_GREEN,
+    )
+    listed = set(_VERIFY_HEAD) | set(_STALE_FIXTURE_GREEN) | set(
+        _R1_GREEN_SAFE
+    ) | set(_R2_GREEN_SAFE) | set(_R3_GREEN)
+    ordered: list[str] = []
+    for block in blocks:
+        for n in block:
+            if n in QUERIES and n not in ordered:
+                if block is blocks[2] and n in listed:
+                    continue
+                ordered.append(n)
     reordered = {n: QUERIES[n] for n in ordered}
     QUERIES.clear()
     QUERIES.update(reordered)

@@ -191,18 +191,22 @@ def test_stream_rpc_subset_of_batch(spark):
     assert len(s) > 0
 
 
-# -- IVF ANN: quality gate beyond the rows-only driver check -------------------
+# -- IVF ANN: recall floors vs exact search (the registered fixed-centroid
+# op is additionally hash-checked by the driver; the learned k-means
+# variant is pytest-only because 2-round Lloyd is not SQL-expressible).
 def test_ivf_recall_vs_exact(spark):
+    from node_cdc_nats_spark.operators.similarity import ann_ivf_topk_learned
+
     exact = {
         (r.qid, r.cid)
         for r in registry.QUERIES["sim_topk"](spark, SF_DIR).collect()
     }
-    approx = {
-        (r.qid, r.cid)
-        for r in registry.QUERIES["ann_ivf_topk"](spark, SF_DIR).collect()
-    }
-    recall = len(exact & approx) / len(exact)
-    assert recall >= 0.6, f"IVF recall {recall:.2f} below floor"
+    for variant in (registry.QUERIES["ann_ivf_topk"], ann_ivf_topk_learned):
+        approx = {(r.qid, r.cid) for r in variant(spark, SF_DIR).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.6, (
+            f"IVF recall {recall:.2f} below floor ({variant.__name__})"
+        )
 
 
 # -- approx distinct: the r3 hash-verifiable shape — exact counts match a

@@ -58,44 +58,52 @@ def test_inventory_is_substantial():
 
 
 def test_green_demotion_lists_are_sound():
-    # Every demoted name must actually exist (a typo would silently waste a
-    # head slot), and ops whose implementation changed in round 3 must NOT
-    # be demoted — their prior green rows verified the old definitions.
-    from node_cdc_nats_spark.registry import _R1_GREEN, _R2_GREEN, _VERIFY_HEAD
+    # Every listed name must actually exist (a typo would silently waste a
+    # head slot), ops whose definition changed in round 4 must sit in the
+    # head (their prior green rows verified old definitions), and the
+    # status lists must partition the registry exactly.
+    from node_cdc_nats_spark.registry import (
+        _R1_GREEN_SAFE,
+        _R2_GREEN_SAFE,
+        _R3_GREEN,
+        _STALE_FIXTURE_GREEN,
+        _VERIFY_HEAD,
+    )
 
-    for lst, label in ((_R1_GREEN, "_R1_GREEN"), (_R2_GREEN, "_R2_GREEN")):
+    lists = (
+        (_VERIFY_HEAD, "_VERIFY_HEAD"),
+        (_STALE_FIXTURE_GREEN, "_STALE_FIXTURE_GREEN"),
+        (_R1_GREEN_SAFE, "_R1_GREEN_SAFE"),
+        (_R2_GREEN_SAFE, "_R2_GREEN_SAFE"),
+        (_R3_GREEN, "_R3_GREEN"),
+    )
+    seen: set[str] = set()
+    for lst, label in lists:
         unknown = [n for n in lst if n not in registry.QUERIES]
         assert not unknown, f"{label} names not registered: {unknown}"
-    changed_in_r3 = {
-        "nats_roundtrip",
-        "stream_stream_left_join",
-        "dedup_embedding_cosine",
-    }
-    demoted = set(_R1_GREEN) | set(_R2_GREEN)
-    assert not changed_in_r3 & demoted
-    assert changed_in_r3 <= set(_VERIFY_HEAD)
+        dup = seen & set(lst)
+        assert not dup, f"{label} repeats names from earlier lists: {dup}"
+        seen |= set(lst)
+    assert seen == set(registry.QUERIES), (
+        f"unlisted: {set(registry.QUERIES) - seen}; stale: {seen - set(registry.QUERIES)}"
+    )
+    changed_in_r4 = {"ann_ivf_topk", "dedup_minhash", "dedup_clusters"}
+    assert changed_in_r4 <= set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
     names = list(registry.QUERIES)
-    assert names[: len(_VERIFY_HEAD)] == [n for n in _VERIFY_HEAD if n in registry.QUERIES]
+    assert names[: len(_VERIFY_HEAD)] == list(_VERIFY_HEAD)
 
 
-def test_never_verified_ops_precede_green_reverification():
-    # The point of the r3 reorder: every op that has never held a driver
-    # verdict must sit inside the driver's 50-slot budget, ahead of all
-    # green re-verification entries.
-    from node_cdc_nats_spark.registry import _R1_GREEN, _R2_GREEN
+def test_unproven_ops_fit_the_driver_budget():
+    # The point of the r4 reorder: every op without a trustworthy green row
+    # on the CURRENT fixture (r3 errs, r4-redefined, and the events greens
+    # the fixture drift falsified) must sit inside the driver's 50-slot
+    # budget, ahead of all green re-verification entries.
+    from node_cdc_nats_spark.registry import _STALE_FIXTURE_GREEN, _VERIFY_HEAD
 
     names = list(registry.QUERIES)
-    never_verified = [
-        n
-        for n in names
-        if n not in set(_R1_GREEN) | set(_R2_GREEN)
-    ]
-    first_green = min(
-        names.index(n) for n in names if n in set(_R1_GREEN) | set(_R2_GREEN)
-    )
-    worst_unverified = max(names.index(n) for n in never_verified)
-    assert worst_unverified < first_green
-    assert worst_unverified < 50, (
-        f"{len(never_verified)} never-verified ops exceed the 50-slot budget"
-    )
+    unproven = set(_VERIFY_HEAD) | set(_STALE_FIXTURE_GREEN)
+    worst = max(names.index(n) for n in unproven)
+    assert worst < 50, f"{len(unproven)} unproven ops exceed the 50-slot budget"
+    first_proven = min(names.index(n) for n in names if n not in unproven)
+    assert worst < first_proven
