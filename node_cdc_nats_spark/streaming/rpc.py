@@ -92,74 +92,92 @@ def _make_rpc_state_fn(res_process=None):
     closure, so arbitrary user callables ship to the executors."""
 
     def _rpc_state_fn(key, pdfs, state: GroupState):
+        import numpy as np
         import pandas as pd
 
         TIMEOUT_US = 10 * 60 * 1_000_000
         if state.exists:
-            st = [list(a) for a in state.get]
+            st = [np.asarray(a, dtype=np.int64) for a in state.get]
         else:
-            st = [[], [], [], [], [], []]
+            st = [np.empty(0, dtype=np.int64)] * 6
         req_users, req_ids, req_ts, resp_users, resp_ids, resp_ts = st
 
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            ts_us = pdf["ts"].astype("int64") // 1000  # datetime64[ns] -> us
+        new = [pdf for pdf in pdfs if len(pdf)]
+        if new:
+            pdf = pd.concat(new, ignore_index=True) if len(new) > 1 else new[0]
+            ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()  # ns -> us
             is_req = (pdf["event_type"] == "click").to_numpy()
-            req_users.extend(pdf["user_id"].to_numpy()[is_req].tolist())
-            req_ids.extend(pdf["event_id"].to_numpy()[is_req].tolist())
-            req_ts.extend(ts_us.to_numpy()[is_req].tolist())
-            resp_users.extend(pdf["user_id"].to_numpy()[~is_req].tolist())
-            resp_ids.extend(pdf["event_id"].to_numpy()[~is_req].tolist())
-            resp_ts.extend(ts_us.to_numpy()[~is_req].tolist())
+            uid = pdf["user_id"].to_numpy()
+            eid = pdf["event_id"].to_numpy()
+            req_users = np.concatenate([req_users, uid[is_req]])
+            req_ids = np.concatenate([req_ids, eid[is_req]])
+            req_ts = np.concatenate([req_ts, ts_us[is_req]])
+            resp_users = np.concatenate([resp_users, uid[~is_req]])
+            resp_ids = np.concatenate([resp_ids, eid[~is_req]])
+            resp_ts = np.concatenate([resp_ts, ts_us[~is_req]])
 
         wm_us = state.getCurrentWatermarkMs() * 1000
-        by_user: dict[int, list[tuple[int, int]]] = {}
-        for u, pid, pts in zip(resp_users, resp_ids, resp_ts):
-            by_user.setdefault(u, []).append((pts, pid))
+        deadline = req_ts + TIMEOUT_US
+        decide = deadline <= wm_us  # every response <= deadline has arrived
 
-        out_req, out_resp, out_code = [], [], []
-        still = ([], [], [])
-        for u, rid, rts in zip(req_users, req_ids, req_ts):
-            deadline = rts + TIMEOUT_US
-            if deadline <= wm_us:
-                # Decidable: every response <= deadline has arrived.
-                best = None
-                for pts, pid in by_user.get(u, ()):
-                    if rts <= pts <= deadline and (best is None or (pts, pid) < best):
-                        best = (pts, pid)
-                out_req.append(rid)
-                out_resp.append(None if best is None else best[1])
-                out_code.append(408 if best is None else 200)
-            else:
-                still[0].append(u)
-                still[1].append(rid)
-                still[2].append(rts)
-
-        keep = [
-            (u, pid, pts)
-            for u, pid, pts in zip(resp_users, resp_ids, resp_ts)
-            if pts + TIMEOUT_US >= wm_us
-        ]
-        resp_users = [u for u, _, _ in keep]
-        resp_ids = [p for _, p, _ in keep]
-        resp_ts = [t for _, _, t in keep]
-
-        if still[0] or resp_ids:
-            state.update(
-                (still[0], still[1], still[2], resp_users, resp_ids, resp_ts)
+        out = None
+        if decide.any():
+            # First-response-wins as a vectorized per-user forward as-of
+            # match: responses deduped to the min resp_id per (user, ts)
+            # (the (ts, id) tie-break), then merge_asof picks the nearest
+            # response with rts <= pts <= rts + TIMEOUT for each request.
+            q = pd.DataFrame(
+                {
+                    "user": req_users[decide],
+                    "ts": req_ts[decide],
+                    "req_id": req_ids[decide],
+                }
+            ).sort_values("ts", kind="mergesort")
+            r = (
+                pd.DataFrame(
+                    {"user": resp_users, "ts": resp_ts, "resp_id": resp_ids}
+                )
+                .sort_values(["ts", "resp_id"], kind="mergesort")
+                .drop_duplicates(["user", "ts"], keep="first")
             )
-            if still[1]:
+            m = pd.merge_asof(
+                q, r, on="ts", by="user",
+                direction="forward", tolerance=TIMEOUT_US,
+            )
+            out = pd.DataFrame(
+                {
+                    "req_id": m["req_id"],
+                    "resp_id": m["resp_id"],
+                    "code": np.where(m["resp_id"].notna(), 200, 408),
+                }
+            ).astype({"req_id": "int64", "resp_id": "float64", "code": "int32"})
+
+        # Prune: a response older than one timeout horizon below the
+        # watermark can serve no undecided or future request.
+        keep_r = resp_ts + TIMEOUT_US >= wm_us
+        resp_users, resp_ids, resp_ts = (
+            resp_users[keep_r], resp_ids[keep_r], resp_ts[keep_r],
+        )
+        pend = ~decide
+        req_users, req_ids, req_ts = (
+            req_users[pend], req_ids[pend], req_ts[pend],
+        )
+
+        if len(req_ids) or len(resp_ids):
+            state.update(
+                (
+                    req_users.tolist(), req_ids.tolist(), req_ts.tolist(),
+                    resp_users.tolist(), resp_ids.tolist(), resp_ts.tolist(),
+                )
+            )
+            if len(req_ts):
                 state.setTimeoutTimestamp(
-                    min(t + TIMEOUT_US for t in still[2]) // 1000
+                    int(req_ts.min() + TIMEOUT_US) // 1000
                 )
         else:
             state.remove()
 
-        if out_req:
-            out = pd.DataFrame(
-                {"req_id": out_req, "resp_id": out_resp, "code": out_code}
-            ).astype({"req_id": "int64", "resp_id": "float64", "code": "int32"})
+        if out is not None and len(out):
             if res_process is not None:
                 won = out["code"] == 200
                 if won.any():
