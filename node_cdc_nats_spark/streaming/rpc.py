@@ -106,7 +106,7 @@ def _make_rpc_state_fn(res_process=None):
         if new:
             pdf = pd.concat(new, ignore_index=True) if len(new) > 1 else new[0]
             ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()  # ns -> us
-            is_req = (pdf["event_type"] == "click").to_numpy()
+            is_req = pdf["is_req"].to_numpy()
             uid = pdf["user_id"].to_numpy()
             eid = pdf["event_id"].to_numpy()
             req_users = np.concatenate([req_users, uid[is_req]])
@@ -227,9 +227,14 @@ def stream_rpc_state(spark: SparkSession, sf_dir: str, res_process=None) -> Data
     request's deadline; requests the final watermark never reaches are
     still pending and emit nothing, which the oracle's WHERE mirrors."""
     src = read_events_stream(spark, sf_dir)
+    # Request/response classification happens JVM-side so only a boolean
+    # (not the event_type string) crosses the state shuffle and Arrow.
     flow = (
         src.filter(F.col("event_type").isin("click", "purchase", "signup"))
-        .select("event_id", "ts", "user_id", "event_type")
+        .select(
+            "event_id", "ts", "user_id",
+            (F.col("event_type") == "click").alias("is_req"),
+        )
         .withColumn("shard", F.pmod(F.hash("user_id"), F.lit(N_SHARDS)))
     )
     decided = (

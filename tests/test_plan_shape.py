@@ -42,11 +42,13 @@ def test_q1_partial_aggregation(spark):
     assert "Exchange hashpartitioning" in plan
 
 
-def test_fanout_broadcasts_subscription_registry(spark):
-    # The sub registry is tiny; the event side is the 100 TB side. The theta
-    # join must be a broadcast nested loop, never a shuffle of events.
+def test_fanout_is_map_side_only(spark):
+    # The sub registry is tiny and driver-known; dispatch embeds it as
+    # literal regexes and multicasts via explode — the plan must contain
+    # no join and no shuffle of the 100 TB event side at all.
     plan = _plan(spark, "fanout_dispatch")
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan.replace("ReusedExchange", "")
 
 
 def test_dim_join_broadcasts_small_side(spark):
