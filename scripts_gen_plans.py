@@ -33,7 +33,11 @@ SHOWCASE = [
     ),
     (
         "fanout_dispatch",
-        "Subscription registry broadcast; the event side (the 100 TB side) is never shuffled.",
+        "Literal-regex multicast via explode: no join, no exchange — the event side (the 100 TB side) is never shuffled.",
+    ),
+    (
+        "ann_ivf_topk",
+        "Fixed-centroid IVF: map-side cell assignment (array_min over literal-centroid fold structs), broadcast probe list, top-k window only over probed candidates.",
     ),
     (
         "dedup_minhash",

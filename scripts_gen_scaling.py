@@ -25,12 +25,13 @@ SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"
 NOTES = """
 Notes:
 
-- `dedup_minhash` is the one headline op whose cost visibly grows with
-  corpus size at these scales (4-10x per 10x docs depending on
-  signature-table cache reuse — linear, as designed: signature cost is
-  O(corpus), candidate cost is O(collisions)). Everything else is still
-  fixed-cost dominated at these sizes; the per-10x ratios well under 10
-  mean the measured times are floors, not slopes.
+- Every per-10x ratio sits well under 10: all headline ops are still
+  fixed-cost dominated at these sizes, so the measured times are floors,
+  not slopes. The text/corpus ops (`dedup_simhash`, `topk_ngrams`,
+  `doc_rarity_score`, ratio 2-3) are the first to show data-bound
+  growth — linear per token, as designed. `dedup_minhash`'s round-3
+  ratio of ~5x per 10x is gone: the r=2 banding cut candidate
+  generation ~20x, putting it back under the fixed-cost floor.
 - `join_bucketed` and `scan_partition_pruned` get FASTER with more data
   at these sizes because their read-side layouts (buckets, partition
   pruning) cut work while fixed costs amortize — the effect they exist
