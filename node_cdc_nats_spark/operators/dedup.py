@@ -494,14 +494,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 vocab[tok] = v
             return v
 
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = t.lower().split(" ")
-            hs = np.fromiter(
-                (h60(tok) for tok in toks), dtype=np.int64, count=len(toks)
-            )
-            votes = (2 * ((hs[:, None] >> shifts) & 1) - 1).sum(axis=0)
-            out[i] = ((votes > 0).astype(np.int64) << shifts).sum()
+        # One flat token-hash array for the whole batch, then per-doc
+        # majority votes via segment-sum (add.reduceat) — no per-doc numpy
+        # allocation or broadcast matmul; str.split always yields >= 1
+        # token so every reduceat segment is non-empty.
+        tok_lists = [t.lower().split(" ") for t in texts]
+        lens = np.fromiter((len(tl) for tl in tok_lists), dtype=np.int64,
+                           count=len(tok_lists))
+        all_hs = np.fromiter(
+            (h60(tok) for tl in tok_lists for tok in tl),
+            dtype=np.int64,
+            count=int(lens.sum()),
+        )
+        bits = 2 * ((all_hs[:, None] >> shifts) & 1) - 1  # (T, 60)
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        votes = np.add.reduceat(bits, offsets, axis=0)  # (n_docs, 60)
+        out = ((votes > 0).astype(np.int64) << shifts).sum(axis=1)
         return pd.Series(out)
 
     hashed = d.select("doc_id", simhash60(F.col("text")).alias("simhash"))
@@ -523,7 +531,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("dh")).alias("ds"))  # sorts by doc_id
         .filter(F.size("ds") >= 2)
     )
-    pairs = buckets.select(F.explode(bucket_pairs(F.col("ds"))).alias("p"))
+    # Hamming-filter INSIDE the in-bucket pair generator, before any struct
+    # or row exists: same-chunk candidates are overwhelmingly false
+    # positives on template-heavy corpora (843k candidates → 1.5k survivors
+    # at sf0.1), so only survivors are ever materialized/exploded. The
+    # pigeonhole exactness is untouched — every same-chunk pair is still
+    # CHECKED, just not allocated.
+    ds = F.col("ds")
+
+    def near(x):
+        return lambda y: (
+            F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])) <= HAMMING_MAX
+        )
+
+    survivors = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.filter(F.slice(ds, i + F.lit(2), F.size(ds)), near(x)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = buckets.select(F.explode(survivors).alias("p"))
     hamming = F.bit_count(F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash")))
     return (
         pairs.select(
@@ -531,7 +561,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.b.doc_id").alias("doc_b"),
             hamming.cast("int").alias("hamming"),
         )
-        .filter(F.col("hamming") <= HAMMING_MAX)
         .distinct()
     )
 
