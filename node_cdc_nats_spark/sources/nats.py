@@ -90,41 +90,103 @@ def spool_list(spool_dir: str, after: str = "") -> list[str]:
 # -- minimal core-NATS TCP client ----------------------------------------------
 class NatsClient:
     """Pure-Python core NATS client (public wire protocol). Only what the
-    reference uses: connect, publish, subscribe-one-topic, close."""
+    reference uses: connect, publish, subscribe-one-topic, close — plus the
+    reconnect machinery the reference inherits from the nats.js client it
+    wraps (`NATS.connect(opts)`, lib/nats.js:56; nats.js defaults:
+    reconnect on, 10 attempts, 2 s wait). On a dropped socket the client
+    redials with those parameters, replays CONNECT and every SUB in its
+    registry (nats.js re-subscribes on reconnect the same way), and retries
+    the interrupted operation once. Delivery stays at-most-once, exactly
+    like the reference: anything in flight during the outage is gone."""
 
-    def __init__(self, url: str = "nats://127.0.0.1:4222"):
-        import socket
-
+    def __init__(
+        self,
+        url: str = "nats://127.0.0.1:4222",
+        reconnect: bool = True,
+        max_reconnect_attempts: int = 10,
+        reconnect_time_wait: float = 2.0,
+    ):
         host_port = url.split("://", 1)[-1]
         host, _, port = host_port.partition(":")
-        self._sock = socket.create_connection((host, int(port or 4222)), timeout=10)
-        self._buf = b""
+        self._addr = (host, int(port or 4222))
+        self._reconnect = reconnect
+        self._max_reconnect_attempts = max_reconnect_attempts
+        self._reconnect_time_wait = reconnect_time_wait
+        self._subs: dict[int, str] = {}
         self._closed = False
-        info = self._read_line()  # INFO {...}
+        self._connect()
+
+    def _connect(self) -> None:
+        import socket
+
+        sock = socket.create_connection(self._addr, timeout=10)
+        # Greeting handled with a LOCAL read loop (not _read_line): a drop
+        # during the handshake must surface as OSError to the _redial retry
+        # loop, never recurse into another redial.
+        buf = b""
+        while b"\r\n" not in buf:
+            chunk = sock.recv(65536)
+            if not chunk:
+                sock.close()
+                raise OSError("connection closed during handshake")
+            buf += chunk
+        info, buf = buf.split(b"\r\n", 1)
         if not info.startswith(b"INFO"):
+            sock.close()
             raise NatsError("unexpected greeting", CONN_CLOSED)
-        self._send(b'CONNECT {"verbose":false,"protocol":0}\r\n')
+        sock.sendall(b'CONNECT {"verbose":false,"protocol":0}\r\n')
+        for sid, subject in self._subs.items():
+            sock.sendall(f"SUB {subject} {sid}\r\n".encode())
+        self._sock = sock
+        self._buf = buf
+
+    def _redial(self, cause: Exception) -> None:
+        """Reconnect with the nats.js backoff contract, or re-raise."""
+        import time
+
+        if self._closed or not self._reconnect:
+            raise NatsError("connection closed", CONN_CLOSED) from cause
+        for _ in range(self._max_reconnect_attempts):
+            time.sleep(self._reconnect_time_wait)
+            if self._closed:
+                raise NatsError("connection closed", CONN_CLOSED) from cause
+            try:
+                self._connect()
+                return
+            except OSError:
+                continue
+        raise NatsError("reconnect attempts exhausted", CONN_CLOSED) from cause
 
     def _send(self, data: bytes) -> None:
         if self._closed:
             raise NatsError("connection closed", CONN_CLOSED)
-        self._sock.sendall(data)
+        try:
+            self._sock.sendall(data)
+        except OSError as exc:
+            self._redial(exc)
+            self._sock.sendall(data)
+
+    def _recv_more(self) -> None:
+        try:
+            chunk = self._sock.recv(65536)
+        except OSError as exc:
+            self._redial(exc)
+            return  # partial pre-outage bytes are dropped with the socket
+        if not chunk:
+            self._buf = b""
+            self._redial(NatsError("connection closed", CONN_CLOSED))
+            return
+        self._buf += chunk
 
     def _read_line(self) -> bytes:
         while b"\r\n" not in self._buf:
-            chunk = self._sock.recv(65536)
-            if not chunk:
-                raise NatsError("connection closed", CONN_CLOSED)
-            self._buf += chunk
+            self._recv_more()
         line, self._buf = self._buf.split(b"\r\n", 1)
         return line
 
     def _read_n(self, n: int) -> bytes:
         while len(self._buf) < n:
-            chunk = self._sock.recv(65536)
-            if not chunk:
-                raise NatsError("connection closed", CONN_CLOSED)
-            self._buf += chunk
+            self._recv_more()
         out, self._buf = self._buf[:n], self._buf[n:]
         return out
 
@@ -141,10 +203,15 @@ class NatsClient:
         )
 
     def subscribe(self, subject: str, sid: int = 1) -> None:
+        self._subs[sid] = subject  # registry survives reconnects
         self._send(f"SUB {subject} {sid}\r\n".encode())
 
     def next_msg(self) -> tuple[str, bytes] | None:
-        """Blocking read of the next MSG; answers PING transparently."""
+        """Blocking read of the next MSG; answers PING transparently.
+
+        A reconnect mid-message drops the torn frame and resumes on the
+        fresh socket — MSG framing is self-synchronizing from a clean
+        buffer, and core NATS is at-most-once anyway."""
         while True:
             line = self._read_line()
             if line.startswith(b"PING"):

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import socket
 import threading
+import time
 
 import pytest
 from hypothesis import given, settings, strategies as st
@@ -70,6 +71,7 @@ class FakeBroker:
         self.server = socket.create_server(("127.0.0.1", 0))
         self.port = self.server.getsockname()[1]
         self.subs: list[tuple[str, str, socket.socket]] = []  # subject, sid, conn
+        self.conns: list[socket.socket] = []
         self.lock = threading.Lock()
         self.alive = True
         threading.Thread(target=self._accept_loop, daemon=True).start()
@@ -80,8 +82,22 @@ class FakeBroker:
                 conn, _ = self.server.accept()
             except OSError:
                 return
+            with self.lock:
+                self.conns.append(conn)
             conn.sendall(b'INFO {"server_id":"fake"}\r\n')
             threading.Thread(target=self._serve, args=(conn,), daemon=True).start()
+
+    def drop_clients(self):
+        """Kill every live client connection (simulated broker restart);
+        the listener keeps accepting, so clients can redial."""
+        with self.lock:
+            for c in self.conns:
+                try:
+                    c.close()
+                except OSError:
+                    pass
+            self.conns.clear()
+            self.subs.clear()
 
     def _serve(self, conn):
         buf = b""
@@ -111,9 +127,14 @@ class FakeBroker:
                     with self.lock:
                         targets = [s for s in self.subs if s[0] == subject]
                     for subj, sid, dst in targets:
-                        dst.sendall(
-                            f"MSG {subj} {sid} {nbytes}\r\n".encode() + payload + b"\r\n"
-                        )
+                        try:
+                            dst.sendall(
+                                f"MSG {subj} {sid} {nbytes}\r\n".encode()
+                                + payload + b"\r\n"
+                            )
+                        except OSError:
+                            with self.lock:  # dead subscriber: drop it
+                                self.subs = [s for s in self.subs if s[2] is not dst]
 
     def close(self):
         self.alive = False
@@ -140,6 +161,61 @@ def test_tcp_pub_sub_roundtrip(broker):
     assert decoded["payload"] == b'{"v":42}'
     pub.close()
     sub.close()
+
+
+def test_reconnect_replays_subscriptions(broker):
+    # The reference rides nats.js's reconnect machinery (lib/nats.js:56 via
+    # NATS.connect defaults); the engine's client must survive a broker
+    # restart: redial, replay CONNECT + the SUB registry, keep delivering.
+    sub = NatsClient(f"nats://127.0.0.1:{broker.port}", reconnect_time_wait=0.05)
+    sub.subscribe("cdc.client", sid=3)
+    broker.drop_clients()
+    # Trigger the subscriber's redial from the dead socket, in the
+    # background (next_msg blocks until the post-restart publish arrives).
+    got = {}
+
+    def read_one():
+        got["msg"] = sub.next_msg()
+
+    t = threading.Thread(target=read_one, daemon=True)
+    t.start()
+    # Wait until the subscriber has re-registered with the broker.
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        with broker.lock:
+            if broker.subs:
+                break
+        time.sleep(0.02)
+    pub = NatsClient(f"nats://127.0.0.1:{broker.port}")
+    pub.publish("cdc.client", b"after-restart")
+    t.join(timeout=5)
+    assert got.get("msg") == ("cdc.client", b"after-restart")
+    pub.close()
+    sub.close()
+
+
+def test_reconnect_disabled_raises(broker):
+    c = NatsClient(f"nats://127.0.0.1:{broker.port}", reconnect=False)
+    broker.drop_clients()
+    with pytest.raises(NatsError) as ei:
+        c.next_msg()
+    assert ei.value.code == CONN_CLOSED
+    c.close()
+
+
+def test_reconnect_attempts_exhausted():
+    b = FakeBroker()
+    c = NatsClient(
+        f"nats://127.0.0.1:{b.port}",
+        max_reconnect_attempts=2,
+        reconnect_time_wait=0.05,
+    )
+    b.close()  # listener gone: every redial fails
+    b.drop_clients()
+    with pytest.raises(NatsError) as ei:
+        c.publish("subj", b"x")
+    assert ei.value.code == CONN_CLOSED
+    c.close()
 
 
 def test_publish_validation(broker):
