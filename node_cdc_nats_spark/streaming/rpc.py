@@ -52,11 +52,13 @@ from .source import read_events_stream, run_to_memory
 
 TIMEOUT_MIN = 10
 DELAY = "30 minutes"
-# Sharded state keying (see module docstring). 8 shards ≈ 2 Arrow groups
-# per state partition at the fixture's 4 stream shuffle partitions — the
-# per-(group, batch) fixed costs dominate below that; on a real cluster
-# size this to ~2× the state-store partition count.
-N_SHARDS = 8
+# Sharded state keying (see module docstring). 4 shards = 2 Arrow groups
+# per state partition at the bounded-run partition count (2) — each
+# (group, batch) pays fixed Arrow-slice + state (de)serialize costs, so
+# fewer, fatter groups win until groups-per-partition drops below 2
+# (measured: 4 shards ~20% faster than 8, 2 shards worse). On a real
+# cluster size this to ~2× the state-store partition count.
+N_SHARDS = 4
 
 _LA = ArrayType(LongType())
 _STATE_SCHEMA = StructType(
