@@ -186,3 +186,32 @@ def test_corpus_mix_report_broadcasts_totals(spark):
     # the grouped result against it.
     plan = _plan(spark, "corpus_mix_report")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ann_ivf_assignment_is_map_side(spark):
+    # Fixed-centroid IVF: cell assignment is an array_min over literal-
+    # centroid fold structs — a projection on the scan, never an n×K
+    # shuffle/window; the probe list and query side join in as broadcasts.
+    plan = _plan(spark, "ann_ivf_topk")
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+    # the only hash exchange allowed is the final per-query top-k window
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_minhash_bands_bucket_join_not_self_join(spark):
+    # Candidate generation must be ONE band/bucket aggregation feeding an
+    # in-bucket pair generator — never a self-join that evaluates the
+    # signature pipeline twice, and the signature UDF runs exactly once
+    # per side thanks to the persisted signature table.
+    plan = _plan(spark, "dedup_minhash")
+    assert "Exchange hashpartitioning(band" in plan
+    assert "InMemoryTableScan" in plan  # persisted signature table reused
+
+
+def test_bounded_subscription_single_window_exchange(spark):
+    # Dispatch is map-side (literal regexes); the only shuffle is the
+    # per-sub delivery-counter window.
+    plan = _plan(spark, "bounded_subscription")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning(sub_id") == 1
