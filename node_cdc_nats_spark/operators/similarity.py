@@ -329,16 +329,53 @@ def embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-LSH-bucket cardinality cap for the pair join below: the in-bucket
+# pair count is quadratic in bucket size, and a degenerate corpus
+# (thousands of byte-identical embeddings → identical signature → one
+# bucket) would concentrate n²/2 cosine evaluations on one reducer row.
+# Capped buckets are dropped from PAIR generation (mirrored in the
+# oracle); their members are exact duplicates that dedup_embedding_exact
+# catches with a linear hash-groupBy — run exact dedup first, exactly as
+# with dedup_exact / dedup_minhash on the text side.
+EMBED_BUCKET_CAP = 256
+
+
+@register(
+    "dedup_embedding_exact",
+    oracle="""
+    SELECT CAST(MIN(vec_id) AS BIGINT) AS keep_vec_id,
+           COUNT(*) AS n_copies
+    FROM embeddings GROUP BY embedding
+    """,
+)
+def dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding dedup: hash-groupBy on the raw float vector, keep
+    the smallest vec_id. The linear pass that owns byte-identical
+    embeddings (re-ingested shards, repeated documents) so the bucketed
+    cosine pass never sees them — one shuffle on the vector value, group
+    cardinality ≈ distinct embeddings at any scale. Float equality is
+    byte equality on both engines (both read the same parquet floats, no
+    arithmetic), so the grouping is deterministic cross-engine."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return em.groupBy("embedding").agg(
+        F.min("vec_id").alias("keep_vec_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("keep_vec_id", "n_copies")
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
     WITH b AS (
       SELECT vec_id, embedding, {sql_lsh_bucket('embedding')} AS bucket,
              {sql_norm('embedding')} AS nrm
-      FROM embeddings)
+      FROM embeddings),
+    kept AS (SELECT bucket FROM b GROUP BY bucket
+             HAVING COUNT(*) BETWEEN 2 AND {EMBED_BUCKET_CAP})
     SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
            {sql_cosine_pre('a.embedding', 'c.embedding', 'a.nrm', 'c.nrm')} AS score
-    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    FROM b a JOIN kept k ON a.bucket = k.bucket
+    JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
     WHERE {sql_cosine_pre('a.embedding', 'c.embedding', 'a.nrm', 'c.nrm')} >= 0.3
     """,
 )
@@ -347,7 +384,10 @@ def dedup_embedding_cosine(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs among same-bucket candidates —
     the semantic-dedup step of a training pipeline; bucketing bounds the
-    pair explosion exactly as in ann_lsh_topk.
+    pair explosion exactly as in ann_lsh_topk, and any single bucket is
+    bounded at EMBED_BUCKET_CAP members (cap mirrored in the oracle's
+    HAVING; the dropped buckets' members are exact duplicates owned by
+    dedup_embedding_exact's linear pass).
 
     ``threshold`` defaults to 0.3 for the fixture contract: the synthetic
     embeddings are near-orthogonal (max in-bucket cosine ~0.51 at sf0.01),
@@ -361,7 +401,13 @@ def dedup_embedding_cosine(
         "vec_id", "embedding",
         F.col("bn.bucket").alias("bucket"), F.col("bn.nrm").alias("nrm"),
     ).persist()
-    a = b.select(
+    kept = (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= EMBED_BUCKET_CAP))
+        .select("bucket")
+    )
+    a = b.join(F.broadcast(kept), "bucket").select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket",
         F.col("nrm").alias("na"),
     )

@@ -54,8 +54,10 @@ _VERIFY_HEAD = (
     "except_distinct",
     # (a) erred in r3 on the loader
     "scan_partition_pruned",
-    # (b) r4-redefined
+    # (b) r4-redefined / r4-new
     "ann_ivf_topk", "dedup_minhash", "dedup_clusters",
+    "dedup_embedding_cosine",  # r4: EMBED_BUCKET_CAP added (oracle-mirrored)
+    "dedup_embedding_exact",  # r4: new — the cap's linear-pass counterpart
 )
 
 
@@ -94,7 +96,7 @@ _R2_GREEN_SAFE = (
     "udtf_tokens", "scan_parquet", "scan_csv",
 )
 _R3_GREEN = (
-    "agg_approx_distinct", "dedup_embedding_cosine", "scan_json",
+    "agg_approx_distinct", "scan_json",
     "train_val_split", "sample_stratified", "quality_filter_gopher",
     "topk_ngrams", "decontaminate_ngram", "repetition_ratio", "pii_redact",
     "corpus_vocab_stats", "sample_temperature", "doc_rarity_score",

@@ -55,3 +55,50 @@ def test_minhash_bucket_cap_bounds_degenerate_corpus(spark, degenerate_dir):
 def test_exact_dedup_owns_the_capped_duplicates(spark, degenerate_dir):
     groups = {r.keep_doc_id: r.n_copies for r in dedup_exact(spark, degenerate_dir).collect()}
     assert groups[0] == N_COPIES  # linear pass catches what the cap dropped
+
+
+# -- embedding-side twin of the same guard -------------------------------------
+N_VEC_COPIES = 500
+
+
+@pytest.fixture(scope="module")
+def degenerate_embed_dir(spark, tmp_path_factory):
+    """embeddings fixture: 500 identical vectors + two near-dup vectors
+    that land in the same LSH bucket but are not identical."""
+    base = [0.5] * 64
+    # The near-dup pair lives in a DIFFERENT bucket than the copies (its
+    # sign pattern differs on half the dims), so the cap on the copies'
+    # bucket must not affect it.
+    near_a = [-0.5] * 32 + [0.5] * 32
+    near_b = [-0.5] * 32 + [0.5] * 31 + [0.52]
+    rows = [(i, base, 0) for i in range(N_VEC_COPIES)]
+    rows.append((2000, near_a, 1))
+    rows.append((2001, near_b, 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = tmp_path_factory.mktemp("degenerate_embed")
+    df.coalesce(1).write.mode("overwrite").parquet(str(out / "embeddings.parquet"))
+    return str(out)
+
+
+def test_embed_bucket_cap_bounds_degenerate_corpus(spark, degenerate_embed_dir):
+    from node_cdc_nats_spark.operators.similarity import (
+        EMBED_BUCKET_CAP,
+        dedup_embedding_cosine,
+        dedup_embedding_exact,
+    )
+
+    assert N_VEC_COPIES > EMBED_BUCKET_CAP
+    pairs = dedup_embedding_cosine(spark, degenerate_embed_dir, threshold=0.95).collect()
+    # The 500-copy cluster (124,750 pairs uncapped) is dropped; the genuine
+    # near-dup pair in the same bucket region still comes through.
+    copy_pairs = [p for p in pairs if p.vec_a < N_VEC_COPIES and p.vec_b < N_VEC_COPIES]
+    assert copy_pairs == []
+    assert any(p.vec_a == 2000 and p.vec_b == 2001 for p in pairs)
+    # The linear exact pass owns what the cap dropped.
+    groups = {
+        r.keep_vec_id: r.n_copies
+        for r in dedup_embedding_exact(spark, degenerate_embed_dir).collect()
+    }
+    assert groups[0] == N_VEC_COPIES
