@@ -3,18 +3,19 @@ delivery (S5, `lib/nats.js:97-107`) as a stateful streaming operator: a
 per-subscription counter that delivers the row on which the counter REACHES
 max, then drops everything after, across micro-batches.
 
-Plan: stream-static join of the event stream against the broadcast
-subscription registry (the fan-out S4), then ``applyInPandasWithState``
-keyed by subscription id holding one integer of state — the streaming twin
-of the reference's ``sub.received`` counter. Delivery order is made
-deterministic (and therefore oracle-expressible) as (micro-batch, event
-time, event id): batches are replayed in staged order, and each invocation
-sorts its batch slice before counting.
+Plan: map-side literal-regex multicast of the event stream over the
+driver-known subscription registry (the fan-out S4, ``dispatch_subs``),
+then ``applyInPandasWithState`` keyed by subscription id holding one
+integer of state — the streaming twin of the reference's ``sub.received``
+counter. Delivery order is made deterministic (and therefore
+oracle-expressible) as (micro-batch, event time, event id): batches are
+replayed in staged order, and each invocation sorts its batch slice
+before counting.
 
 Scale: state is ONE long per subscription — the cheapest possible stateful
-op; the join side is a broadcast of the registry, so the stream is never
-shuffled before the counter (only the groupBy on sub_id, whose cardinality
-is the registry size).
+op; dispatch is a projection (no join), so the stream is never shuffled
+before the counter (only the groupBy on sub_id, whose cardinality is the
+registry size).
 """
 
 from __future__ import annotations
@@ -24,7 +25,7 @@ from pyspark.sql.streaming.state import GroupStateTimeout
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..functions.mqtt import mqtt_to_regex
-from ..operators.cdc import SUBSCRIPTIONS
+from ..operators.cdc import SUBSCRIPTIONS, dispatch_subs
 from ..registry import register
 from .source import N_FILES, read_events_stream, run_to_memory
 
@@ -87,18 +88,21 @@ def stream_bounded_subscription(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic delivery order (batch, ts, event_id) with a window and
     keeps rn <= max — the same rows the stateful counter lets through."""
     src = read_events_stream(spark, sf_dir)
-    subs = spark.createDataFrame(
-        [(sid, mqtt_to_regex(pat), mx) for sid, pat, mx in SUBSCRIPTIONS],
-        "sub_id string, pattern_re string, max_n long",
-    )
     chan = F.concat(
         F.lit("cdc/"), F.col("event_type"), F.lit("/"),
         (F.col("user_id") % 10).cast("string"),
     )
+    # Map-side literal-regex multicast (dispatch_subs) with a literal
+    # max_n lookup — no stream-static join at all; the stream reaches the
+    # counter having only passed a projection.
+    max_n = F.coalesce(
+        *[F.when(F.col("sub_id") == sid, F.lit(mx)) for sid, _, mx in SUBSCRIPTIONS]
+    )
     fanned = (
-        src.withColumn("channel", chan)
-        .join(F.broadcast(subs), F.expr("channel rlike pattern_re"))
-        .select("sub_id", "event_id", "ts", "max_n")
+        dispatch_subs(
+            src.withColumn("channel", chan).select("event_id", "ts", "channel")
+        )
+        .select("sub_id", "event_id", "ts", max_n.alias("max_n"))
     )
     counted = fanned.groupBy("sub_id").applyInPandasWithState(
         _make_counter_fn(),
