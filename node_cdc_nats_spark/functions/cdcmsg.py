@@ -248,6 +248,7 @@ def encode_col(struct: Column) -> Column:
                         out += varint_bytes(iv)
             return bytes(out)
 
-        return pd.Series([enc(row) for _, row in pdf.iterrows()])
+        # to_dict("records") beats iterrows ~10× (no per-row Series alloc).
+        return pd.Series([enc(row) for row in pdf.to_dict("records")])
 
     return _encode(struct)
