@@ -48,6 +48,7 @@ HEADLINE = [
     "decontaminate_ngram",
     "corpus_vocab_stats",
     "doc_rarity_score",
+    "pipeline_end_to_end",
     "token_count",
     "sim_topk",
     "ann_lsh_topk",

@@ -689,3 +689,116 @@ def embed_norm_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("nrm") == 0, "ZERO").otherwise(q8).alias("q8"),
         F.floor(F.col("nrm") * 1000000.0).alias("norm_micros"),
     )
+
+
+# Shared quality-gate SQL fragment (the gopher `passes` predicate over a
+# CTE exposing toks + alpha_chars), reused by the end-to-end pipeline.
+_STOP_LIST_SQL = ", ".join(f"'{w}'" for w in _STOP_EN)
+_PASSES_SQL = (
+    "(LEN(toks) BETWEEN 20 AND 1000)"
+    " AND (CAST(alpha_chars AS DOUBLE) / LEN(toks) BETWEEN 2.0 AND 12.0)"
+    " AND (CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks) >= 0.2)"
+    f" AND (LEN(LIST_FILTER(toks, x -> x IN ({_STOP_LIST_SQL}))) >= 1)"
+)
+
+# Production-length decontamination grams (n=13, the WMDP/GPT-3-style
+# setting): long enough that only near-verbatim leaks match — the n=3
+# demo setting of `decontaminate_ngram` flags template-similar synthetic
+# docs almost universally, which is the wrong behavior for a DROP stage.
+_DECONTAM_N = 13
+_NG13_SPARK = (
+    f"case when size(toks) >= {_DECONTAM_N} then "
+    f"transform(sequence(1, size(toks) - {_DECONTAM_N - 1}), "
+    f"i -> concat_ws(' ', slice(toks, i, {_DECONTAM_N}))) "
+    "else array() end"
+)
+_NG13_DUCK = (
+    f"LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - {_DECONTAM_N - 2}, 1)), "
+    f"i -> ARRAY_TO_STRING(toks[i:i+{_DECONTAM_N - 1}], ' '))"
+)
+
+
+@register(
+    "pipeline_end_to_end",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             STRING_SPLIT({_NORM_DUCK}, ' ') AS toks,
+             LENGTH(REPLACE({_NORM_DUCK}, ' ', '')) AS alpha_chars
+      FROM documents),
+    q AS (SELECT doc_id, lang, text, toks FROM t WHERE {_PASSES_SQL}),
+    dd AS (
+      SELECT doc_id, lang, toks FROM q
+      QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY MD5(text))),
+    bench AS (
+      SELECT DISTINCT UNNEST({_NG13_DUCK}) AS gram
+      FROM t WHERE doc_id % 50 = 0),
+    tri AS (
+      SELECT doc_id, UNNEST({_NG13_DUCK}) AS gram
+      FROM dd WHERE doc_id % 50 <> 0),
+    contaminated AS (
+      SELECT DISTINCT tri.doc_id FROM tri JOIN bench USING (gram)),
+    clean AS (
+      SELECT doc_id, lang, toks FROM dd
+      WHERE doc_id % 50 <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated))
+    SELECT doc_id, lang, CAST(LEN(toks) AS BIGINT) AS n_tokens
+    FROM clean
+    WHERE {_B16_DUCK.format(hex=_HEX, key='doc_id')} < 13
+    """,
+)
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline, one logical plan end-to-end:
+    Gopher quality gate → exact dedup (min doc_id per content hash) →
+    benchmark decontamination (trigram containment vs the held-out set)
+    → deterministic train split → per-doc token counts for packing.
+
+    This is the flagship composition proof: every stage reuses the exact
+    operator definitions registered individually (same normalize chain,
+    same gates, same content hash, same trigram fragment, same md5-nibble
+    split), and Catalyst fuses them — the quality gate and token counting
+    stay map-side over one scan, dedup is one content-hash window,
+    decontamination is a broadcast containment join (the corpus never
+    shuffles for it), and the split is a pushed-down filter. At 100 TB
+    this whole pipeline is two corpus shuffles (dedup hash, contamination
+    doc_id dedup) plus map-side everything else."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.expr(_NORM_SPARK)
+    toks = F.split(norm, " ")
+    staged = d.select(
+        "doc_id", "lang", "text", toks.alias("toks"),
+        F.length(F.replace(norm, F.lit(" "), F.lit(""))).alias("alpha_chars"),
+    )
+    n = F.size(F.col("toks"))
+    awl = F.col("alpha_chars").cast("double") / n
+    div = F.size(F.array_distinct(F.col("toks"))).cast("double") / n
+    stop = F.size(F.filter(F.col("toks"), lambda t: t.isin(*_STOP_EN)))
+    passes = (
+        (n >= 20) & (n <= 1000)
+        & (awl >= 2.0) & (awl <= 12.0)
+        & (div >= 0.2)
+        & (stop >= 1)
+    )
+    q = staged.filter(passes)
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    dd = q.withColumn("min_id", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("min_id")
+    ).select("doc_id", "lang", "toks")
+    bench = (
+        staged.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode_outer(F.expr(_NG13_SPARK)).alias("gram"))
+        .distinct()
+    )
+    train = dd.filter(F.col("doc_id") % 50 != 0)
+    contaminated = (
+        train.select("doc_id", F.explode_outer(F.expr(_NG13_SPARK)).alias("gram"))
+        .join(F.broadcast(bench), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = train.join(contaminated, "doc_id", "left_anti")
+    return clean.filter(_b16_spark("doc_id") < 13).select(
+        "doc_id", "lang", F.size("toks").cast("long").alias("n_tokens")
+    )

@@ -58,6 +58,7 @@ _VERIFY_HEAD = (
     "ann_ivf_topk", "dedup_minhash", "dedup_clusters",
     "dedup_embedding_cosine",  # r4: EMBED_BUCKET_CAP added (oracle-mirrored)
     "dedup_embedding_exact",  # r4: new — the cap's linear-pass counterpart
+    "pipeline_end_to_end",  # r4: new — composed flagship (gate→dedup→decontam→split)
 )
 
 

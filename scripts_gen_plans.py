@@ -59,6 +59,10 @@ SHOWCASE = [
         "sample_stratified",
         "Content-addressed md5-nibble bucket filter: scan+project+filter only, zero exchanges.",
     ),
+    (
+        "pipeline_end_to_end",
+        "Composed pipeline fused by Catalyst: map-side quality gate + token counts, one content-hash window for dedup, broadcast 13-gram decontamination, pushed-down split filter.",
+    ),
 ]
 
 
