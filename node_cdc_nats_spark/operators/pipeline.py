@@ -706,15 +706,19 @@ _PASSES_SQL = (
 # demo setting of `decontaminate_ngram` flags template-similar synthetic
 # docs almost universally, which is the wrong behavior for a DROP stage.
 _DECONTAM_N = 13
+# Grams are hashed to 60-bit longs INSIDE the transform (the engine's
+# hash60, identical in DuckDB) so the containment join explodes,
+# broadcasts, and compares 8-byte keys instead of ~80-char strings;
+# a collision would affect both engines identically.
 _NG13_SPARK = (
     f"case when size(toks) >= {_DECONTAM_N} then "
     f"transform(sequence(1, size(toks) - {_DECONTAM_N - 1}), "
-    f"i -> concat_ws(' ', slice(toks, i, {_DECONTAM_N}))) "
+    f"i -> cast(conv(substring(md5(cast(concat_ws(' ', slice(toks, i, {_DECONTAM_N})) as binary)), 1, 15), 16, 10) as bigint)) "
     "else array() end"
 )
 _NG13_DUCK = (
     f"LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - {_DECONTAM_N - 2}, 1)), "
-    f"i -> ARRAY_TO_STRING(toks[i:i+{_DECONTAM_N - 1}], ' '))"
+    f"i -> CAST(CONCAT('0x', SUBSTR(MD5(ARRAY_TO_STRING(toks[i:i+{_DECONTAM_N - 1}], ' ')), 1, 15)) AS BIGINT))"
 )
 
 
