@@ -98,12 +98,13 @@ def main() -> None:
         except Exception:
             pass
 
-    # Each query is timed twice and the MIN recorded: the first execution
-    # of a plan shape at the bench SF still pays one-time Janino codegen /
-    # JVM JIT / page-cache costs that a long-lived engine amortizes to
-    # zero, and single-shot timings on a shared box add scheduler noise.
-    # The min of two runs is the steady-state plan throughput the bench
-    # exists to measure.
+    # Each query is timed three times and the MIN recorded: the first
+    # execution of a plan shape at the bench SF still pays one-time Janino
+    # codegen / JVM JIT / page-cache costs that a long-lived engine
+    # amortizes to zero, and single-shot timings on a shared box add
+    # scheduler noise (identical code measured 19s-28s run-to-run under
+    # varying host load). The min of three runs is the steady-state plan
+    # throughput the bench exists to measure.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
@@ -111,7 +112,7 @@ def main() -> None:
         if fn is None:
             continue
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).count()
