@@ -50,9 +50,17 @@ NGRAM_DF_CAP = 64
 # or near-identical docs → identical signatures → one bucket) would
 # concentrate d·(d-1)/2 pairs on a single reducer row in EVERY band.
 # Buckets above the cap are dropped from candidate generation (mirrored in
-# the oracle's HAVING); the pairs they carried are exact-or-near-exact
-# duplicates that dedup_exact already catches with a linear hash-groupBy —
-# run exact dedup first, as every production pipeline does.
+# the oracle's HAVING). Honest recall statement: identical band signature
+# does NOT imply identical text, so an over-cap bucket can hold
+# near-identical docs whose genuine >=0.5-Jaccard pairs are dropped from
+# THAT band, and dedup_exact's content-hash pass recovers only the
+# byte-identical portion. The loss is bounded by the banding itself: a
+# dropped pair stays a candidate in each of the other 11 bands (a j>=0.5
+# pair collides per band with p ~ j^2 >= 0.25, so P[at least one
+# uncapped-band collision] is high unless the pair's docs sit in over-cap
+# buckets in EVERY band — i.e. a >256-member near-duplicate clique, where
+# pair-level output is the wrong granularity and dedup_clusters is the
+# right tool).
 MINHASH_BUCKET_CAP = 256
 SIMHASH_BITS = 60
 SIMHASH_CHUNKS = 5  # 5 × 12-bit chunks → exact recall for hamming ≤ 4
@@ -479,6 +487,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         import numpy as np
         import pandas as pd
+
+        if len(texts) == 0:
+            # Arrow can hand a worker a zero-row batch; reduceat on offsets
+            # [0] over a length-0 array would raise IndexError.
+            return pd.Series([], dtype="int64")
 
         shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
         # Token→hash60 cache: natural-language vocabularies are tiny next to

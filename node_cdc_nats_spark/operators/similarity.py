@@ -37,6 +37,30 @@ PLANES: list[list[float]] = [
     [round(_rng.uniform(-1.0, 1.0), 4) for _ in range(DIM)] for _ in range(N_PLANES)
 ]
 
+
+def planes_pool(k: int) -> list[list[float]]:
+    """First ``k`` hyperplanes of the seeded stream. PLANES is the stable
+    prefix (the pool only ever extends, continuing the same RNG stream), so
+    any configuration that uses the first 8 planes — including the fixture
+    oracle — is unaffected by larger corpora requesting more."""
+    while len(PLANES) < k:
+        PLANES.append([round(_rng.uniform(-1.0, 1.0), 4) for _ in range(DIM)])
+    return PLANES[:k]
+
+
+def n_planes_for(n_vectors: int, target_bucket: int = 32) -> int:
+    """Planes needed so the EXPECTED LSH bucket size (n / 2^planes) stays
+    ~``target_bucket``. Growing the bucket space with the corpus is what
+    keeps EMBED_BUCKET_CAP a degenerate-bucket-only guard at any scale: with
+    a FIXED 8-bit signature (256 buckets) a corpus beyond ~cap·256 ≈ 65k
+    vectors would push ORDINARY buckets over the cap and silently drop all
+    their pairs. Returns the base N_PLANES for any fixture-scale corpus
+    (n ≤ 8192 at target 32), so oracle-verified configurations never
+    change."""
+    import math
+
+    return max(N_PLANES, math.ceil(math.log2(max(1, n_vectors) / target_bucket)))
+
 # -- deterministic left-fold dot product ---------------------------------------
 def dot_exact(a: Column, b: Column) -> Column:
     """Left-fold double dot product of two float arrays. Deterministic:
@@ -144,13 +168,25 @@ def bucket_norm_udf() -> Column:
     bit-for-bit (so signs/buckets match the HOF builtins and the DuckDB
     oracle exactly), vectorized across the rows of the batch. The HOF pair
     remains the definitional mirror."""
-    planes = [[float(v) for v in p] for p in PLANES]
+    # Slice to the base signature width: PLANES is a pool that planes_pool
+    # may have EXTENDED for banded callers; this udf's contract (and the
+    # oracle's sql_lsh_bucket) is exactly the first N_PLANES.
+    planes = [[float(v) for v in p] for p in PLANES[:N_PLANES]]
 
     @F.pandas_udf("bucket int, nrm double")
     def _bn(embs):
         # Self-contained: executors don't have the repo on sys.path.
         import numpy as np
         import pandas as pd
+
+        if len(embs) == 0:
+            # np.vstack([]) raises on a zero-row Arrow batch.
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int32"),
+                    "nrm": pd.Series([], dtype="float64"),
+                }
+            )
 
         P = np.array(planes)  # (N_PLANES, D)
         A = np.vstack(embs.to_numpy()).astype(np.float64)  # (n, D)
@@ -165,6 +201,50 @@ def bucket_norm_udf() -> Column:
         return pd.DataFrame({"bucket": bucket, "nrm": np.sqrt(nrm2)})
 
     return _bn(F.col("embedding"))
+
+
+def multiband_bucket_norm_udf(bands: "list[list[list[float]]]") -> Column:
+    """(buckets[band], nrm) in ONE Arrow pass — the banded generalization of
+    :func:`bucket_norm_udf` (identical math, identical sequential-d fold
+    order, so band 0 with the base 8 planes reproduces its buckets
+    bit-for-bit). All bands' hyperplane dots run in the same numpy
+    accumulation; one array column comes back instead of one int."""
+    bandmats = [[[float(v) for v in p] for p in band] for band in bands]
+    n_bands, planes_per = len(bandmats), len(bandmats[0])
+
+    @F.pandas_udf("buckets array<int>, nrm double")
+    def _mbn(embs):
+        # Self-contained: executors don't have the repo on sys.path.
+        import numpy as np
+        import pandas as pd
+
+        if len(embs) == 0:
+            return pd.DataFrame(
+                {
+                    "buckets": pd.Series([], dtype="object"),
+                    "nrm": pd.Series([], dtype="float64"),
+                }
+            )
+
+        P = np.array([p for band in bandmats for p in band])  # (B·P, D)
+        A = np.vstack(embs.to_numpy()).astype(np.float64)  # (n, D)
+        n_rows, dim = A.shape
+        dots = np.zeros((n_rows, P.shape[0]))
+        nrm2 = np.zeros(n_rows)
+        for d in range(dim):  # sequential in d == the left fold
+            col = A[:, d]
+            dots += np.outer(col, P[:, d])
+            nrm2 += col * col
+        bits = dots > 0
+        weights = 1 << np.arange(planes_per)
+        per_band = [
+            (bits[:, b * planes_per : (b + 1) * planes_per] @ weights).astype("int32")
+            for b in range(n_bands)
+        ]
+        stacked = np.stack(per_band, axis=1)  # (n, B)
+        return pd.DataFrame({"buckets": list(stacked), "nrm": np.sqrt(nrm2)})
+
+    return _mbn(F.col("embedding"))
 
 
 # -- queries -------------------------------------------------------------------
@@ -334,9 +414,18 @@ def embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (thousands of byte-identical embeddings → identical signature → one
 # bucket) would concentrate n²/2 cosine evaluations on one reducer row.
 # Capped buckets are dropped from PAIR generation (mirrored in the
-# oracle); their members are exact duplicates that dedup_embedding_exact
-# catches with a linear hash-groupBy — run exact dedup first, exactly as
-# with dedup_exact / dedup_minhash on the text side.
+# oracle). Honest recall statement: a dropped bucket can contain
+# NEAR-identical, non-byte-identical vectors whose genuine >=threshold
+# pairs are lost — dedup_embedding_exact's linear pass recovers only the
+# byte-identical portion. Two things keep that loss confined to degenerate
+# near-duplicate cliques (where pair-level output is the wrong granularity
+# anyway): (1) the plane count scales with corpus size (n_planes_for), so
+# the EXPECTED bucket size stays ~32 at any n and an over-cap bucket is
+# always a >=8x-expected anomaly, never an ordinary bucket — with a fixed
+# 8-bit signature, every bucket would exceed the cap past ~65k vectors and
+# recall would silently collapse at exactly the scale the docstrings
+# target; (2) with n_bands > 1, a pair dropped in one band's degenerate
+# bucket keeps its candidacy in every other band.
 EMBED_BUCKET_CAP = 256
 
 
@@ -380,14 +469,22 @@ def dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.3
+    spark: SparkSession, sf_dir: str, threshold: float = 0.3, n_bands: int = 1
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs among same-bucket candidates —
     the semantic-dedup step of a training pipeline; bucketing bounds the
     pair explosion exactly as in ann_lsh_topk, and any single bucket is
     bounded at EMBED_BUCKET_CAP members (cap mirrored in the oracle's
-    HAVING; the dropped buckets' members are exact duplicates owned by
-    dedup_embedding_exact's linear pass).
+    HAVING; see the cap comment above for the honest recall statement).
+
+    Scale levers: the signature width grows log2 with the corpus
+    (n_planes_for — one metadata-only parquet count chooses it), so the
+    bucket space tracks corpus size and the cap never trims ordinary
+    buckets; ``n_bands`` adds independent plane bands (minhash-style OR
+    construction) to buy back the per-pair recall that longer signatures
+    cost — candidates union across bands, exact-deduped on the
+    deterministic (pair, score). At fixture scale this degenerates to
+    exactly one band of the base 8 planes, so the oracle is unchanged.
 
     ``threshold`` defaults to 0.3 for the fixture contract: the synthetic
     embeddings are near-orthogonal (max in-bucket cosine ~0.51 at sf0.01),
@@ -395,34 +492,55 @@ def dedup_embedding_cosine(
     vacuously green on an empty result set (the round-1 lesson). Real
     semantic dedup passes ~0.95 here; the plan is identical either way."""
     em = load_table(spark, sf_dir, "embeddings")
-    # Signature-table materialization (one Arrow pass feeds both join
-    # sides) — the same pattern as dedup_minhash's hashed-shingle persist.
-    b = em.select("vec_id", "embedding", bucket_norm_udf().alias("bn")).select(
+    planes_per = n_planes_for(em.count())  # count() is parquet metadata-only
+    pool = planes_pool(planes_per * n_bands)
+    bands = [pool[i * planes_per : (i + 1) * planes_per] for i in range(n_bands)]
+    # Signature-table materialization (one Arrow pass computes ALL bands'
+    # buckets and feeds both join sides) — the same pattern as
+    # dedup_minhash's hashed-shingle persist.
+    sig = em.select(
+        "vec_id", "embedding", multiband_bucket_norm_udf(bands).alias("bn")
+    ).select(
         "vec_id", "embedding",
-        F.col("bn.bucket").alias("bucket"), F.col("bn.nrm").alias("nrm"),
+        F.col("bn.buckets").alias("buckets"), F.col("bn.nrm").alias("nrm"),
     ).persist()
-    kept = (
-        b.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter((F.col("n") >= 2) & (F.col("n") <= EMBED_BUCKET_CAP))
-        .select("bucket")
-    )
-    a = b.join(F.broadcast(kept), "bucket").select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket",
-        F.col("nrm").alias("na"),
-    )
-    c = b.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        F.col("bucket").alias("bucket2"), F.col("nrm").alias("nb"),
-    )
-    return (
-        a.join(c, (a.bucket == c.bucket2) & (a.vec_a < c.vec_b))
-        .select(
-            "vec_a", "vec_b",
-            cosine_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).alias("score"),
+    per_band = []
+    for bi in range(n_bands):
+        b = sig.select(
+            "vec_id", "embedding", F.col("buckets")[bi].alias("bucket"), "nrm"
         )
-        .filter(F.col("score") >= threshold)
-    )
+        kept = (
+            b.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter((F.col("n") >= 2) & (F.col("n") <= EMBED_BUCKET_CAP))
+            .select("bucket")
+        )
+        a = b.join(F.broadcast(kept), "bucket").select(
+            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket",
+            F.col("nrm").alias("na"),
+        )
+        c = b.select(
+            F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+            F.col("bucket").alias("bucket2"), F.col("nrm").alias("nb"),
+        )
+        per_band.append(
+            a.join(c, (a.bucket == c.bucket2) & (a.vec_a < c.vec_b))
+            .select(
+                "vec_a", "vec_b",
+                cosine_pre(
+                    F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+                ).alias("score"),
+            )
+            .filter(F.col("score") >= threshold)
+        )
+    out = per_band[0]
+    for p in per_band[1:]:
+        out = out.unionByName(p)
+    if n_bands > 1:
+        # score is a deterministic fold of the same floats in every band,
+        # so DISTINCT on (pair, score) is an exact cross-band dedup.
+        out = out.distinct()
+    return out
 
 
 def _assign_cells(df: DataFrame, cent: "list[list[float]]") -> DataFrame:

@@ -37,49 +37,26 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# Absolute head of round 4's verification order. Two groups, most-critical
-# first: (a) every op that ERRed in CORRECTNESS_r03 — all victims of the
-# events-loader fixture drift (fixed in io.py this round), seven of which
-# have NEVER had a green row because r3 was their first verification slot;
-# (b) ops whose definition changed in round 4 (ann_ivf_topk gained a
-# deterministic fixed-centroid oracle; dedup_minhash/dedup_clusters gained
-# the MINHASH_BUCKET_CAP, mirrored in their oracles), so their r3 greens
-# verified old definitions.
+# Absolute head of round 5's verification order: ops whose DEFINITION
+# changed in round 5, so their r3/r4 greens verified old code.
+# dedup_embedding_cosine was restructured for adaptive signature width
+# (similarity.n_planes_for + optional banding — the fixture-scale plan
+# degenerates to the verified single-band/8-plane one, but the green must
+# be re-earned); dedup_simhash and ann_lsh_topk gained empty-Arrow-batch
+# guards inside their pandas_udfs (ADVICE r4).
 _VERIFY_HEAD = (
-    # (a) never-green: r3 was their first slot and the loader bug ate it
-    "agg_quantiles", "agg_approx_quantiles", "channel_params", "join_asof",
-    "map_ops", "scan_schema_evolution", "sink_compacted",
-    # (a) r3-redefined, erred in r3 on the loader
-    "nats_roundtrip", "stream_stream_left_join", "cdc_encode_decode",
-    "except_distinct",
-    # (a) erred in r3 on the loader
-    "scan_partition_pruned",
-    # (b) r4-redefined / r4-new
-    "ann_ivf_topk", "dedup_minhash", "dedup_clusters",
-    "dedup_embedding_cosine",  # r4: EMBED_BUCKET_CAP added (oracle-mirrored)
-    "dedup_embedding_exact",  # r4: new — the cap's linear-pass counterpart
-    "pipeline_end_to_end",  # r4: new — composed flagship (gate→dedup→decontam→split)
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "ann_lsh_topk",
 )
 
 
-# r1/r2 greens that READ EVENTS: the r3 fixture drift falsified those rows
-# (the loader failed analysis), so with the loader fixed they need a fresh
-# green against the CURRENT fixture before their status is trustworthy.
-_STALE_FIXTURE_GREEN = (
-    "scan_stream", "sink_parquet", "sink_memory", "filter_channel",
-    "rpc_first_response", "rpc_first_response_processed", "agg_avg",
-    "agg_min_max", "win_lag_lead", "win_running", "union_all",
-    "union_distinct", "intersect", "json_extract", "stream_watermark",
-    "stream_tumble", "stream_slide", "stream_session", "stream_dedup",
-    "stream_rpc_state", "stream_bounded_subscription", "stream_upsert",
-    "stream_stream_join", "cdc_upsert_latest", "cdc_changelog", "cdc_scd2",
-    "fanout_dispatch", "bounded_subscription",
-)
-
-
-# Greens whose inputs never drifted, oldest evidence first — re-verified
-# only when budget reaches them. r1/r2 rows here verified non-events ops on
-# fixtures identical to today's; r3 rows are the freshest and go last.
+# After r4 every one of the 124 queries carries a latest-status full pass
+# (r4 itself went 50/50 over the errs, redefinitions, and drift-falsified
+# greens). With nothing broken or stale, the budgeted walk refreshes the
+# OLDEST evidence first: r1 greens, then r2, then r3; r4 rows are the
+# freshest and go last (head 3 + r1 33 + r2 10 + first ~4 of r3 fill the
+# 50 slots).
 _R1_GREEN_SAFE = (
     "agg_count", "agg_cube", "agg_distinct", "agg_grouping_sets",
     "agg_multi", "agg_pivot", "agg_rollup", "agg_stats", "agg_sum",
@@ -113,9 +90,9 @@ _R3_GREEN = (
 def load_all() -> None:
     """Import every operator module so registrations run, then order the
     registry for the driver's budgeted walk (50 verification slots per
-    round, head first): r3 errs + r4-redefined ops, then the
-    events-touching greens the fixture drift falsified, then anything
-    without a listed status, then proven greens oldest-evidence-first."""
+    round, head first): round-5-redefined ops, then proven greens
+    oldest-evidence-first (r1 → r2 → r3), then anything without a listed
+    status (the freshest r4 greens) in registration order."""
     from .operators import (  # noqa: F401
         dedup,
         similarity,
@@ -136,21 +113,15 @@ def load_all() -> None:
     )
     blocks = (
         _VERIFY_HEAD,
-        _STALE_FIXTURE_GREEN,
-        tuple(QUERIES),  # anything unlisted, in registration order
         _R1_GREEN_SAFE,
         _R2_GREEN_SAFE,
         _R3_GREEN,
+        tuple(QUERIES),  # anything unlisted (freshest r4 greens), reg. order
     )
-    listed = set(_VERIFY_HEAD) | set(_STALE_FIXTURE_GREEN) | set(
-        _R1_GREEN_SAFE
-    ) | set(_R2_GREEN_SAFE) | set(_R3_GREEN)
     ordered: list[str] = []
     for block in blocks:
         for n in block:
             if n in QUERIES and n not in ordered:
-                if block is blocks[2] and n in listed:
-                    continue
                 ordered.append(n)
     reordered = {n: QUERIES[n] for n in ordered}
     QUERIES.clear()

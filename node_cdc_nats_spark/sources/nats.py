@@ -64,6 +64,14 @@ class NatsError(Exception):
         self.chained_error = chained
 
 
+class _Reconnected(Exception):
+    """Internal control-flow signal: the socket was redialed while a frame
+    was being read. The torn frame is unrecoverable (core NATS has no
+    replay), so frame parsing must restart at a protocol-line boundary on
+    the fresh buffer instead of consuming new protocol bytes as the old
+    frame's remainder. Never escapes NatsClient."""
+
+
 # -- spool transport (in-process broker stand-in) ------------------------------
 def spool_publish(spool_dir: str, seq: int, envelope: bytes, publisher: str = "p") -> str:
     """Append one encoded CDCMsg to the spool; returns the filename. The
@@ -114,6 +122,11 @@ class NatsClient:
         self._reconnect_time_wait = reconnect_time_wait
         self._subs: dict[int, str] = {}
         self._closed = False
+        # Connection generation, bumped by every successful _connect. Frame
+        # readers snapshot it so a mid-frame redial is detectable (the fresh
+        # buffer starts at a protocol boundary, not at the torn frame's
+        # remaining payload bytes).
+        self._gen = 0
         self._connect()
 
     def _connect(self) -> None:
@@ -139,6 +152,7 @@ class NatsClient:
             sock.sendall(f"SUB {subject} {sid}\r\n".encode())
         self._sock = sock
         self._buf = buf
+        self._gen += 1
 
     def _redial(self, cause: Exception) -> None:
         """Reconnect with the nats.js backoff contract, or re-raise."""
@@ -164,7 +178,13 @@ class NatsClient:
             self._sock.sendall(data)
         except OSError as exc:
             self._redial(exc)
-            self._sock.sendall(data)
+            try:
+                self._sock.sendall(data)
+            except OSError as exc2:
+                # The freshly redialed socket died too: surface the
+                # documented error contract (callers match on .code), not a
+                # raw OSError.
+                raise NatsError("connection closed", CONN_CLOSED) from exc2
 
     def _recv_more(self) -> None:
         try:
@@ -179,14 +199,27 @@ class NatsClient:
         self._buf += chunk
 
     def _read_line(self) -> bytes:
+        # A redial mid-line is safe WITHOUT a generation check: _connect
+        # resets _buf to the fresh stream's post-INFO remainder, which
+        # starts at a protocol-line boundary, so the partial old line is
+        # dropped wholesale and parsing stays synchronized.
         while b"\r\n" not in self._buf:
             self._recv_more()
         line, self._buf = self._buf.split(b"\r\n", 1)
         return line
 
     def _read_n(self, n: int) -> bytes:
+        # Unlike _read_line, payload reads are NOT self-synchronizing: after
+        # a redial the fresh buffer holds NEW protocol bytes (MSG headers,
+        # PINGs), and treating them as the old payload's remainder would
+        # desynchronize every subsequent frame. Detect the redial via the
+        # generation counter and abort the torn frame; next_msg restarts at
+        # a clean line boundary.
+        gen = self._gen
         while len(self._buf) < n:
             self._recv_more()
+            if self._gen != gen:
+                raise _Reconnected()
         out, self._buf = self._buf[:n], self._buf[n:]
         return out
 
@@ -210,19 +243,24 @@ class NatsClient:
         """Blocking read of the next MSG; answers PING transparently.
 
         A reconnect mid-message drops the torn frame and resumes on the
-        fresh socket — MSG framing is self-synchronizing from a clean
-        buffer, and core NATS is at-most-once anyway."""
+        fresh socket: _read_line resynchronizes from the reset buffer, and
+        a redial inside _read_n raises _Reconnected, caught here to restart
+        frame parsing at the clean line boundary (core NATS is at-most-once,
+        so the torn message is legitimately gone)."""
         while True:
-            line = self._read_line()
-            if line.startswith(b"PING"):
-                self._send(b"PONG\r\n")
-                continue
-            if line.startswith(b"MSG"):
-                parts = line.decode().split(" ")
-                nbytes = int(parts[-1])
-                payload = self._read_n(nbytes)
-                self._read_n(2)  # trailing \r\n
-                return parts[1], payload
+            try:
+                line = self._read_line()
+                if line.startswith(b"PING"):
+                    self._send(b"PONG\r\n")
+                    continue
+                if line.startswith(b"MSG"):
+                    parts = line.decode().split(" ")
+                    nbytes = int(parts[-1])
+                    payload = self._read_n(nbytes)
+                    self._read_n(2)  # trailing \r\n
+                    return parts[1], payload
+            except _Reconnected:
+                continue  # torn frame dropped; buffer is at a line boundary
             if line.startswith(b"-ERR"):
                 raise NatsError(line.decode(), CONN_CLOSED)
             # +OK / INFO updates: ignore

@@ -102,3 +102,69 @@ def test_embed_bucket_cap_bounds_degenerate_corpus(spark, degenerate_embed_dir):
         for r in dedup_embedding_exact(spark, degenerate_embed_dir).collect()
     }
     assert groups[0] == N_VEC_COPIES
+
+
+# -- adaptive signature width + banding (round 5, ADVICE r4) -------------------
+def test_n_planes_scale_and_pool_prefix():
+    """The plane count grows log2 with the corpus so EMBED_BUCKET_CAP only
+    ever trims degenerate buckets (fixed 8 planes would push ORDINARY
+    buckets over the cap past ~65k vectors); the pool's first 8 planes —
+    the oracle-visible prefix — never change."""
+    from node_cdc_nats_spark.operators import similarity as S
+
+    assert S.n_planes_for(500) == S.N_PLANES  # fixture scale: base 8
+    assert S.n_planes_for(8192) == S.N_PLANES
+    assert S.n_planes_for(100_000) > S.N_PLANES
+    # 100 TB-ish: 2^26 vectors -> expected bucket still ~32
+    n = S.n_planes_for(2**26)
+    assert 2**n * 32 >= 2**26
+    before = [list(p) for p in S.PLANES[: S.N_PLANES]]
+    pool = S.planes_pool(3 * S.N_PLANES)
+    assert [list(p) for p in pool[: S.N_PLANES]] == before
+    assert len(pool) == 3 * S.N_PLANES
+
+
+def test_banded_embedding_dedup_is_superset(spark, degenerate_embed_dir):
+    """n_bands=2 is an OR construction: band 0 is exactly the single-band
+    plan, band 1 only adds candidates, and the cross-band DISTINCT leaves
+    no duplicate pairs."""
+    from node_cdc_nats_spark.operators.similarity import dedup_embedding_cosine
+
+    one = {
+        (p.vec_a, p.vec_b)
+        for p in dedup_embedding_cosine(
+            spark, degenerate_embed_dir, threshold=0.95
+        ).collect()
+    }
+    two_rows = dedup_embedding_cosine(
+        spark, degenerate_embed_dir, threshold=0.95, n_bands=2
+    ).collect()
+    two = {(p.vec_a, p.vec_b) for p in two_rows}
+    assert len(two_rows) == len(two)
+    assert one <= two
+
+
+@pytest.fixture(scope="module")
+def empty_corpus_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("empty_corpus")
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(out / "documents.parquet"))
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(out / "embeddings.parquet"))
+    return str(out)
+
+
+def test_empty_corpus_dedup_paths(spark, empty_corpus_dir):
+    """Zero-row Arrow batches must not crash the vectorized kernels
+    (ADVICE r4: np.add.reduceat / np.vstack raise on empty input)."""
+    from node_cdc_nats_spark.operators.dedup import dedup_simhash
+    from node_cdc_nats_spark.operators.similarity import (
+        ann_lsh_topk,
+        dedup_embedding_cosine,
+    )
+
+    assert dedup_simhash(spark, empty_corpus_dir).collect() == []
+    assert dedup_embedding_cosine(spark, empty_corpus_dir).collect() == []
+    assert ann_lsh_topk(spark, empty_corpus_dir).collect() == []

@@ -218,6 +218,67 @@ def test_reconnect_attempts_exhausted():
     c.close()
 
 
+def test_reconnect_mid_frame_resynchronizes():
+    """A socket drop after the MSG header but mid-payload (ADVICE r4): the
+    parser must NOT consume the fresh connection's protocol bytes as the
+    old payload's remainder. The torn frame is dropped (at-most-once, like
+    the reference) and the next complete frame is delivered intact."""
+    server = socket.create_server(("127.0.0.1", 0))
+    port = server.getsockname()[1]
+
+    def serve():
+        # conn 1: greet, then a TORN frame (header + 3 of 10 payload
+        # bytes), then drop the socket.
+        c1, _ = server.accept()
+        c1.sendall(b'INFO {"server_id":"fake"}\r\n')
+        c1.recv(65536)  # CONNECT (and possibly the SUB)
+        c1.sendall(b"MSG cdc.client 3 10\r\nhel")
+        time.sleep(0.1)
+        c1.close()
+        # conn 2: greet, wait for the SUB replay, then a COMPLETE frame.
+        c2, _ = server.accept()
+        c2.sendall(b'INFO {"server_id":"fake"}\r\n')
+        buf = b""
+        while b"SUB" not in buf:
+            buf += c2.recv(65536)
+        c2.sendall(b"MSG cdc.client 3 5\r\nhello\r\n")
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    c = NatsClient(f"nats://127.0.0.1:{port}", reconnect_time_wait=0.05)
+    c.subscribe("cdc.client", sid=3)
+    # Without the generation check this returns garbage cut from conn 2's
+    # protocol stream (or crashes parsing mid-payload bytes as a header).
+    assert c.next_msg() == ("cdc.client", b"hello")
+    c.close()
+    server.close()
+
+
+def test_send_retry_failure_is_conn_closed(broker):
+    """If the freshly redialed socket dies too, _send must surface the
+    documented NatsError(CONN_CLOSED) contract, not a raw OSError
+    (ADVICE r4)."""
+    c = NatsClient(f"nats://127.0.0.1:{broker.port}")
+
+    class DeadSock:
+        def sendall(self, data):
+            raise OSError("broken pipe")
+
+        def close(self):
+            pass
+
+    def fake_redial(cause):
+        # A "successful" reconnect onto a socket that dies on first use.
+        c._sock = DeadSock()
+
+    c._sock = DeadSock()
+    c._redial = fake_redial
+    with pytest.raises(NatsError) as ei:
+        c.publish("subj", b"x")
+    assert ei.value.code == CONN_CLOSED
+    c.close()
+
+
 def test_publish_validation(broker):
     c = NatsClient(f"nats://127.0.0.1:{broker.port}")
     with pytest.raises(NatsError) as ei:

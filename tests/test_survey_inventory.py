@@ -59,51 +59,50 @@ def test_inventory_is_substantial():
 
 def test_green_demotion_lists_are_sound():
     # Every listed name must actually exist (a typo would silently waste a
-    # head slot), ops whose definition changed in round 4 must sit in the
+    # head slot), ops whose definition changed in round 5 must sit in the
     # head (their prior green rows verified old definitions), and the
-    # status lists must partition the registry exactly.
+    # r1/r2/r3 evidence lists must be mutually disjoint.
     from node_cdc_nats_spark.registry import (
         _R1_GREEN_SAFE,
         _R2_GREEN_SAFE,
         _R3_GREEN,
-        _STALE_FIXTURE_GREEN,
         _VERIFY_HEAD,
     )
 
     lists = (
         (_VERIFY_HEAD, "_VERIFY_HEAD"),
-        (_STALE_FIXTURE_GREEN, "_STALE_FIXTURE_GREEN"),
         (_R1_GREEN_SAFE, "_R1_GREEN_SAFE"),
         (_R2_GREEN_SAFE, "_R2_GREEN_SAFE"),
         (_R3_GREEN, "_R3_GREEN"),
     )
-    seen: set[str] = set()
     for lst, label in lists:
         unknown = [n for n in lst if n not in registry.QUERIES]
         assert not unknown, f"{label} names not registered: {unknown}"
+        assert len(set(lst)) == len(lst), f"{label} has duplicates"
+    seen: set[str] = set()
+    for lst in (_R1_GREEN_SAFE, _R2_GREEN_SAFE, _R3_GREEN):
         dup = seen & set(lst)
-        assert not dup, f"{label} repeats names from earlier lists: {dup}"
+        assert not dup, f"evidence lists overlap: {dup}"
         seen |= set(lst)
-    assert seen == set(registry.QUERIES), (
-        f"unlisted: {set(registry.QUERIES) - seen}; stale: {seen - set(registry.QUERIES)}"
-    )
-    changed_in_r4 = {"ann_ivf_topk", "dedup_minhash", "dedup_clusters"}
-    assert changed_in_r4 <= set(_VERIFY_HEAD)
+    changed_in_r5 = {"dedup_embedding_cosine", "dedup_simhash", "ann_lsh_topk"}
+    assert changed_in_r5 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
     names = list(registry.QUERIES)
     assert names[: len(_VERIFY_HEAD)] == list(_VERIFY_HEAD)
 
 
-def test_unproven_ops_fit_the_driver_budget():
-    # The point of the r4 reorder: every op without a trustworthy green row
-    # on the CURRENT fixture (r3 errs, r4-redefined, and the events greens
-    # the fixture drift falsified) must sit inside the driver's 50-slot
-    # budget, ahead of all green re-verification entries.
-    from node_cdc_nats_spark.registry import _STALE_FIXTURE_GREEN, _VERIFY_HEAD
+def test_oldest_evidence_fills_the_driver_budget():
+    # The point of the r5 reorder: with all 124 queries green after r4, the
+    # driver's 50 verification slots go to the round-5-redefined head and
+    # then the OLDEST evidence (the r1 and r2 greens), refreshing stale
+    # rows before fresh r4 rows burn slots.
+    from node_cdc_nats_spark.registry import (
+        _R1_GREEN_SAFE,
+        _R2_GREEN_SAFE,
+        _VERIFY_HEAD,
+    )
 
     names = list(registry.QUERIES)
-    unproven = set(_VERIFY_HEAD) | set(_STALE_FIXTURE_GREEN)
-    worst = max(names.index(n) for n in unproven)
-    assert worst < 50, f"{len(unproven)} unproven ops exceed the 50-slot budget"
-    first_proven = min(names.index(n) for n in names if n not in unproven)
-    assert worst < first_proven
+    priority = list(_VERIFY_HEAD) + list(_R1_GREEN_SAFE) + list(_R2_GREEN_SAFE)
+    assert names[: len(priority)] == priority
+    assert len(priority) <= 50, "priority block exceeds the 50-slot budget"
