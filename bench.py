@@ -133,6 +133,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Host-load context: this shared box swings 19-28 s for identical
+        # code, so round-over-round deltas need the co-tenant load visible
+        # next to the number (r4 verdict task 7).
+        "load": {
+            "loadavg_1m_5m_15m": [round(v, 2) for v in os.getloadavg()],
+            "cpus": os.cpu_count(),
+        },
     }
     if errors:
         out["errors"] = errors

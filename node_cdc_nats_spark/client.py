@@ -39,7 +39,18 @@ from typing import Any
 
 from .functions.cdcmsg import decode_cdcmsg, encode_cdcmsg
 from .functions.mqtt import matches
-from .sources.nats import BAD_MSG, BAD_SUBJECT, CONN_CLOSED, NatsError
+from .sources.nats import (  # noqa: F401 — re-exported, lib/nats.js:41-44
+    BAD_JSON,
+    BAD_MSG,
+    BAD_SUBJECT,
+    CONN_CLOSED,
+    INVALID_ENCODING,
+    NatsError,
+)
+
+# `exports.version` parity (lib/nats.js:11,46): the facade exposes the
+# engine's own version string the way the reference exposes its "1.0.0".
+from . import __version__ as version  # noqa: F401
 
 DEFAULT_TOPIC = "cdc.client"
 RPC_TIMEOUT_S = 10  # lib/nats.js:238-239 (seconds)

@@ -46,10 +46,16 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Reference error codes, lib/nats.js:15-23.
+# Reference error codes, lib/nats.js:15-23. BAD_JSON and INVALID_ENCODING
+# are defined-but-never-raised in the reference as well — they exist so a
+# porting user's `except NatsError as e: if e.code == BAD_JSON` call sites
+# keep importing (lib/nats.js:41-44 exports BAD_JSON; INVALID_ENCODING is
+# module-level there).
 BAD_SUBJECT = "BAD_SUBJECT"
 BAD_MSG = "BAD_MSG"
 CONN_CLOSED = "CONN_CLOSED"
+BAD_JSON = "BAD_JSON"
+INVALID_ENCODING = "INVALID_ENCODING"
 
 
 class NatsError(Exception):

@@ -241,3 +241,20 @@ def test_rpc_without_pump_waits_for_threaded_delivery():
     finally:
         t.cancel()
     assert out["payload"] == b"bg"
+
+
+def test_error_constants_and_version_export_parity():
+    """Every module-level constant a reference user can import keeps
+    importing here (lib/nats.js:15-23 consts, :41-44 exports, :11,46
+    version) — including BAD_JSON and INVALID_ENCODING, which are
+    defined-but-never-raised in the reference too."""
+    from node_cdc_nats_spark import client
+
+    assert client.BAD_SUBJECT == "BAD_SUBJECT"
+    assert client.BAD_MSG == "BAD_MSG"
+    assert client.CONN_CLOSED == "CONN_CLOSED"
+    assert client.BAD_JSON == "BAD_JSON"
+    assert client.INVALID_ENCODING == "INVALID_ENCODING"
+    assert issubclass(client.NatsError, Exception)
+    # exports.version parity: a non-empty dotted version string.
+    assert isinstance(client.version, str) and client.version.count(".") == 2

@@ -13,7 +13,13 @@ from .oracle_diff import compare
 registry.load_all()
 
 ORACLE_CASES = sorted(registry.ORACLES)
-ROWS_ONLY_CASES = sorted(set(registry.QUERIES) - set(registry.ORACLES))
+
+
+def test_every_query_has_an_oracle():
+    """All 124 registered queries carry a DuckDB oracle — the driver never
+    falls back to its weaker rows-only check. (Replaces a parametrized
+    rows-only test whose case set went empty in r4 and skipped forever.)"""
+    assert set(registry.QUERIES) == set(registry.ORACLES)
 
 
 @pytest.mark.parametrize("name", ORACLE_CASES)
@@ -22,10 +28,3 @@ def test_oracle_parity(spark, name):
         spark, name, registry.QUERIES[name], registry.ORACLES[name], SF_DIR_ORACLE
     )
     assert not problems, "\n".join(problems)
-
-
-@pytest.mark.parametrize("name", ROWS_ONLY_CASES)
-def test_rows_only_runs(spark, name):
-    df = registry.QUERIES[name](spark, SF_DIR_ORACLE)
-    assert df.count() >= 0
-    assert df.columns
