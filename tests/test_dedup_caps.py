@@ -168,3 +168,57 @@ def test_empty_corpus_dedup_paths(spark, empty_corpus_dir):
     assert dedup_simhash(spark, empty_corpus_dir).collect() == []
     assert dedup_embedding_cosine(spark, empty_corpus_dir).collect() == []
     assert ann_lsh_topk(spark, empty_corpus_dir).collect() == []
+
+
+# -- deep-chain convergence stress (round 5, r4 verdict task 6) ----------------
+CHAIN_W, CHAIN_S = 18, 4  # window/stride words: j(i,i+1)=0.6, j(i,i+2)=0.33
+
+
+def _chain_doc(i: int) -> str:
+    return " ".join(f"w{i * CHAIN_S + k:05d}" for k in range(CHAIN_W))
+
+
+def _chain_dir(spark, tmp_path_factory, n: int) -> str:
+    """Sliding-window chain corpus: doc i is a near-dup (Jaccard 0.6) of
+    exactly its neighbors — doc i±2 sits at 0.33, under the 0.5 verify
+    threshold — so the pair graph is a path of diameter n-1."""
+    rows = [(i, _chain_doc(i), "en", "chain", len(_chain_doc(i))) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = tmp_path_factory.mktemp(f"chain{n}")
+    df.coalesce(1).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+    return str(out)
+
+
+def test_deep_chain_converges_to_one_component(spark, tmp_path_factory):
+    """Min-label propagation needs one round per hop: a diameter-21 path
+    exercises ~21 of the 50-round fixpoint budget (the loud-guard regime
+    the shallow fixture clusters never reach) and must still produce ONE
+    component with doc 0 canonical."""
+    from node_cdc_nats_spark.operators.dedup import dedup_clusters, dedup_minhash
+
+    chain = _chain_dir(spark, tmp_path_factory, 22)
+    # Precondition, asserted so a banding change fails HERE with the real
+    # cause rather than as a mysterious split component below.
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash(spark, chain).select("doc_a", "doc_b").collect()
+    }
+    assert pairs == {(i, i + 1) for i in range(21)}
+
+    rows = dedup_clusters(spark, chain).collect()
+    assert {r.cluster_id for r in rows} == {0}
+    assert {r.cluster_size for r in rows} == {22}
+    assert [r.doc_id for r in rows if r.is_canonical] == [0]
+
+
+def test_over_budget_chain_raises_loudly(spark, tmp_path_factory):
+    """A diameter-60 path cannot converge in the 50-round budget; the
+    guard must raise (a silent cap would emit a split cluster instead —
+    the failure mode the guard exists to prevent)."""
+    from node_cdc_nats_spark.operators.dedup import dedup_clusters
+
+    chain = _chain_dir(spark, tmp_path_factory, 61)
+    with pytest.raises(RuntimeError, match="did not converge in 50 rounds"):
+        dedup_clusters(spark, chain)
