@@ -14,14 +14,35 @@ import os
 from pyspark.sql import SparkSession
 
 
+# RocksDB-backed streaming state (Spark-bundled provider): the 100 TB story
+# for the stateful ops (stream_rpc_state / stream_dedup /
+# stream_stream_left_join) cannot assume traffic-per-horizon state fits the
+# default in-memory HDFSBackedStateStore — RocksDB spills state to local
+# disk with incremental checkpointing. Runtime-settable (read at query
+# start), so one session can run queries under either store.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state_store(spark: SparkSession) -> SparkSession:
+    """Point subsequently STARTED streaming queries at the RocksDB state
+    store. Existing checkpoints keep their original provider; state format
+    is provider-specific, so toggle only on fresh checkpoints."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    return spark
+
+
 def get_spark(
     app_name: str = "node_cdc_nats_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    state_store: str | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
+    state_store = state_store or os.environ.get("SPARK_GRAFT_STATE_STORE")
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -42,6 +63,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    if state_store == "rocksdb":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
