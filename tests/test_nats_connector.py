@@ -415,6 +415,62 @@ def test_partitioned_reader_checkpoint_resume(spark, tmp_path):
     ) == sorted(f"m{i}" for i in range(10))
 
 
+def test_partitioned_reader_crash_mid_run_resumes_exactly_once(spark, tmp_path):
+    """r4 verdict task 3: kill the stream MID-RUN — not at a clean
+    availableNow boundary — while a publisher is still appending, then
+    restart from the same checkpoint. The durable per-partition cursors
+    (+ the file sink's transactional batch log) must deliver every message
+    exactly once: no loss, no duplication. The core-NATS TCP path stays
+    at-most-once as in the reference (lib/nats.js:163-183); this durable
+    replay is the JetStream-shaped spool path only."""
+    from node_cdc_nats_spark.sources.nats import register_nats_source
+
+    register_nats_source(spark)
+    spool, ckpt, out = (str(tmp_path / d) for d in ("spool", "ckpt", "out"))
+
+    def start(trigger_kwargs):
+        return (
+            spark.readStream.format("nats_cdc")
+            .option("spool", spool)
+            .option("partitions", "3")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+    _pub_range(spool, 0, 5)
+    q = start({"processingTime": "50 milliseconds"})
+    t = threading.Thread(
+        target=lambda: [
+            (_pub_range(spool, i, i + 1), time.sleep(0.03)) for i in range(5, 15)
+        ]
+    )
+    t.start()
+    # Wait until at least one batch has committed, then kill the query
+    # while the publisher thread is still appending.
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(out).count() > 0:
+                break
+        except Exception:
+            pass
+        time.sleep(0.05)
+    q.stop()
+    t.join()
+    _pub_range(spool, 15, 20)
+    q2 = start({"availableNow": True})
+    q2.awaitTermination()
+    # spark.read honors the sink's _spark_metadata commit log, so files
+    # from any torn batch of the killed query are invisible — the durable
+    # cursor must cover exactly the committed prefix.
+    got = sorted(bytes(r.payload).decode() for r in spark.read.parquet(out).collect())
+    assert got == sorted(f"m{i}" for i in range(20))
+
+
 def test_partitioned_offsets_are_per_partition():
     """Unit-level: latestOffset buckets filenames by crc32 % N and
     partitions() plans work only for partitions whose cursor advanced."""
