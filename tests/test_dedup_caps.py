@@ -222,3 +222,26 @@ def test_over_budget_chain_raises_loudly(spark, tmp_path_factory):
     chain = _chain_dir(spark, tmp_path_factory, 61)
     with pytest.raises(RuntimeError, match="did not converge in 50 rounds"):
         dedup_clusters(spark, chain)
+
+
+def test_multiband_band0_bitmatches_base_udf(spark):
+    """Band 0 of the multiband kernel must reproduce bucket_norm_udf
+    bit-for-bit (same sequential-d fold order) — this is what keeps the
+    fixture-scale banded plan inside the oracle's contract."""
+    from pyspark.sql import functions as F
+
+    from node_cdc_nats_spark.io import load_table
+    from node_cdc_nats_spark.operators import similarity as S
+    from tests.conftest import SF_DIR
+
+    em = load_table(spark, SF_DIR, "embeddings")
+    pool = S.planes_pool(2 * S.N_PLANES)
+    bands = [pool[: S.N_PLANES], pool[S.N_PLANES : 2 * S.N_PLANES]]
+    base = em.select("vec_id", S.bucket_norm_udf().alias("bn"))
+    mb = em.select("vec_id", S.multiband_bucket_norm_udf(bands).alias("mb"))
+    j = base.join(mb, "vec_id").select(
+        (F.col("bn.bucket") == F.col("mb.buckets")[0]).alias("b_eq"),
+        (F.col("bn.nrm") == F.col("mb.nrm")).alias("n_eq"),
+    )
+    rows = j.collect()
+    assert rows and all(r.b_eq and r.n_eq for r in rows)

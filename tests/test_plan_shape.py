@@ -215,3 +215,20 @@ def test_bounded_subscription_single_window_exchange(spark):
     plan = _plan(spark, "bounded_subscription")
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning(sub_id") == 1
+
+
+def test_embedding_dedup_bucket_join_shape(spark):
+    # Single-band (fixture) plan: the kept-bucket filter rides a broadcast
+    # (tiny distinct-bucket set), candidates join on bucket equality —
+    # never a cartesian — and the banded OR-construction keeps the same
+    # shape per band with a Union on top.
+    plan = _plan(spark, "dedup_embedding_cosine")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+    from node_cdc_nats_spark.operators.similarity import dedup_embedding_cosine
+
+    banded = dedup_embedding_cosine(spark, SF_DIR, n_bands=2)
+    bplan = banded._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in bplan
+    assert "Union" in bplan
