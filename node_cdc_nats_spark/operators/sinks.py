@@ -75,6 +75,7 @@ def sink_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CSV_STAGED: dict[str, str] = {}
 _JSON_STAGED: dict[str, str] = {}
+_ORC_STAGED: dict[str, str] = {}
 
 _CUSTOMER_DDL = (
     "c_custkey bigint, c_name string, c_nationkey int, "
@@ -127,6 +128,30 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders").write.mode("overwrite").json(out)
         _JSON_STAGED[sf_dir] = out
     return spark.read.schema(_ORDERS_DDL).json(_JSON_STAGED[sf_dir])
+
+
+@register(
+    "scan_orc",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+    FROM part
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC file-format reader (round 5, "File formats" breadth): the part
+    fixture round-tripped through a written ORC copy and read back —
+    columnar like parquet, so predicate pushdown / column pruning /
+    vectorized reads all apply unchanged (Spark's OrcScan reports
+    PushedFilters exactly as the parquet scan does). Values are
+    bit-preserved (int/double/string), so the parquet-backed oracle hash
+    matches without coercion."""
+    if sf_dir not in _ORC_STAGED:
+        out = tempfile.mkdtemp(prefix="scan_orc_")
+        load_table(spark, sf_dir, "part").write.mode("overwrite").orc(out)
+        _ORC_STAGED[sf_dir] = out
+    return spark.read.orc(_ORC_STAGED[sf_dir]).select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"
+    )
 
 
 _PARTITIONED: dict[str, str] = {}

@@ -48,6 +48,7 @@ _VERIFY_HEAD = (
     "dedup_embedding_cosine",
     "dedup_simhash",
     "ann_lsh_topk",
+    "scan_orc",  # r5: new — ORC file-format reader, first verification
 )
 
 

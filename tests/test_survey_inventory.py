@@ -84,7 +84,10 @@ def test_green_demotion_lists_are_sound():
         dup = seen & set(lst)
         assert not dup, f"evidence lists overlap: {dup}"
         seen |= set(lst)
-    changed_in_r5 = {"dedup_embedding_cosine", "dedup_simhash", "ann_lsh_topk"}
+    changed_in_r5 = {
+        "dedup_embedding_cosine", "dedup_simhash", "ann_lsh_topk",
+        "scan_orc",  # new in r5 — no prior green to rely on
+    }
     assert changed_in_r5 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
     names = list(registry.QUERIES)
