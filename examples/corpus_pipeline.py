@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Training-corpus curation walkthrough: the LLM-pipeline operators
+composed the way a data team would actually run them — quality gate →
+exact dedup → near-dup pair review → benchmark decontamination →
+train/val split — over the `documents` fixture, each stage a registered
+engine operator (the fused single-plan variant is `pipeline_end_to_end`).
+
+Run: python examples/corpus_pipeline.py [sf_dir]   (default sf0.001)
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> dict[str, int]:
+    from node_cdc_nats_spark.operators.dedup import dedup_exact, dedup_minhash
+    from node_cdc_nats_spark.operators.pipeline import (
+        decontaminate_ngram,
+        pipeline_end_to_end,
+        quality_filter_gopher,
+        train_val_split,
+    )
+    from node_cdc_nats_spark.session import get_spark
+
+    spark = get_spark(app_name="corpus_pipeline_example", shuffle_partitions=8)
+    stages = {
+        # 1. Gopher-style quality gate (length/repetition/symbol ratios).
+        "gated_docs": quality_filter_gopher(spark, sf_dir).count(),
+        # 2. Exact dedup: content-hash groups (linear; run FIRST, so the
+        #    banded near-dup pass never sees byte-identical clusters).
+        "content_hash_groups": dedup_exact(spark, sf_dir).count(),
+        # 3. Near-dup pair review: MinHash-banded candidates, Jaccard-verified.
+        "near_dup_pairs": dedup_minhash(spark, sf_dir).count(),
+        # 4. 13-gram benchmark decontamination (broadcast containment join).
+        "clean_docs": decontaminate_ngram(spark, sf_dir).count(),
+        # 5. Deterministic hash split (no global sort, no RNG state).
+        "train_val_rows": train_val_split(spark, sf_dir).count(),
+        # The same gate→dedup→decontaminate→split as ONE fused logical plan
+        # (two corpus shuffles total) — the shape you deploy at scale.
+        "fused_pipeline_rows": pipeline_end_to_end(spark, sf_dir).count(),
+    }
+    return stages
+
+
+if __name__ == "__main__":
+    out = main(*sys.argv[1:2])
+    for stage, n in out.items():
+        print(f"{stage:22s} {n}")

@@ -258,3 +258,19 @@ def test_error_constants_and_version_export_parity():
     assert issubclass(client.NatsError, Exception)
     # exports.version parity: a non-empty dotted version string.
     assert isinstance(client.version, str) and client.version.count(".") == 2
+
+
+def test_corpus_pipeline_example_runs(spark):
+    # The staged corpus-curation walkthrough must stay runnable with
+    # pinned fixture counts (sf0.001): each stage is a registered
+    # operator, and the fused plan gates the same corpus.
+    import examples.corpus_pipeline as cp
+
+    assert cp.main("/root/testdata/sf0.001") == {
+        "gated_docs": 500,
+        "content_hash_groups": 500,
+        "near_dup_pairs": 28,
+        "clean_docs": 490,
+        "train_val_rows": 500,
+        "fused_pipeline_rows": 336,
+    }

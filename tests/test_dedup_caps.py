@@ -245,3 +245,33 @@ def test_multiband_band0_bitmatches_base_udf(spark):
     )
     rows = j.collect()
     assert rows and all(r.b_eq and r.n_eq for r in rows)
+
+
+def test_adaptive_planes_path_end_to_end(spark, tmp_path_factory):
+    """Run dedup_embedding_cosine on a corpus big enough that
+    n_planes_for picks MORE than the base 8 planes (the scale path no
+    driver fixture reaches): the wider multiband kernel must run green
+    and still surface a planted near-identical pair."""
+    import random
+
+    from node_cdc_nats_spark.operators import similarity as S
+
+    n = 9000  # > 8192 -> planes = 9
+    assert S.n_planes_for(n) > S.N_PLANES
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(S.DIM)], 0) for i in range(n)
+    ]
+    # Planted pair: vector n is a copy of vector 0 with one dim nudged.
+    near = list(rows[0][1])
+    near[-1] += 1e-3
+    rows.append((n, near, 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = tmp_path_factory.mktemp("adaptive")
+    df.repartition(4).write.mode("overwrite").parquet(str(out / "embeddings.parquet"))
+
+    pairs = {
+        (p.vec_a, p.vec_b): p.score
+        for p in S.dedup_embedding_cosine(spark, str(out), threshold=0.99).collect()
+    }
+    assert (0, n) in pairs and pairs[(0, n)] > 0.999
