@@ -65,6 +65,9 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     warmup_dir = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
+    # Sample co-tenant load BEFORE the bench touches a core: the 1m value
+    # read after our own local[32] run would mostly measure ourselves.
+    load_before = [round(v, 2) for v in os.getloadavg()]
     registry.load_all()
     spark = get_spark(app_name="node_cdc_nats_spark_bench")
 
@@ -135,9 +138,12 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # Host-load context: this shared box swings 19-28 s for identical
         # code, so round-over-round deltas need the co-tenant load visible
-        # next to the number (r4 verdict task 7).
+        # next to the number (r4 verdict task 7). `before` is the
+        # co-tenant baseline (sampled before our own run loads the box);
+        # `after` shows self+co-tenant at finish.
         "load": {
-            "loadavg_1m_5m_15m": [round(v, 2) for v in os.getloadavg()],
+            "loadavg_before": load_before,
+            "loadavg_after": [round(v, 2) for v in os.getloadavg()],
             "cpus": os.cpu_count(),
         },
     }

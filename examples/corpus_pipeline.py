@@ -27,20 +27,25 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict[str, int]:
     from node_cdc_nats_spark.session import get_spark
 
     spark = get_spark(app_name="corpus_pipeline_example", shuffle_partitions=8)
+    # Each stage below runs INDEPENDENTLY over the same raw fixture — a
+    # tour of the individual operators with their standalone outputs. The
+    # actually-chained gate→dedup→decontaminate→split (each stage feeding
+    # the next, fused into ONE logical plan with two corpus shuffles) is
+    # the last entry, `pipeline_end_to_end` — that is the shape you deploy.
     stages = {
-        # 1. Gopher-style quality gate (length/repetition/symbol ratios).
+        # Gopher-style quality gate (length/repetition/symbol ratios).
         "gated_docs": quality_filter_gopher(spark, sf_dir).count(),
-        # 2. Exact dedup: content-hash groups (linear; run FIRST, so the
-        #    banded near-dup pass never sees byte-identical clusters).
+        # Exact dedup: content-hash groups (linear hash-groupBy; in a real
+        # run this goes before the banded pass so byte-identical clusters
+        # never reach it — pipeline_end_to_end orders it that way).
         "content_hash_groups": dedup_exact(spark, sf_dir).count(),
-        # 3. Near-dup pair review: MinHash-banded candidates, Jaccard-verified.
+        # Near-dup pair review: MinHash-banded candidates, Jaccard-verified.
         "near_dup_pairs": dedup_minhash(spark, sf_dir).count(),
-        # 4. 13-gram benchmark decontamination (broadcast containment join).
+        # 13-gram benchmark decontamination (broadcast containment join).
         "clean_docs": decontaminate_ngram(spark, sf_dir).count(),
-        # 5. Deterministic hash split (no global sort, no RNG state).
+        # Deterministic hash split (no global sort, no RNG state).
         "train_val_rows": train_val_split(spark, sf_dir).count(),
-        # The same gate→dedup→decontaminate→split as ONE fused logical plan
-        # (two corpus shuffles total) — the shape you deploy at scale.
+        # The composed flagship: the four stages above as one fused plan.
         "fused_pipeline_rows": pipeline_end_to_end(spark, sf_dir).count(),
     }
     return stages

@@ -52,12 +52,14 @@ _VERIFY_HEAD = (
 )
 
 
-# After r4 every one of the 124 queries carries a latest-status full pass
-# (r4 itself went 50/50 over the errs, redefinitions, and drift-falsified
-# greens). With nothing broken or stale, the budgeted walk refreshes the
-# OLDEST evidence first: r1 greens, then r2, then r3; r4 rows are the
-# freshest and go last (head 3 + r1 33 + r2 10 + first ~4 of r3 fill the
-# 50 slots).
+# After r4 every one of the 124 r4-era queries carries a latest-status
+# full pass (r4 itself went 50/50 over the errs, redefinitions, and
+# drift-falsified greens). With nothing broken or stale, the budgeted walk
+# puts any op with NO recorded status (unlisted anywhere — the safety net
+# for a future op someone forgets to head-list) right after the head, then
+# refreshes the OLDEST evidence first: r1 greens, then r2, then r3; r4
+# rows are the freshest and go last (head 4 + unlisted 0 + r1 33 + r2 10
+# + first 3 of r3 fill the 50 slots).
 _R1_GREEN_SAFE = (
     "agg_count", "agg_cube", "agg_distinct", "agg_grouping_sets",
     "agg_multi", "agg_pivot", "agg_rollup", "agg_stats", "agg_sum",
@@ -86,6 +88,23 @@ _R3_GREEN = (
     "embed_knn", "text_stats", "lang_id", "token_count", "quality_score",
     "doc_fingerprint", "text_normalize", "text_embed_hash",
 )
+# r4 greens (the r3-err re-verifications and drift-falsified re-greens) —
+# freshest evidence, verified only when budget reaches them.
+_R4_GREEN = (
+    "agg_quantiles", "agg_approx_quantiles", "channel_params", "join_asof",
+    "map_ops", "scan_schema_evolution", "sink_compacted", "nats_roundtrip",
+    "stream_stream_left_join", "cdc_encode_decode", "except_distinct",
+    "scan_partition_pruned", "ann_ivf_topk", "dedup_minhash",
+    "dedup_clusters", "dedup_embedding_exact", "pipeline_end_to_end",
+    "scan_stream", "sink_parquet", "sink_memory", "filter_channel",
+    "rpc_first_response", "rpc_first_response_processed", "agg_avg",
+    "agg_min_max", "win_lag_lead", "win_running", "union_all",
+    "union_distinct", "intersect", "json_extract", "stream_watermark",
+    "stream_tumble", "stream_slide", "stream_session", "stream_dedup",
+    "stream_rpc_state", "stream_bounded_subscription", "stream_upsert",
+    "stream_stream_join", "cdc_upsert_latest", "cdc_changelog", "cdc_scd2",
+    "fanout_dispatch", "bounded_subscription",
+)
 
 
 def load_all() -> None:
@@ -112,12 +131,24 @@ def load_all() -> None:
         relational,
         window,
     )
+    listed = (
+        set(_VERIFY_HEAD)
+        | set(_R1_GREEN_SAFE)
+        | set(_R2_GREEN_SAFE)
+        | set(_R3_GREEN)
+        | set(_R4_GREEN)
+    )
     blocks = (
         _VERIFY_HEAD,
+        # Safety net: an op listed NOWHERE has no recorded status and must
+        # be verified before any green re-verification burns its slot —
+        # a future round that registers an op but forgets the head list
+        # still gets it verified (and test_survey_inventory flags it).
+        tuple(n for n in QUERIES if n not in listed),
         _R1_GREEN_SAFE,
         _R2_GREEN_SAFE,
         _R3_GREEN,
-        tuple(QUERIES),  # anything unlisted (freshest r4 greens), reg. order
+        _R4_GREEN,
     )
     ordered: list[str] = []
     for block in blocks:

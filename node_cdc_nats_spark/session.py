@@ -43,6 +43,12 @@ def get_spark(
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
     state_store = state_store or os.environ.get("SPARK_GRAFT_STATE_STORE")
+    if state_store not in (None, "", "default", "rocksdb"):
+        # Fail loudly: a typo ("RocksDB", "rocks") silently running the
+        # in-memory default would defeat the reason the toggle exists.
+        raise ValueError(
+            f"unknown state_store {state_store!r}; use 'rocksdb' or 'default'"
+        )
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)

@@ -49,3 +49,12 @@ def test_stream_dedup_green_under_rocksdb(spark, rocksdb_store):
     from node_cdc_nats_spark.streaming.windows import stream_dedup
 
     assert stream_dedup(spark, SF_DIR).count() > 0
+
+
+def test_unknown_state_store_raises():
+    """A typo ('RocksDB', 'rocks') must fail loudly, not silently run the
+    in-memory default at a scale that needed disk-backed state."""
+    from node_cdc_nats_spark.session import get_spark
+
+    with pytest.raises(ValueError, match="unknown state_store"):
+        get_spark(state_store="RocksDB")

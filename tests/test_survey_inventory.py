@@ -66,6 +66,7 @@ def test_green_demotion_lists_are_sound():
         _R1_GREEN_SAFE,
         _R2_GREEN_SAFE,
         _R3_GREEN,
+        _R4_GREEN,
         _VERIFY_HEAD,
     )
 
@@ -74,16 +75,25 @@ def test_green_demotion_lists_are_sound():
         (_R1_GREEN_SAFE, "_R1_GREEN_SAFE"),
         (_R2_GREEN_SAFE, "_R2_GREEN_SAFE"),
         (_R3_GREEN, "_R3_GREEN"),
+        (_R4_GREEN, "_R4_GREEN"),
     )
     for lst, label in lists:
         unknown = [n for n in lst if n not in registry.QUERIES]
         assert not unknown, f"{label} names not registered: {unknown}"
         assert len(set(lst)) == len(lst), f"{label} has duplicates"
     seen: set[str] = set()
-    for lst in (_R1_GREEN_SAFE, _R2_GREEN_SAFE, _R3_GREEN):
+    for lst in (_R1_GREEN_SAFE, _R2_GREEN_SAFE, _R3_GREEN, _R4_GREEN):
         dup = seen & set(lst)
         assert not dup, f"evidence lists overlap: {dup}"
         seen |= set(lst)
+    # FULL partition: every registered op must carry a status (head or an
+    # evidence list). A brand-new op that is in neither fails HERE loudly,
+    # and load_all additionally orders such an op right after the head so
+    # the driver verifies it even if this assertion is ignored.
+    unlisted = set(registry.QUERIES) - seen - set(_VERIFY_HEAD)
+    assert not unlisted, (
+        f"ops with no verification status (add to _VERIFY_HEAD): {unlisted}"
+    )
     changed_in_r5 = {
         "dedup_embedding_cosine", "dedup_simhash", "ann_lsh_topk",
         "scan_orc",  # new in r5 — no prior green to rely on
