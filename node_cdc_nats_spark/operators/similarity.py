@@ -156,10 +156,14 @@ def _sql_plane_literal(p: int) -> str:
     return "[" + ", ".join(f"CAST({v} AS DOUBLE)" for v in PLANES[p]) + "]"
 
 
-def sql_lsh_bucket(vec_expr: str) -> str:
+def sql_lsh_bucket(vec_expr: str, band: int = 0) -> str:
+    """DuckDB mirror of one band's signature: band b uses planes
+    [b·N_PLANES, (b+1)·N_PLANES) of the seeded pool (band 0 = the base
+    PLANES prefix, so existing oracles are unchanged)."""
+    planes_pool((band + 1) * N_PLANES)
     terms = []
     for p in range(N_PLANES):
-        dot = sql_dot_exact(vec_expr, _sql_plane_literal(p))
+        dot = sql_dot_exact(vec_expr, _sql_plane_literal(band * N_PLANES + p))
         terms.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
     return "CAST(" + " + ".join(terms) + " AS INT)"
 
@@ -545,6 +549,47 @@ def dedup_embedding_cosine(
         # so DISTINCT on (pair, score) is an exact cross-band dedup.
         out = out.distinct()
     return out
+
+
+@register(
+    "dedup_embedding_banded",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {sql_lsh_bucket('embedding', 0)} AS bucket0,
+             {sql_lsh_bucket('embedding', 1)} AS bucket1,
+             {sql_norm('embedding')} AS nrm
+      FROM embeddings),
+    kept0 AS (SELECT bucket0 FROM b GROUP BY bucket0
+              HAVING COUNT(*) BETWEEN 2 AND {EMBED_BUCKET_CAP}),
+    kept1 AS (SELECT bucket1 FROM b GROUP BY bucket1
+              HAVING COUNT(*) BETWEEN 2 AND {EMBED_BUCKET_CAP}),
+    p0 AS (
+      SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+             {sql_cosine_pre('a.embedding', 'c.embedding', 'a.nrm', 'c.nrm')} AS score
+      FROM b a JOIN kept0 k ON a.bucket0 = k.bucket0
+      JOIN b c ON a.bucket0 = c.bucket0 AND a.vec_id < c.vec_id
+      WHERE {sql_cosine_pre('a.embedding', 'c.embedding', 'a.nrm', 'c.nrm')} >= 0.3),
+    p1 AS (
+      SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+             {sql_cosine_pre('a.embedding', 'c.embedding', 'a.nrm', 'c.nrm')} AS score
+      FROM b a JOIN kept1 k ON a.bucket1 = k.bucket1
+      JOIN b c ON a.bucket1 = c.bucket1 AND a.vec_id < c.vec_id
+      WHERE {sql_cosine_pre('a.embedding', 'c.embedding', 'a.nrm', 'c.nrm')} >= 0.3)
+    SELECT vec_a, vec_b, score FROM p0
+    UNION
+    SELECT vec_a, vec_b, score FROM p1
+    """,
+)
+def dedup_embedding_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded OR-construction of :func:`dedup_embedding_cosine` as its
+    own oracle-verified query (two bands): band 1 uses the next 8 planes
+    of the seeded pool, candidates union across bands, and the cross-band
+    DISTINCT is exact because the cosine is a deterministic left fold of
+    the same floats in every band. This registers the recall-recovery
+    path itself — not just the single-band degenerate — against the
+    DuckDB oracle's UNION of per-band pair sets."""
+    return dedup_embedding_cosine(spark, sf_dir, n_bands=2)
 
 
 def _assign_cells(df: DataFrame, cent: "list[list[float]]") -> DataFrame:

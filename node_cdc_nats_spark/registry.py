@@ -49,6 +49,7 @@ _VERIFY_HEAD = (
     "dedup_simhash",
     "ann_lsh_topk",
     "scan_orc",  # r5: new — ORC file-format reader, first verification
+    "dedup_embedding_banded",  # r5: new — banded OR-construction, first verification
 )
 
 
@@ -58,8 +59,8 @@ _VERIFY_HEAD = (
 # puts any op with NO recorded status (unlisted anywhere — the safety net
 # for a future op someone forgets to head-list) right after the head, then
 # refreshes the OLDEST evidence first: r1 greens, then r2, then r3; r4
-# rows are the freshest and go last (head 4 + unlisted 0 + r1 33 + r2 10
-# + first 3 of r3 fill the 50 slots).
+# rows are the freshest and go last (head 5 + unlisted 0 + r1 33 + r2 10
+# + first 2 of r3 fill the 50 slots).
 _R1_GREEN_SAFE = (
     "agg_count", "agg_cube", "agg_distinct", "agg_grouping_sets",
     "agg_multi", "agg_pivot", "agg_rollup", "agg_stats", "agg_sum",

@@ -96,7 +96,7 @@ def test_green_demotion_lists_are_sound():
     )
     changed_in_r5 = {
         "dedup_embedding_cosine", "dedup_simhash", "ann_lsh_topk",
-        "scan_orc",  # new in r5 — no prior green to rely on
+        "scan_orc", "dedup_embedding_banded",  # new in r5 — no prior green
     }
     assert changed_in_r5 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
