@@ -27,7 +27,11 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q9_nation_revenue",
     "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_volume",
     "join_inner",
     "join_left",
     "join_range",

@@ -50,6 +50,11 @@ _VERIFY_HEAD = (
     "ann_lsh_topk",
     "scan_orc",  # r5: new — ORC file-format reader, first verification
     "dedup_embedding_banded",  # r5: new — banded OR-construction, first verification
+    # r5: new TPC-H-style flagships (operators/flagships.py), first verification
+    "q6_forecast_revenue",
+    "q9_nation_revenue",
+    "q14_promo_effect",
+    "q18_large_volume",
 )
 
 
@@ -127,6 +132,7 @@ def load_all() -> None:
     )
     from . import streaming  # noqa: F401
     from .operators import (  # noqa: F401
+        flagships,
         functions_pack,
         pipeline,
         relational,

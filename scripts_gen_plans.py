@@ -20,6 +20,14 @@ SHOWCASE = [
         "6-table snowflake: region→nation→supplier pruning chain broadcast; lineitem⋈orders is the only shuffle.",
     ),
     (
+        "q6_forecast_revenue",
+        "Pure pushdown: all four predicates at the scan, 4-column read, partial+final one-row agg, no join.",
+    ),
+    (
+        "q18_large_volume",
+        "groupBy-HAVING qualifier semi-joined (LeftSemi) back into the 3-way join; top-100 via TakeOrderedAndProject, never a global sort.",
+    ),
+    (
         "scan_parquet",
         "PushedFilters + 3-column ReadSchema: predicate and projection reach the parquet reader.",
     ),

@@ -232,3 +232,49 @@ def test_embedding_dedup_bucket_join_shape(spark):
     bplan = banded._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in bplan
     assert "Union" in bplan
+
+
+def test_q6_is_pushdown_plus_global_agg(spark):
+    # Q6 is the pure pushdown benchmark: all four predicates reach the
+    # parquet scan, the scan reads exactly 4 columns, and the whole query
+    # is one partial+final agg with a single-row exchange — no join, no
+    # wide shuffle anywhere.
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)" in plan
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp_ntz>" in plan
+    )
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange SinglePartition" in plan
+
+
+def test_q14_month_filter_pushes_below_join(spark):
+    # The one-month shipdate filter must reach the lineitem scan (join
+    # input is ~1/84th of the fact table); part carries no broadcast pin
+    # but AQE broadcasts it at fixture scale.
+    plan = _plan(spark, "q14_promo_effect")
+    assert "GreaterThanOrEqual(l_shipdate,1996-09-01" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_having_semi_join_shape(spark):
+    # The groupBy-HAVING qualifier feeds a LeftSemi back into the 3-way
+    # join, and the top-100 is a TakeOrderedAndProject (never a global
+    # sort of the joined fact table).
+    plan = _plan(spark, "q18_large_volume")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_broadcasts_bounded_nation_only(spark):
+    # nation (25 rows, bounded by construction) is pinned broadcast; the
+    # agg is partial+final over a 25-nation × 7-year key space.
+    plan = _plan(spark, "q9_nation_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
