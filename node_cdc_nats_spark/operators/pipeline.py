@@ -470,24 +470,32 @@ def doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     floor(log2(n)) is computed EXACTLY as binary-digit-count - 1 (Spark
     `conv(n,10,2)`, DuckDB `PRINTF('%b')`) — integer arithmetic, no libm
-    log whose last-ulp could differ between engines. Scale: token counts
-    are one partial+final hash agg; the count join shuffles on the token
-    key (vocabulary-sized, not corpus-sized, per-partition combine
-    first); the per-doc mean is a second partial+final agg on doc_id."""
+    log whose last-ulp could differ between engines.
+
+    Scale: nothing occurrence-sized ever shuffles. The exploded token
+    stream collapses map-side to unique (doc_id, token) pairs with an
+    in-doc count `k` (r5 — natural text repeats tokens, so this is the
+    shuffle-volume win the partial combine can't get on a (doc,token)
+    key), corpus counts are a vocabulary-sized second agg over those
+    pairs, the count join shuffles unique pairs only, and the per-doc
+    stats weight by `k` (integer-exact, so values are identical to the
+    per-occurrence formulation the oracle states)."""
     d = load_table(spark, sf_dir, "documents")
     t2 = (
         d.select("doc_id", F.explode(F.split(F.expr(_NORM_SPARK), " ")).alias("token"))
         .filter(F.col("token") != "")
     )
-    cnts = t2.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    j = t2.join(cnts, "token").select("doc_id", "cnt")
+    dt = t2.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("k"))
+    cnts = dt.groupBy("token").agg(F.sum("k").alias("cnt"))
+    j = dt.join(cnts, "token").select("doc_id", "k", "cnt")
     zipf = F.length(F.conv(F.col("cnt").cast("string"), 10, 2)) - 1
+    n_tok = F.sum("k")
     return j.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        (F.sum(zipf).cast("double") / F.count(F.lit(1))).alias("mean_zipf"),
+        n_tok.cast("long").alias("n_tokens"),
+        (F.sum(F.col("k") * zipf).cast("double") / n_tok).alias("mean_zipf"),
         (
-            F.sum(F.when(F.col("cnt") <= 2, 1).otherwise(0)).cast("double")
-            / F.count(F.lit(1))
+            F.sum(F.when(F.col("cnt") <= 2, F.col("k")).otherwise(0)).cast("double")
+            / n_tok
         ).alias("rare_frac"),
     )
 

@@ -50,6 +50,9 @@ _VERIFY_HEAD = (
     "ann_lsh_topk",
     "scan_orc",  # r5: new — ORC file-format reader, first verification
     "dedup_embedding_banded",  # r5: new — banded OR-construction, first verification
+    # r5: doc_rarity_score redefined (unique-pair shuffle rewrite) — its r3
+    # green verified the occurrence-shuffle definition
+    "doc_rarity_score",
     # r5: new TPC-H-style flagships (operators/flagships.py), first verification
     "q6_forecast_revenue",
     "q9_nation_revenue",
