@@ -152,10 +152,14 @@ def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF: one document row in, one row per token out (position +
     token), skipping empties — the table-function shape of a tokenizer.
     Registered per-call and applied via lateral join so the scan stays
-    columnar up to the UDTF boundary."""
+    columnar up to the UDTF boundary. Arrow-optimized (``useArrow=True``):
+    input rows cross to Python in Arrow batches (ArrowEvalPythonUDTF in
+    the plan) instead of pickled one at a time — the declaration-level
+    flag works on a vanilla driver session where a session conf would
+    not."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos int, tok string")
+    @udtf(returnType="pos int, tok string", useArrow=True)
     class Tokenize:
         def eval(self, doc_id: int, text: str):
             for pos, tok in enumerate((text or "").lower().split(" ")):

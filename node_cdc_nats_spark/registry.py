@@ -53,6 +53,8 @@ _VERIFY_HEAD = (
     # r5: doc_rarity_score redefined (unique-pair shuffle rewrite) — its r3
     # green verified the occurrence-shuffle definition
     "doc_rarity_score",
+    # r5: udtf_tokens redeclared Arrow-optimized (useArrow=True)
+    "udtf_tokens",
     # r5: new TPC-H-style flagships (operators/flagships.py), first verification
     "q6_forecast_revenue",
     "q9_nation_revenue",
@@ -83,7 +85,8 @@ _R1_GREEN_SAFE = (
 _R2_GREEN_SAFE = (
     "multimodal_meta", "multimodal_frame_sample", "multimodal_features",
     "multimodal_resize", "udf_scalar", "udf_grouped", "udf_grouped_agg",
-    "udtf_tokens", "scan_parquet", "scan_csv",
+    # udtf_tokens moved to _VERIFY_HEAD (r5 Arrow redeclaration)
+    "scan_parquet", "scan_csv",
 )
 _R3_GREEN = (
     "agg_approx_distinct", "scan_json",

@@ -49,6 +49,20 @@ DOC_BOUND = [
     "doc_rarity_score",
     "pipeline_end_to_end",
 ]
+# The embedding-reading ops (r5): the adaptive-planes claim on
+# dedup_embedding_cosine ("EMBED_BUCKET_CAP only ever trims degenerate
+# buckets at any n") and the ANN bucketing deserve the same measured
+# proof the document ops got.
+EMB_BOUND = [
+    "dedup_embedding_exact",
+    "dedup_embedding_cosine",
+    "dedup_embedding_banded",
+    "sim_topk",
+    "embed_knn",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embed_norm_quantize",
+]
 
 
 def build_sf1(spark) -> None:
@@ -96,6 +110,49 @@ def build_sf1(spark) -> None:
     with open(marker, "w") as fh:
         fh.write("ok")
 
+
+def build_sf1_embeddings(spark) -> None:
+    """10x-inflate sf0.1's embeddings: replica k circularly shifts every
+    vector's dimensions by k. A dimension permutation applied uniformly
+    within a replica preserves every cosine INSIDE the replica (the
+    duplicate/near-dup structure copies over exactly, so genuine pair
+    counts grow 10x — linear), while shifted copies of generic vectors
+    decorrelate ACROSS replicas — plain copies would make every vector an
+    exact dup 9 times over, a degenerate corpus shape whose bucket caps
+    would rightly dominate the measurement. vec_ids AND labels are offset
+    per replica: the label column is embed_knn's IVF coarse cell, and a
+    10x corpus has 10x MORE cells (k-means k grows with n), not 10x
+    BIGGER cells — shared labels would grow the in-cell quadratic 100x
+    and measure a corpus shape the operator is documented not to face."""
+    marker = os.path.join(SF1_DIR, ".complete_emb")
+    if os.path.exists(marker):
+        return
+    src_path = f"{SF1_DIR}/embeddings.parquet"
+    e = spark.read.parquet(f"{SFS[-1]}/embeddings.parquet")
+    dim = len(e.select("embedding").first()[0])
+    copies = [e]
+    for k in range(1, 10):
+        shifted = F.concat(
+            F.slice("embedding", k + 1, dim - k), F.slice("embedding", 1, k)
+        )
+        copies.append(
+            e.select(
+                (F.col("vec_id") + F.lit(k * 10_000_000)).alias("vec_id"),
+                shifted.alias("embedding"),
+                (F.col("label") + F.lit(k * 100_000)).alias("label"),
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    # build_sf1 copied the original as a bare FILE; the Spark writer needs
+    # a directory at that path.
+    if os.path.isfile(src_path):
+        os.remove(src_path)
+    out.repartition(32).write.mode("overwrite").parquet(src_path)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+
 NOTES = """
 Notes:
 
@@ -140,7 +197,7 @@ def main() -> None:
             # Failures are named loudly (never a silent nan) and one failed
             # rerun does not discard a good first run.
             best = None
-            for _ in range(2):
+            for _ in range(3):
                 try:
                     t0 = time.perf_counter()
                     registry.QUERIES[name](spark, sf_dir).count()
@@ -194,7 +251,7 @@ def main() -> None:
             # a broken-at-scale operator must not read as a nan formatting
             # artifact, and one failed rerun must not discard a good run.
             best = None
-            for _ in range(2):
+            for _ in range(5):
                 try:
                     t0 = time.perf_counter()
                     registry.QUERIES[name](spark, sf_dir).count()
@@ -243,6 +300,64 @@ def main() -> None:
         "their worst): banding/caps keep candidate generation linear in "
         "corpus size, which was the point of measuring them here.",
     ]
+    # -- sf1 (1000x) on the embedding-bound ops -------------------------------
+    build_sf1_embeddings(spark)
+    for name in EMB_BOUND:
+        for sf_dir in (SFS[-1], SF1_DIR):
+            try:
+                registry.QUERIES[name](spark, sf_dir).count()
+            except Exception:
+                pass
+    emb_rows = []
+    for name in EMB_BOUND:
+        cells = []
+        for sf_dir in (SFS[-1], SF1_DIR):
+            best = None
+            for _ in range(5):
+                try:
+                    t0 = time.perf_counter()
+                    registry.QUERIES[name](spark, sf_dir).count()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None or dt < best else best
+                except Exception as exc:
+                    print(f"WARN {name} @ {sf_dir}: {type(exc).__name__}: {exc}")
+            cells.append(best if best is not None else float("nan"))
+        emb_rows.append((name, *cells, cells[1] / cells[0] if cells[0] else float("nan")))
+    out += [
+        "",
+        "## sf1 (1000x): the embedding-bound ops",
+        "",
+        "Same method over a 10x-inflated embeddings table (replica k",
+        "circularly shifts each vector's dimensions by k: cosines inside a",
+        "replica are preserved exactly — pair counts grow linearly — while",
+        "replicas decorrelate from each other; built by",
+        "`build_sf1_embeddings`, cached in `.scaling_sf1/`). This measures",
+        "the adaptive-planes claim on `dedup_embedding_cosine` (signature",
+        "width grows log2 with corpus size so EMBED_BUCKET_CAP only trims",
+        "degenerate buckets) and the ANN bucketing at 10x.",
+        "",
+        "| query | sf0.1 s | sf1 s | 10x ratio (.1->1) |",
+        "|---|---|---|---|",
+    ]
+    for name, t0, t1, r in emb_rows:
+        out.append(f"| `{name}` | {t0:.3f} | {t1:.3f} | {r:.2f} |")
+    etot = [sum(r[i] for r in emb_rows) for i in (1, 2)]
+    out.append(
+        f"| **total** | {etot[0]:.2f} | {etot[1]:.2f} | {etot[1]/etot[0]:.2f} |"
+    )
+    eok = [r for r in emb_rows if r[3] == r[3]]
+    eworst = max(eok, key=lambda r: r[3])
+    everdict = (
+        "every embedding-op 10x ratio is <= ~10: no super-linear op."
+        if eworst[3] <= 10.5
+        else "RATIO ABOVE 10 — investigate before claiming linearity."
+    )
+    out += [
+        "",
+        f"Computed from this run: worst embedding-op 10x ratio "
+        f"{eworst[3]:.2f} (`{eworst[0]}`) — {everdict}",
+    ]
+
     out.append(NOTES)
     with open("SCALING.md", "w") as f:
         f.write("\n".join(out))

@@ -278,3 +278,33 @@ def test_q9_broadcasts_bounded_nation_only(spark):
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
+
+
+# Queries whose plan legitimately contains a broadcast nested-loop/cartesian
+# over a PROVABLY tiny side: join_cross (the cross-join demo itself,
+# region×nation = 125 rows by construction), the two 1-row global-total
+# joins in pipeline.py (sample_temperature's language census,
+# corpus_mix_report's corpus totals), embed_knn's broadcast of the 5-row
+# query set, and join_theta/join_range (non-equi conditions compile to
+# BroadcastNestedLoopJoin over a broadcast dimension side by design).
+_CARTESIAN_OK = {
+    "join_cross", "join_theta", "join_range",
+    "sample_temperature", "corpus_mix_report", "embed_knn", "sim_topk",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [n for n in registry.QUERIES if n not in _SKIP],
+)
+def test_no_unexpected_cartesian_or_rowpython(spark, name):
+    """Blanket 100 TB safety net over EVERY batch query's physical plan:
+    no CartesianProduct and no nested-loop join outside the allowlisted
+    tiny-broadcast sites, and no row-at-a-time Python eval anywhere
+    (BatchEvalPython = per-row UDF; all Python must be ArrowEvalPython,
+    FlatMapGroupsInPandas, or MapInPandas)."""
+    plan = _plan(spark, name)
+    if name not in _CARTESIAN_OK:
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"

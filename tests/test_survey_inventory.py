@@ -97,6 +97,7 @@ def test_green_demotion_lists_are_sound():
     changed_in_r5 = {
         "dedup_embedding_cosine", "dedup_simhash", "ann_lsh_topk",
         "doc_rarity_score",  # r5 unique-pair shuffle rewrite
+        "udtf_tokens",  # r5 Arrow-optimized redeclaration
         # new in r5 — no prior green:
         "scan_orc", "dedup_embedding_banded",
         "q6_forecast_revenue", "q9_nation_revenue",
