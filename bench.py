@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_substring",
     "text_stats",
     "topk_ngrams",
     "decontaminate_ngram",

@@ -278,6 +278,72 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- exact substring (long-span) dedup ----------------------------------------
+# Span length for verbatim-overlap detection: long enough that sharing one
+# span means real copied text (quotes, mirrored paragraphs, licence blocks),
+# not phrase-level similarity — the regime where Jaccard-style whole-doc
+# scores stay low and would miss the pair.
+SUBSTRING_N = 30
+
+
+@register(
+    "dedup_substring",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(toks) - {SUBSTRING_N - 2}, 1)),
+               i -> {sql_hash60(f"ARRAY_TO_STRING(toks[i:i+{SUBSTRING_N - 1}], ' ')")}))) AS h
+      FROM t),
+    kept AS (SELECT h FROM g GROUP BY h
+             HAVING COUNT(*) BETWEEN 2 AND {NGRAM_DF_CAP})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared_spans
+    FROM g a
+    JOIN kept k ON a.h = k.h
+    JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup: document pairs sharing at least one verbatim
+    {SUBSTRING_N}-token span, with the count of shared distinct spans —
+    the long-span complement of :func:`dedup_ngram_jaccard` (a 2000-token
+    doc quoting one paragraph of another scores near-zero whole-doc
+    Jaccard but is exactly what a training corpus must catch).
+
+    Same scale machinery as the other pair generators: spans are hashed
+    to 60-bit longs inside the transform (8-byte shuffle keys), buckets
+    above NGRAM_DF_CAP document-frequency are dropped on both engines
+    (boilerplate spans — licence headers — would otherwise make one
+    bucket quadratic), and pair generation is one groupBy + in-bucket
+    transform, never a self-join."""
+    n = SUBSTRING_N
+    spans = (
+        f"case when size(toks) >= {n} then "
+        f"array_distinct(transform(sequence(1, size(toks) - {n - 1}), "
+        f"i -> cast(conv(substring(md5(cast(concat_ws(' ', slice(toks, i, {n})) "
+        f"as binary)), 1, 15), 16, 10) as bigint))) "
+        "else array() end"
+    )
+    g = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower(F.col("text")), " ").alias("toks"))
+        .select("doc_id", F.explode(F.expr(spans)).alias("h"))
+    )
+    buckets = (
+        g.groupBy("h")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= NGRAM_DF_CAP))
+    )
+    return (
+        buckets.select(F.explode(bucket_pairs(F.col("ds"))).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+    )
+
+
 # -- MinHash + LSH -------------------------------------------------------------
 # Universal-hash family over ONE base md5 per shingle: h_i(s) = (a_i·x + b_i)
 # mod P with x = hash60(s) mod P — the classic cheap way to get K independent

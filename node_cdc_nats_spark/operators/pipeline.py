@@ -814,3 +814,56 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.filter(_b16_spark("doc_id") < 13).select(
         "doc_id", "lang", F.size("toks").cast("long").alias("n_tokens")
     )
+
+
+@register(
+    "split_leakage_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, STRING_SPLIT({_NORM_DUCK}, ' ') AS toks FROM documents),
+    tagged AS (
+      SELECT doc_id, toks,
+             CASE WHEN {_B16_DUCK.format(hex=_HEX, key='doc_id')} < 13 THEN 'train'
+                  WHEN {_B16_DUCK.format(hex=_HEX, key='doc_id')} < 15 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM t),
+    tr AS (SELECT DISTINCT UNNEST({_NG13_DUCK}) AS gram
+           FROM tagged WHERE split = 'train'),
+    vg AS (SELECT doc_id, UNNEST(LIST_DISTINCT({_NG13_DUCK})) AS gram
+           FROM tagged WHERE split = 'val')
+    SELECT doc_id, COUNT(*) AS n_leaked_grams
+    FROM vg JOIN tr USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage audit: every val-split document that shares a
+    verbatim 13-gram with ANY train-split document, with the count of
+    leaked distinct grams — the QA table a training run reads before
+    trusting its validation loss. Reuses the deterministic md5-nibble
+    split of `train_val_split` and the hashed 13-gram fragment of
+    `pipeline_end_to_end`, so the audit measures exactly the split and
+    grams the pipeline ships.
+
+    Scale: unlike benchmark decontamination (tiny broadcast side), BOTH
+    sides here are corpus-proportional (train ~81%, val ~12%), so the
+    gram join carries no broadcast pin — it is a hash join on 8-byte
+    keys, linear in corpus size, and AQE picks the physical strategy."""
+    d = load_table(spark, sf_dir, "documents")
+    b = _b16_spark("doc_id")
+    tagged = d.select(
+        "doc_id",
+        F.split(F.expr(_NORM_SPARK), " ").alias("toks"),
+        F.when(b < 13, "train").when(b < 15, "val").otherwise("test").alias("split"),
+    )
+    tr = (
+        tagged.filter(F.col("split") == "train")
+        .select(F.explode_outer(F.expr(_NG13_SPARK)).alias("gram"))
+        .distinct()
+    )
+    vg = tagged.filter(F.col("split") == "val").select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_NG13_SPARK))).alias("gram")
+    )
+    return vg.join(tr, "gram").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_leaked_grams")
+    )

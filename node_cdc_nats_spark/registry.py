@@ -55,6 +55,10 @@ _VERIFY_HEAD = (
     "doc_rarity_score",
     # r5: udtf_tokens redeclared Arrow-optimized (useArrow=True)
     "udtf_tokens",
+    # r5: new corpus ops — long-span verbatim-overlap pairs and the
+    # cross-split contamination audit, first verification
+    "dedup_substring",
+    "split_leakage_report",
     # r5: new TPC-H-style flagships (operators/flagships.py), first verification
     "q6_forecast_revenue",
     "q9_nation_revenue",

@@ -41,10 +41,12 @@ DOC_BOUND = [
     "dedup_minhash",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_substring",
     "text_stats",
     "token_count",
     "topk_ngrams",
     "decontaminate_ngram",
+    "split_leakage_report",
     "corpus_vocab_stats",
     "doc_rarity_score",
     "pipeline_end_to_end",

@@ -100,6 +100,7 @@ def test_green_demotion_lists_are_sound():
         "udtf_tokens",  # r5 Arrow-optimized redeclaration
         # new in r5 — no prior green:
         "scan_orc", "dedup_embedding_banded",
+        "dedup_substring", "split_leakage_report",
         "q6_forecast_revenue", "q9_nation_revenue",
         "q14_promo_effect", "q18_large_volume",
     }
