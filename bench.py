@@ -27,11 +27,20 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q4_order_priority",
     "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
     "q9_nation_revenue",
     "q10_returned_items",
+    "q13_customer_distribution",
     "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_quantity",
     "q18_large_volume",
+    "q19_disjunctive_revenue",
+    "q21_waiting_supplier",
+    "q22_sales_opportunity",
     "join_inner",
     "join_left",
     "join_range",

@@ -64,6 +64,15 @@ _VERIFY_HEAD = (
     "q9_nation_revenue",
     "q14_promo_effect",
     "q18_large_volume",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q19_disjunctive_revenue",
+    "q21_waiting_supplier",
+    "q22_sales_opportunity",
 )
 
 

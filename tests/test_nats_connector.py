@@ -187,8 +187,13 @@ def test_reconnect_replays_subscriptions(broker):
                 break
         time.sleep(0.02)
     pub = NatsClient(f"nats://127.0.0.1:{broker.port}")
-    pub.publish("cdc.client", b"after-restart")
-    t.join(timeout=5)
+    # Publish until the reader observes a delivery (bounded): a single
+    # publish can race broker-side registration under host load, and
+    # duplicates are harmless — read_one consumes exactly one message.
+    deadline = time.time() + 10
+    while "msg" not in got and time.time() < deadline:
+        pub.publish("cdc.client", b"after-restart")
+        t.join(timeout=0.1)
     assert got.get("msg") == ("cdc.client", b"after-restart")
     pub.close()
     sub.close()
@@ -212,8 +217,15 @@ def test_reconnect_attempts_exhausted():
     )
     b.close()  # listener gone: every redial fails
     b.drop_clients()
+    # A publish that lands in the kernel buffer before the peer's RST is
+    # processed legitimately "succeeds" (at-most-once, lib/nats.js:163-183
+    # parity) — loop until the dead socket surfaces, bounded by the buffer.
     with pytest.raises(NatsError) as ei:
-        c.publish("subj", b"x")
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            c.publish("subj", b"x" * 4096)
+            time.sleep(0.01)
+        pytest.fail("publish never surfaced the dead connection")
     assert ei.value.code == CONN_CLOSED
     c.close()
 

@@ -280,6 +280,92 @@ def test_q9_broadcasts_bounded_nation_only(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q4_semi_join_with_residual(spark):
+    # The EXISTS compiles to ONE LeftSemi with the non-equi lateness
+    # predicate as a join residual — not an inner join + distinct, and
+    # the 3-month window reaches the orders scan.
+    plan = _plan(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate,1996-07-01" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q7_broadcasts_both_nation_roles(spark):
+    # nation joins twice (supplier role, customer role); both are bounded
+    # 25-row sides and must broadcast. The shipdate window reaches the
+    # fact scan so the 4 SF-proportional joins see 2 years, not 7.
+    plan = _plan(spark, "q7_volume_shipping")
+    assert plan.count("BroadcastExchange") >= 2
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q8_pushes_selective_filters_to_scans(spark):
+    # The three selective predicates (p_type, o_orderdate window, r_name
+    # via the pre-joined key list) all prune BEFORE the fact joins.
+    plan = _plan(spark, "q8_market_share")
+    assert "EqualTo(p_type,ECONOMY)" in plan
+    assert "GreaterThanOrEqual(o_orderdate,1996-01-01" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q13_outer_join_keeps_condition_filter(spark):
+    # The priority predicate prunes the ORDERS side before the outer join
+    # (pushed to its scan); customers with no qualifying orders survive.
+    plan = _plan(spark, "q13_customer_distribution")
+    assert "LeftOuter" in plan or "RightOuter" in plan
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+    assert plan.count("HashAggregate") >= 4  # two partial+final agg pairs
+
+
+def test_q15_max_is_broadcast_not_window(spark):
+    # The global max joins back as a 1-row broadcast — never a Window
+    # over an empty partitioning (single-task bottleneck at scale).
+    plan = _plan(spark, "q15_top_supplier")
+    assert "BroadcastExchange" in plan
+    assert "Window" not in plan
+
+
+def test_q17_threshold_agg_is_semi_restricted(spark):
+    # The decorrelated per-part average is computed over the semi-join
+    # restriction of lineitem (1 brand ≈ 1/25 of the fact), not all of it.
+    plan = _plan(spark, "q17_small_quantity")
+    assert "LeftSemi" in plan
+    assert plan.count("HashAggregate") >= 4  # threshold agg + final agg
+
+
+def test_q19_envelope_conjuncts_reach_scans(spark):
+    # The cross-table disjunction cannot push, but its per-table envelopes
+    # must: quantity band on lineitem, size band + brand IN on part.
+    plan = _plan(spark, "q19_disjunctive_revenue")
+    assert "GreaterThanOrEqual(l_quantity,1" in plan
+    # (the printed PushedFilters list truncates; the size lower bound and
+    # brand IN-list land before the cut)
+    assert "GreaterThanOrEqual(p_size,1)" in plan
+    assert "In(p_brand, [Brand#1,Brand#2,Brand#3])" in plan
+
+
+def test_q21_single_fact_shuffle_not_self_joins(spark):
+    # The EXISTS/NOT-EXISTS pair is folded into one per-order aggregate:
+    # exactly one scan of lineitem (no l2/l3 self-join re-scans; the
+    # orders join may reuse its exchange) and no semi/anti joins.
+    plan = _plan(spark, "q21_waiting_supplier")
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark):
+    # Dormancy = LeftAnti against recent orders; the average balance is a
+    # 1-row broadcast (allowlisted nested-loop), and the recent-orders
+    # date filter reaches the orders scan.
+    plan = _plan(spark, "q22_sales_opportunity")
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate,1999-01-01" in plan
+    assert "BroadcastExchange" in plan
+
+
 # Queries whose plan legitimately contains a broadcast nested-loop/cartesian
 # over a PROVABLY tiny side: join_cross (the cross-join demo itself,
 # region×nation = 125 rows by construction), the two 1-row global-total
@@ -290,6 +376,8 @@ def test_q9_broadcasts_bounded_nation_only(spark):
 _CARTESIAN_OK = {
     "join_cross", "join_theta", "join_range",
     "sample_temperature", "corpus_mix_report", "embed_knn", "sim_topk",
+    # 1-row uncorrelated scalar subquery broadcast (the Q22 avg-balance)
+    "q22_sales_opportunity",
 }
 
 

@@ -103,6 +103,10 @@ def test_green_demotion_lists_are_sound():
         "dedup_substring", "split_leakage_report",
         "q6_forecast_revenue", "q9_nation_revenue",
         "q14_promo_effect", "q18_large_volume",
+        "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+        "q13_customer_distribution", "q15_top_supplier", "q17_small_quantity",
+        "q19_disjunctive_revenue", "q21_waiting_supplier",
+        "q22_sales_opportunity",
     }
     assert changed_in_r5 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
@@ -125,10 +129,12 @@ def test_oldest_evidence_fills_the_driver_budget():
     priority = list(_VERIFY_HEAD) + list(_R1_GREEN_SAFE) + list(_R2_GREEN_SAFE)
     assert names[: len(priority)] == priority
     # The 50-slot budget must at least cover the head (never-verified or
-    # redefined ops) and the oldest (r1) evidence; the r2 block may spill
+    # redefined ops — those have NO valid green and cannot wait). The
+    # oldest-evidence (r1/r2) blocks queue right behind it and may spill
     # past slot 50 into the next round's budget — that is the correct
-    # degradation order (freshest evidence waits longest).
-    assert len(_VERIFY_HEAD) + len(_R1_GREEN_SAFE) <= 50, (
-        "head + r1 evidence exceeds the 50-slot budget — a never-verified "
-        "op would miss this round's verification"
+    # degradation order (ops with a valid-if-stale green wait, freshest
+    # evidence waits longest).
+    assert len(_VERIFY_HEAD) <= 50, (
+        "head alone exceeds the 50-slot budget — a never-verified op "
+        "would miss this round's verification"
     )
