@@ -586,10 +586,17 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "late"
         ),
     )
-    late_supp = F.when(F.col("late"), F.col("l_suppkey"))
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(late_supp).alias("n_late"),
+    # Two-level aggregation instead of countDistinct: multi-distinct
+    # compiles to an Expand (3× the shuffled rows) plus an extra
+    # gid-keyed exchange. Collapsing to (order, supplier) pairs first
+    # gives two narrow combiner-friendly shuffles and no row multiply.
+    per_pair = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("supp_late")
+    )
+    late_supp = F.when(F.col("supp_late"), F.col("l_suppkey"))
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.count(late_supp).alias("n_late"),
         F.max(late_supp).alias("waiting_suppkey"),
     )
     waiting = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))

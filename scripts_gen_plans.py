@@ -68,6 +68,18 @@ SHOWCASE = [
         "Content-addressed md5-nibble bucket filter: scan+project+filter only, zero exchanges.",
     ),
     (
+        "q8_market_share",
+        "7-table join: region restriction pre-collapsed to a broadcast 25-key list; p_type/o_orderdate pushed to their scans; only bounded dims pinned broadcast.",
+    ),
+    (
+        "q19_disjunctive_revenue",
+        "Cross-table OR-of-conjunctions: per-table envelope conjuncts (quantity band, size band, brand IN) stated explicitly so they reach both scans; exact disjunction evaluates post-join.",
+    ),
+    (
+        "q21_waiting_supplier",
+        "EXISTS + NOT-EXISTS folded into ONE per-order aggregate: a single lineitem scan and one fact shuffle replace the textbook three self-joins.",
+    ),
+    (
         "pipeline_end_to_end",
         "Composed pipeline fused by Catalyst: map-side quality gate + token counts, one content-hash window for dedup, broadcast 13-gram decontamination, pushed-down split filter.",
     ),

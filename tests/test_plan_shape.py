@@ -354,6 +354,8 @@ def test_q21_single_fact_shuffle_not_self_joins(spark):
     assert "LeftSemi" not in plan and "LeftAnti" not in plan
     assert plan.count("lineitem.parquet") == 1
     assert plan.count("HashAggregate") >= 2
+    # Two-level agg, not countDistinct: no Expand row-multiply.
+    assert "Expand" not in plan
 
 
 def test_q22_anti_join_and_scalar_broadcast(spark):
