@@ -41,6 +41,11 @@ HEADLINE = [
     "q19_disjunctive_revenue",
     "q21_waiting_supplier",
     "q22_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_late_priority",
+    "q16_supplier_count",
+    "q20_excess_stock",
     "join_inner",
     "join_left",
     "join_range",

@@ -654,3 +654,257 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+# ---------------------------------------------------------------------------
+# The last five TPC-H shapes (Q2/Q11/Q12/Q16/Q20) all need the partsupp
+# table the fixtures omit. The faithful stand-in is the part-supplier
+# relation lineitem actually witnesses: DISTINCT (l_partkey, l_suppkey) is
+# partsupp's key, all-time shipped quantity stands in for ps_availqty, and
+# the minimum observed unit price (l_extendedprice / l_quantity) stands in
+# for ps_supplycost. Deriving it costs ONE fact shuffle on (partkey,
+# suppkey) — a grouping ~4× narrower than the (orderkey, suppkey) shuffle
+# q21 already carries — and each query below fuses whatever per-pair
+# aggregate it needs into that same single pass (never one shuffle for the
+# distinct and another for the aggregate).
+# ---------------------------------------------------------------------------
+
+
+# Q2 (adapted): minimum-cost supplier per part. The textbook correlated
+# MIN-subquery is decorrelated into ONE window MIN over p_partkey on the
+# eligible join output — the classic rewrite, one extra narrow shuffle on
+# partkey instead of a second full join tree. region/nation are bounded by
+# construction (5/25 rows) and broadcast-pinned; part, supplier, and the
+# derived pair relation scale with SF and are left to AQE.
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                       MIN(l_extendedprice / l_quantity) AS ps_supplycost
+                FROM lineitem GROUP BY 1, 2),
+    elig AS (SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+             FROM part JOIN ps ON p_partkey = ps_partkey
+             JOIN supplier ON s_suppkey = ps_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             WHERE p_size = 15 AND r_name = 'EUROPE')
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+    FROM (SELECT *, MIN(ps_supplycost) OVER (PARTITION BY p_partkey) AS mc
+          FROM elig)
+    WHERE ps_supplycost = mc
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest EUROPE supplier per size-15 part
+    (correlated MIN decorrelated to a partkey-window minimum)."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"))
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    elig = (
+        part.join(ps, part["p_partkey"] == ps["ps_partkey"])
+        .join(supp, ps["ps_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "ps_supplycost")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        elig.withColumn("mc", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("mc"))
+        .drop("mc")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+    )
+
+
+# Q11 (adapted): important stock by value. partsupp value becomes net
+# revenue per part from NATION_3's suppliers; the HAVING-against-a-
+# -fraction-of-total scalar is a 1-row broadcast over the SAME grouped
+# relation (computed once in SQL via a CTE; Spark re-derives the 1-row
+# total from the grouped plan — decimal accumulation makes the two
+# totals bit-identical regardless of partitioning). nation is pinned,
+# supplier/fact left to AQE.
+@register(
+    "q11_important_stock",
+    oracle=f"""
+    WITH val AS (SELECT l_partkey AS ps_partkey,
+                        {sql_dsum(_SQL_NET)} AS value
+                 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                 JOIN nation ON s_nationkey = n_nationkey
+                 WHERE n_name = 'NATION_3' GROUP BY 1)
+    SELECT ps_partkey, value FROM val
+    WHERE value > (SELECT {sql_dsum('value')} * 0.001 FROM val)
+    ORDER BY value DESC, ps_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose NATION_3-supplied value exceeds 0.1%
+    of that nation's total (global-fraction HAVING via 1-row broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    val = (
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(dsum(_net()).alias("value"))
+    )
+    total = val.agg((dsum("value") * 0.001).alias("threshold"))
+    return (
+        val.join(F.broadcast(total))  # 1-row uncorrelated scalar subquery
+        .filter(F.col("value") > F.col("threshold"))
+        .select("ps_partkey", "value")
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
+# Q12 (adapted): shipping-delay vs order-priority census. l_shipmode/
+# l_commitdate/l_receiptdate don't exist, so the mode axis becomes
+# l_returnflag and "late" = shipped >90 days after the order date; the
+# shape is Q12's exactly — a pushed-down one-year date window on the fact
+# scan, an equi-join to orders with a non-equi residual, and a conditional
+# two-way count on a 3-value group key. Counts are longs: exact, no
+# decimal machinery needed.
+@register(
+    "q12_late_priority",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late-shipment lines split by order priority."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))  # → scan
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# Q16 (adapted): supplier diversity per part attribute. The pair relation
+# is the lineitem-witnessed DISTINCT (partkey, suppkey); "complaint"
+# suppliers (no s_comment column) become negative-balance suppliers,
+# excluded by an anti-join. COUNT(DISTINCT) is the same two-level
+# aggregation q21 uses — (brand, type, size, suppkey) dedup first, then a
+# narrow count — avoiding the Expand-based multi-distinct plan.
+@register(
+    "q16_supplier_count",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM ps JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts by (brand, type, size),
+    complaint suppliers anti-joined out."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    complaints = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(part, pairs["l_partkey"] == part["p_partkey"])
+        .join(complaints, pairs["l_suppkey"] == complaints["s_suppkey"], "left_anti")
+        # two-level distinct count: dedup on the full key, then narrow count
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count(F.lit(1)).alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+# Q20 (adapted): suppliers sitting on excess stock. ps_availqty becomes
+# all-time shipped quantity per pair and the year window's share of it is
+# the excess test (>30%); BOTH per-pair aggregates fuse into ONE fact
+# shuffle (conditional dsum inside the same groupBy — not one pass for
+# availqty and another for the year). The part-name prefix pushes to the
+# scan as StartsWith; the supplier restriction is a semi-join; nation is
+# pinned broadcast.
+@register(
+    "q20_excess_stock",
+    oracle=f"""
+    WITH ss AS (SELECT l_partkey, l_suppkey,
+                       {sql_dsum('l_quantity')} AS availqty,
+                       {sql_dsum(
+                           "CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"
+                           " AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'"
+                           " THEN l_quantity ELSE 0.0 END"
+                       )} AS qty1996
+                FROM lineitem GROUP BY 1, 2),
+    excess AS (SELECT DISTINCT l_suppkey FROM ss
+               JOIN part ON p_partkey = l_partkey
+               WHERE p_name LIKE 'small%' AND qty1996 > 0.3 * availqty)
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1' AND s_suppkey IN (SELECT l_suppkey FROM excess)
+    ORDER BY s_name
+    """,
+)
+def q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: NATION_1 suppliers whose 1996 shipments of
+    'small%' parts exceed 30% of their all-time quantity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    in_1996 = (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00")) & (
+        F.col("l_shipdate") < _ts("1997-01-01 00:00:00")
+    )
+    ss = li.groupBy("l_partkey", "l_suppkey").agg(
+        dsum("l_quantity").alias("availqty"),
+        dsum(F.when(in_1996, F.col("l_quantity")).otherwise(0.0)).alias("qty1996"),
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    excess = (
+        ss.join(part, ss["l_partkey"] == part["p_partkey"])
+        .filter(F.col("qty1996") > 0.3 * F.col("availqty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    return (
+        supp.join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(excess, supp["s_suppkey"] == excess["l_suppkey"], "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

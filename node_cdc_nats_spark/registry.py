@@ -73,6 +73,13 @@ _VERIFY_HEAD = (
     "q19_disjunctive_revenue",
     "q21_waiting_supplier",
     "q22_sales_opportunity",
+    # r5: the last five TPC-H shapes (partsupp derived from lineitem
+    # distinct pairs), first verification
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_late_priority",
+    "q16_supplier_count",
+    "q20_excess_stock",
 )
 
 

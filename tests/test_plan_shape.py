@@ -5,6 +5,8 @@ value-correct but wreck the 100 TB story still fail CI.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from node_cdc_nats_spark import registry
@@ -368,6 +370,61 @@ def test_q22_anti_join_and_scalar_broadcast(spark):
     assert "BroadcastExchange" in plan
 
 
+def test_q2_window_min_single_partkey_exchange(spark):
+    # The correlated MIN-subquery is decorrelated to ONE window over
+    # p_partkey (no second join tree); the size filter reaches the part
+    # scan; bounded nation/region are broadcast.
+    plan = _plan(spark, "q2_min_cost_supplier")
+    assert "Window" in plan
+    assert plan.count("part.parquet") == 1  # no re-scan for the min
+    assert "EqualTo(p_size,15)" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_q11_threshold_is_scalar_broadcast(spark):
+    # The fraction-of-total HAVING is a 1-row broadcast, and the nation
+    # restriction reaches the nation scan before the broadcast join.
+    plan = _plan(spark, "q11_important_stock")
+    assert "EqualTo(n_name,NATION_3)" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_q12_date_window_reaches_fact_scan(spark):
+    # The one-year window pushes into the lineitem scan; the late-shipment
+    # comparison is a residual on the join, not a scan filter.
+    plan = _plan(spark, "q12_late_priority")
+    # (the printed PushedFilters list truncates; assert on the scan's
+    # DataFilters, which carry the same pushed predicates)
+    assert re.search(
+        r"DataFilters: \[isnotnull\(l_shipdate#\d+\), \(l_shipdate#\d+ >= 1997-01-01",
+        plan,
+    )
+    assert re.search(r"\(l_shipdate#\d+ < 1998-01-01", plan)
+
+
+def test_q16_anti_join_no_expand(spark):
+    # Complaint suppliers leave via LeftAnti; COUNT(DISTINCT) is the
+    # two-level dedup-then-count, so no Expand row-multiply; the size
+    # IN-list and brand/type exclusions reach the part scan.
+    plan = _plan(spark, "q16_supplier_count")
+    assert "LeftAnti" in plan
+    assert "Expand" not in plan
+    # (the printed PushedFilters list truncates before the size IN-list;
+    # the brand/type exclusions land before the cut)
+    assert "Not(EqualTo(p_type,PROMO))" in plan
+
+
+def test_q20_fused_pair_agg_single_fact_scan(spark):
+    # availqty and qty1996 fuse into ONE groupBy over ONE lineitem scan
+    # (not one pass per aggregate); the name prefix pushes as StartsWith;
+    # the supplier restriction is a semi-join with nation broadcast.
+    plan = _plan(spark, "q20_excess_stock")
+    assert plan.count("lineitem.parquet") == 1
+    assert "StringStartsWith(p_name,small)" in plan
+    assert "LeftSemi" in plan
+    assert "BroadcastExchange" in plan
+
+
 # Queries whose plan legitimately contains a broadcast nested-loop/cartesian
 # over a PROVABLY tiny side: join_cross (the cross-join demo itself,
 # region×nation = 125 rows by construction), the two 1-row global-total
@@ -378,8 +435,10 @@ def test_q22_anti_join_and_scalar_broadcast(spark):
 _CARTESIAN_OK = {
     "join_cross", "join_theta", "join_range",
     "sample_temperature", "corpus_mix_report", "embed_knn", "sim_topk",
-    # 1-row uncorrelated scalar subquery broadcast (the Q22 avg-balance)
+    # 1-row uncorrelated scalar subquery broadcast (the Q22 avg-balance,
+    # the Q11 fraction-of-total threshold)
     "q22_sales_opportunity",
+    "q11_important_stock",
 }
 
 

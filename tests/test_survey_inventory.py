@@ -107,6 +107,8 @@ def test_green_demotion_lists_are_sound():
         "q13_customer_distribution", "q15_top_supplier", "q17_small_quantity",
         "q19_disjunctive_revenue", "q21_waiting_supplier",
         "q22_sales_opportunity",
+        "q2_min_cost_supplier", "q11_important_stock", "q12_late_priority",
+        "q16_supplier_count", "q20_excess_stock",
     }
     assert changed_in_r5 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
