@@ -46,6 +46,9 @@ HEADLINE = [
     "q12_late_priority",
     "q16_supplier_count",
     "q20_excess_stock",
+    "sessionize_events",
+    "funnel_conversion",
+    "retention_cohorts",
     "join_inner",
     "join_left",
     "join_range",

@@ -1,0 +1,222 @@
+"""Event-analytics operators: sessionization, funnels, cohort retention.
+
+The reference's event stream (``/root/reference/lib/nats.js`` delivers
+opaque subject+payload messages; lib/nats.js:94-96 is its only routing
+predicate) leaves downstream analytics to the consumer. These three ops
+are the canonical consumer-side analyses any event pipeline grows —
+expressed as single-pass window/agg plans, no Python in the hot path.
+
+Scale notes (100 TB events):
+- All three shuffle ONCE on ``user_id`` (the window partition key) and
+  then reduce; per-user state is a single partition's sort, never
+  driver-side. User-count grows with data, so the key space is wide and
+  un-skewed by construction (a hot user would be salted the same way
+  ``join_skew_salted`` demonstrates).
+- ``funnel_conversion`` evaluates all three stages inside ONE Window
+  operator (same partition/order spec → Spark fuses the running minima),
+  then two narrow aggregations.
+- ``retention_cohorts`` avoids ``COUNT(DISTINCT)``'s Expand plan with the
+  same two-level dedup-then-count the TPC-H q16/q21 flagships use.
+
+Cross-engine determinism: inactivity gaps are computed in integer
+epoch-microseconds (``timestampdiff`` against the NTZ epoch — pure
+wall-clock arithmetic, no session-timezone dependence; DuckDB's
+``epoch_us`` is the exact mirror), orderings are tie-broken by the unique
+``event_id``, and week math is integer day-diffs of Monday-anchored
+``date_trunc`` weeks, identical in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..io import load_table
+from ..registry import register
+from .exact import dsum, sql_dsum
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity closes a session
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: 30-min-gap sessions per user via one
+    lag + running-sum window (one user_id shuffle), then a per-session
+    aggregate. The streaming twin is ``stream_session``
+    (streaming/windows.py); this is the backfill/batch path over the
+    same semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    ts_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    return (
+        ev.select("user_id", "ts", "event_id", "value", ts_us.alias("ts_us"))
+        .withColumn("session_id", F.sum(is_new).over(w_run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH staged AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) OVER w AS first_signup
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    staged2 AS (
+      SELECT user_id, ts, event_type, first_signup,
+             MIN(CASE WHEN event_type = 'click' AND first_signup IS NOT NULL
+                      THEN ts END) OVER w AS first_click
+      FROM staged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS s1,
+             MAX(CASE WHEN event_type = 'click' AND first_signup IS NOT NULL
+                      THEN 1 ELSE 0 END) AS s2,
+             MAX(CASE WHEN event_type = 'purchase' AND first_click IS NOT NULL
+                      THEN 1 ELSE 0 END) AS s3
+      FROM staged2 GROUP BY user_id
+    )
+    SELECT SUM(s1) AS n_signup,
+           SUM(s2) AS n_click_after_signup,
+           SUM(s3) AS n_purchase_after_click
+    FROM per_user
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → click → purchase: running first-stage
+    minima inside one user_id window pass, then per-user flags and a
+    global census. A user counts for stage N only if an N-type event
+    occurs at-or-after their first (N-1)-stage completion."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = ev.withColumn(
+        "first_signup",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w_run),
+    )
+    # NOTE the oracle's second window orders by ts only: first_click is a
+    # running min over rows whose click_ok flag is already fixed by the
+    # first pass, and (ts, event_id) ordering makes the min prefix-stable
+    # under either tiebreak — the two forms are equivalent; Spark fuses
+    # both minima into one Window operator because the specs match.
+    staged = staged.withColumn(
+        "first_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & F.col("first_signup").isNotNull(),
+                F.col("ts"),
+            )
+        ).over(w_run),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max(F.when(F.col("first_signup").isNotNull(), 1).otherwise(0)).alias("s1"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "click") & F.col("first_signup").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("s2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("first_click").isNotNull(),
+                1,
+            ).otherwise(0)
+        ).alias("s3"),
+    )
+    return per_user.agg(
+        F.sum("s1").alias("n_signup"),
+        F.sum("s2").alias("n_click_after_signup"),
+        F.sum("s3").alias("n_purchase_after_click"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, ts,
+             MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+      FROM events
+    ),
+    marked AS (
+      SELECT DISTINCT
+             CAST(DATE_TRUNC('week', first_ts) AS DATE) AS cohort_week,
+             DATE_DIFF('day', CAST(DATE_TRUNC('week', first_ts) AS DATE),
+                              CAST(DATE_TRUNC('week', ts) AS DATE)) // 7 AS week_offset,
+             user_id
+      FROM firsts
+    )
+    SELECT cohort_week, week_offset, COUNT(*) AS n_users
+    FROM marked GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: cohort = Monday-anchored week of the
+    user's first event; count distinct users active at each week offset.
+    One user_id window shuffle + the two-level dedup-then-count."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_ts = F.min("ts").over(Window.partitionBy("user_id"))
+    cohort = F.date_trunc("week", F.col("first_ts"))
+    offset = (
+        F.datediff(
+            F.date_trunc("week", F.col("ts")).cast("date"), cohort.cast("date")
+        )
+        / 7
+    ).cast("long")
+    return (
+        ev.withColumn("first_ts", first_ts)
+        .select(
+            cohort.cast("date").alias("cohort_week"),
+            offset.alias("week_offset"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -884,18 +884,27 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: NATION_1 suppliers whose 1996 shipments of
-    'small%' parts exceed 30% of their all-time quantity."""
+    'small%' parts exceed 30% of their all-time quantity.
+
+    The part-name restriction joins BELOW the pair aggregate: only
+    'small%' partkeys can reach the excess set, and the per-pair sums
+    are computed per partkey, so pre-filtering shrinks the
+    (partkey, suppkey) shuffle to the qualifying parts' share of the
+    fact table (~10× here) without changing any surviving pair's
+    aggregate. The oracle keeps the aggregate-then-join formulation, so
+    the pushdown is verified, not assumed."""
     li = load_table(spark, sf_dir, "lineitem")
     in_1996 = (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00")) & (
         F.col("l_shipdate") < _ts("1997-01-01 00:00:00")
     )
-    ss = li.groupBy("l_partkey", "l_suppkey").agg(
-        dsum("l_quantity").alias("availqty"),
-        dsum(F.when(in_1996, F.col("l_quantity")).otherwise(0.0)).alias("qty1996"),
-    )
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
     excess = (
-        ss.join(part, ss["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"], "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            dsum("l_quantity").alias("availqty"),
+            dsum(F.when(in_1996, F.col("l_quantity")).otherwise(0.0)).alias("qty1996"),
+        )
         .filter(F.col("qty1996") > 0.3 * F.col("availqty"))
         .select("l_suppkey")
         .distinct()

@@ -80,6 +80,10 @@ _VERIFY_HEAD = (
     "q12_late_priority",
     "q16_supplier_count",
     "q20_excess_stock",
+    # r5: new event-analytics ops (operators/analytics.py), first verification
+    "sessionize_events",
+    "funnel_conversion",
+    "retention_cohorts",
 )
 
 
@@ -158,6 +162,7 @@ def load_all() -> None:
     )
     from . import streaming  # noqa: F401
     from .operators import (  # noqa: F401
+        analytics,
         flagships,
         functions_pack,
         pipeline,

@@ -80,6 +80,14 @@ SHOWCASE = [
         "EXISTS + NOT-EXISTS folded into ONE per-order aggregate: a single lineitem scan and one fact shuffle replace the textbook three self-joins.",
     ),
     (
+        "q2_min_cost_supplier",
+        "Correlated MIN decorrelated to one window over p_partkey on the eligible join output (no second join tree); p_size pushed to the part scan; bounded nation/region broadcast-pinned.",
+    ),
+    (
+        "q20_excess_stock",
+        "availqty and the 1996 share fuse into ONE per-(partkey,suppkey) aggregate over a single lineitem scan; p_name prefix pushed as StartsWith; supplier restriction via semi-join, nation broadcast.",
+    ),
+    (
         "pipeline_end_to_end",
         "Composed pipeline fused by Catalyst: map-side quality gate + token counts, one content-hash window for dedup, broadcast 13-gram decontamination, pushed-down split filter.",
     ),

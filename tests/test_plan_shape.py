@@ -414,6 +414,32 @@ def test_q16_anti_join_no_expand(spark):
     assert "Not(EqualTo(p_type,PROMO))" in plan
 
 
+def test_sessionize_single_user_exchange(spark):
+    # Sessionization is ONE user_id shuffle end-to-end: the lag window,
+    # the running-sum window, and the per-session aggregate all reuse the
+    # same hash partitioning (grouping on (user_id, session_id) is
+    # satisfied by clustering on user_id alone).
+    plan = _plan(spark, "sessionize_events")
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_funnel_one_window_pass(spark):
+    # Both running first-stage minima share the window spec, so the only
+    # exchanges are the user_id shuffle and the 1-row final census.
+    plan = _plan(spark, "funnel_conversion")
+    assert plan.count("Exchange") == 2
+    assert "SinglePartition" in plan
+
+
+def test_retention_no_expand(spark):
+    # COUNT(DISTINCT user) is the two-level dedup-then-count; the dedup
+    # reuses the window's user_id partitioning (no extra exchange for it).
+    plan = _plan(spark, "retention_cohorts")
+    assert "Expand" not in plan
+    assert plan.count("Exchange") == 3  # window, final count, output sort
+
+
 def test_q20_fused_pair_agg_single_fact_scan(spark):
     # availqty and qty1996 fuse into ONE groupBy over ONE lineitem scan
     # (not one pass per aggregate); the name prefix pushes as StartsWith;
