@@ -92,7 +92,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "funnel_conversion",
     oracle="""
     WITH staged AS (
-      SELECT user_id, ts, event_type,
+      SELECT user_id, ts, event_id, event_type,
              MIN(CASE WHEN event_type = 'signup' THEN ts END) OVER w AS first_signup
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -103,7 +103,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              MIN(CASE WHEN event_type = 'click' AND first_signup IS NOT NULL
                       THEN ts END) OVER w AS first_click
       FROM staged
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING)
     ),
     per_user AS (
@@ -138,11 +138,10 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_signup",
         F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w_run),
     )
-    # NOTE the oracle's second window orders by ts only: first_click is a
-    # running min over rows whose click_ok flag is already fixed by the
-    # first pass, and (ts, event_id) ordering makes the min prefix-stable
-    # under either tiebreak — the two forms are equivalent; Spark fuses
-    # both minima into one Window operator because the specs match.
+    # Both windows share the (ts, event_id) tiebreak — equal-ts rows must
+    # see the same prefix in both engines or a same-instant click/purchase
+    # pair could flip a stage flag; Spark fuses both minima into one
+    # Window operator because the specs match.
     staged = staged.withColumn(
         "first_click",
         F.min(

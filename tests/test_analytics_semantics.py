@@ -1,0 +1,134 @@
+"""Semantic unit tests for the event-analytics ops (operators/analytics.py)
+against an independent pure-Python reference on synthetic, adversarial
+events — boundary gaps, same-instant ties, out-of-stage orderings — cases
+the uniform driver fixture never produces.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from node_cdc_nats_spark import registry
+
+registry.load_all()
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+GAP_US = 30 * 60 * 1_000_000
+
+
+def _write_events(tmp_path, rows):
+    """rows: list of (event_id, ts, user_id, event_type, value)."""
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def _sessions_reference(rows):
+    """Independent sessionization: (user, session) -> (start, end, n, total)."""
+    by_user: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r[2], r[1], r[0])):
+        by_user.setdefault(r[2], []).append(r)
+    out = {}
+    for uid, evs in by_user.items():
+        sid = 0
+        prev_us = None
+        for e in evs:
+            us = int((e[1] - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+            if prev_us is not None and us - prev_us > GAP_US:
+                sid += 1
+            prev_us = us
+            key = (uid, sid + 1)  # running SUM starts each user at 1
+            s = out.setdefault(key, [e[1], e[1], 0, 0.0])
+            s[0] = min(s[0], e[1])
+            s[1] = max(s[1], e[1])
+            s[2] += 1
+            s[3] += e[4]
+    return out
+
+
+def test_sessionize_boundary_gap_and_ties(spark, tmp_path):
+    # user 1: gap of EXACTLY 30 min (same session), then 30 min + 1 µs
+    # (new session); user 2: two events at the same instant (one session,
+    # event_id tiebreak); user 3: a single event.
+    rows = [
+        (1, T0, 1, "view", 1.0),
+        (2, T0 + dt.timedelta(minutes=30), 1, "view", 2.0),  # == gap: same
+        (3, T0 + dt.timedelta(minutes=60, microseconds=1), 1, "view", 3.0),  # > gap: new
+        (4, T0, 2, "click", 5.0),
+        (5, T0, 2, "view", 6.0),
+        (6, T0 + dt.timedelta(days=2), 3, "purchase", 7.0),
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = {
+        (r.user_id, r.session_id): (
+            r.session_start, r.session_end, r.n_events, r.total_value
+        )
+        for r in registry.QUERIES["sessionize_events"](spark, sf).collect()
+    }
+    want = {k: tuple(v) for k, v in _sessions_reference(rows).items()}
+    assert got == want
+    assert len(want) == 4  # u1 splits into 2; u2 and u3 one each
+
+
+def test_funnel_requires_stage_order(spark, tmp_path):
+    # u1 completes in order; u2 clicks BEFORE signing up (click must not
+    # count, so its later purchase must not either); u3 has a click at the
+    # SAME instant as signup with a larger event_id (counts: the running
+    # min includes the earlier-ordered signup row); u4 purchases before
+    # its (qualifying) click (purchase must not count).
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, T0, 1, "signup", 0.0), (2, T0 + m, 1, "click", 0.0),
+        (3, T0 + 2 * m, 1, "purchase", 0.0),
+        (4, T0, 2, "click", 0.0), (5, T0 + m, 2, "signup", 0.0),
+        (6, T0 + 2 * m, 2, "purchase", 0.0),
+        (7, T0, 3, "signup", 0.0), (8, T0, 3, "click", 0.0),
+        (9, T0, 4, "signup", 0.0), (10, T0 + m, 4, "purchase", 0.0),
+        (11, T0 + 2 * m, 4, "click", 0.0),
+    ]
+    sf = _write_events(tmp_path, rows)
+    row = registry.QUERIES["funnel_conversion"](spark, sf).collect()[0]
+    # signups: u1,u2,u3,u4 all have a signup event
+    assert row.n_signup == 4
+    # clicks after signup: u1, u3 (same-instant, later event_id), u4
+    assert row.n_click_after_signup == 3
+    # purchases after a qualifying click: u1 only
+    assert row.n_purchase_after_click == 1
+
+
+def test_retention_weeks_are_monday_anchored(spark, tmp_path):
+    # 2024-01-01 is a Monday. u1's first event lands mid-week Wednesday;
+    # activity the NEXT Tuesday is offset 1 (calendar week, not 7-day
+    # delta from first event, which would put +6 days at offset 0).
+    wed = T0 + dt.timedelta(days=2)
+    next_tue = T0 + dt.timedelta(days=8)
+    rows = [
+        (1, wed, 1, "view", 0.0),
+        (2, next_tue, 1, "view", 0.0),  # 6 days later, but next ISO week
+        (3, T0, 2, "view", 0.0),
+        (4, T0 + dt.timedelta(days=21), 2, "view", 0.0),
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in registry.QUERIES["retention_cohorts"](spark, sf).collect()
+    }
+    jan1 = dt.date(2024, 1, 1)
+    assert got == {
+        (jan1, 0): 2,  # both users active in their cohort week
+        (jan1, 1): 1,  # u1 the following calendar week
+        (jan1, 3): 1,  # u2 three weeks on
+    }
