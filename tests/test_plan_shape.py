@@ -372,11 +372,13 @@ def test_q22_anti_join_and_scalar_broadcast(spark):
 
 def test_q2_window_min_single_partkey_exchange(spark):
     # The correlated MIN-subquery is decorrelated to ONE window over
-    # p_partkey (no second join tree); the size filter reaches the part
-    # scan; bounded nation/region are broadcast.
+    # p_partkey (no second join tree: the fact scans once); the size
+    # filter reaches the part scan AND semi-joins below the pair
+    # aggregate; bounded nation/region are broadcast.
     plan = _plan(spark, "q2_min_cost_supplier")
     assert "Window" in plan
-    assert plan.count("part.parquet") == 1  # no re-scan for the min
+    assert plan.count("lineitem.parquet") == 1  # no re-scan for the min
+    assert "LeftSemi" in plan  # size restriction below the pair agg
     assert "EqualTo(p_size,15)" in plan
     assert "BroadcastExchange" in plan
 
