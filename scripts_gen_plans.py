@@ -81,7 +81,11 @@ SHOWCASE = [
     ),
     (
         "q2_min_cost_supplier",
-        "Correlated MIN decorrelated to one window over p_partkey on the eligible join output (no second join tree); p_size pushed to the part scan; bounded nation/region broadcast-pinned.",
+        "Correlated MIN decorrelated to one window over p_partkey (no second join tree; single fact scan); the p_size restriction both pushes to the part scan and semi-joins below the pair aggregate, shrinking the (partkey, suppkey) shuffle ~50x; bounded nation/region broadcast-pinned.",
+    ),
+    (
+        "sessionize_events",
+        "Batch sessionization in ONE exchange end-to-end: the lag window, the running-sum session numbering, and the per-session aggregate all reuse the user_id hash partitioning.",
     ),
     (
         "q20_excess_stock",
