@@ -65,6 +65,29 @@ EMB_BOUND = [
     "ann_ivf_topk",
     "embed_norm_quantize",
 ]
+# The fact-bound ops (r5): the TPC-H flagships' 100 TB story was argued
+# from plan shape but only measured to sf0.1; a true sf1-equivalent
+# (EVERY SF-proportional table 10x — fact rows, orders, and the part/
+# supplier/customer dimensions and events grow together, exactly as a
+# real sf1 would) turns that into measurement. The heavy flagships plus
+# the event-analytics window ops.
+FACT_BOUND = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q18_large_volume",
+    "q21_waiting_supplier",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_late_priority",
+    "q16_supplier_count",
+    "q20_excess_stock",
+    "cdc_upsert_latest",
+    "rpc_first_response",
+    "sessionize_events",
+    "funnel_conversion",
+    "retention_cohorts",
+]
 
 
 def build_sf1(spark) -> None:
@@ -154,6 +177,64 @@ def build_sf1_embeddings(spark) -> None:
     out.repartition(32).write.mode("overwrite").parquet(src_path)
     with open(marker, "w") as fh:
         fh.write("ok")
+
+def build_sf1_facts(spark) -> None:
+    """10x-inflate every SF-proportional relational table into SF1_DIR —
+    a true sf1-equivalent, not a fact-only blowup: replica k shifts each
+    key space (orderkey/custkey/partkey/suppkey/event_id/user_id) by a
+    disjoint offset CONSISTENTLY across tables, so referential integrity
+    holds inside every replica and each dimension grows 10x alongside
+    the fact. That keeps group shapes honest: per-part/per-supplier/
+    per-user group SIZES stay constant while group COUNTS grow 10x,
+    which is what a real sf1 looks like (fact-only inflation would grow
+    every group 10x instead and overstate bucket/skew pressure).
+    nation/region stay fixed — they are bounded by construction at any
+    SF. Dates, amounts, and attributes are copied unchanged, so filter
+    selectivities (p_size = 15, date windows, 'small%') are preserved."""
+    marker = os.path.join(SF1_DIR, ".complete_facts")
+    if os.path.exists(marker):
+        return
+    src = SFS[-1]
+    OFF = 10_000_000
+    shifts = {
+        "customer": {"c_custkey": OFF},
+        "supplier": {"s_suppkey": OFF},
+        "part": {"p_partkey": OFF},
+        "orders": {"o_orderkey": OFF, "o_custkey": OFF},
+        "lineitem": {
+            "l_orderkey": OFF,
+            "l_partkey": OFF,
+            "l_suppkey": OFF,
+            "l_linenumber": 0,  # per-order line numbers don't shift
+        },
+        "events": {"event_id": OFF, "user_id": 100_000},
+    }
+    for table, key_offsets in shifts.items():
+        t = spark.read.parquet(f"{src}/{table}.parquet")
+        copies = [t]
+        for k in range(1, 10):
+            cols = []
+            for f in t.schema.fields:
+                off = key_offsets.get(f.name)
+                if off:
+                    cols.append(
+                        (F.col(f.name) + F.lit(k * off))
+                        .cast(f.dataType)
+                        .alias(f.name)
+                    )
+                else:
+                    cols.append(F.col(f.name))
+            copies.append(t.select(*cols))
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        dst = f"{SF1_DIR}/{table}.parquet"
+        if os.path.isfile(dst):
+            os.remove(dst)  # build_sf1 staged the original as a bare file
+        out.repartition(32).write.mode("overwrite").parquet(dst)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+
 
 NOTES = """
 Notes:
@@ -358,6 +439,70 @@ def main() -> None:
         "",
         f"Computed from this run: worst embedding-op 10x ratio "
         f"{eworst[3]:.2f} (`{eworst[0]}`) — {everdict}",
+    ]
+
+    # -- sf1 (1000x) on the fact-bound relational ops -------------------------
+    build_sf1_facts(spark)
+    for name in FACT_BOUND:
+        for sf_dir in (SFS[-1], SF1_DIR):
+            try:
+                registry.QUERIES[name](spark, sf_dir).count()
+            except Exception:
+                pass
+    fact_rows = []
+    for name in FACT_BOUND:
+        cells = []
+        for sf_dir in (SFS[-1], SF1_DIR):
+            best = None
+            for _ in range(3):
+                try:
+                    t0 = time.perf_counter()
+                    registry.QUERIES[name](spark, sf_dir).count()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None or dt < best else best
+                except Exception as exc:
+                    print(f"WARN {name} @ {sf_dir}: {type(exc).__name__}: {exc}")
+            cells.append(best if best is not None else float("nan"))
+        fact_rows.append(
+            (name, *cells, cells[1] / cells[0] if cells[0] else float("nan"))
+        )
+    out += [
+        "",
+        "## sf1 (1000x): the fact-bound relational ops",
+        "",
+        "A true sf1-equivalent (`build_sf1_facts`): EVERY SF-proportional",
+        "table grows 10x together — replica key spaces shifted consistently",
+        "across lineitem/orders/customer/supplier/part/events, so",
+        "referential integrity holds per replica, group SIZES stay constant",
+        "while group COUNTS grow 10x, and filter selectivities are",
+        "preserved — exactly the shape a real sf1 would have. This measures",
+        "the TPC-H flagships (including the lineitem-derived-partsupp",
+        "five) and the event-analytics window ops past the fixture range.",
+        "",
+        "| query | sf0.1 s | sf1 s | 10x ratio (.1->1) |",
+        "|---|---|---|---|",
+    ]
+    for name, t0, t1, r in fact_rows:
+        out.append(f"| `{name}` | {t0:.3f} | {t1:.3f} | {r:.2f} |")
+    ftot = [sum(r[i] for r in fact_rows) for i in (1, 2)]
+    out.append(
+        f"| **total** | {ftot[0]:.2f} | {ftot[1]:.2f} | {ftot[1]/ftot[0]:.2f} |"
+    )
+    fok = [r for r in fact_rows if r[3] == r[3]]
+    fworst = max(fok, key=lambda r: r[3])
+    fverdict = (
+        "every fact-op 10x ratio is <= ~10: no super-linear op."
+        if fworst[3] <= 10.5
+        else "RATIO ABOVE 10 — investigate before claiming linearity."
+    )
+    out += [
+        "",
+        f"Computed from this run: worst fact-op 10x ratio "
+        f"{fworst[3]:.2f} (`{fworst[0]}`) — {fverdict} Joins AQE",
+        "broadcasts at sf0.1 may legitimately switch to shuffle at sf1 as",
+        "dimension sizes cross the broadcast threshold — that runtime",
+        "re-plan is the designed behavior, and its cost shows up here",
+        "rather than in an OOM at 100 TB.",
     ]
 
     out.append(NOTES)
