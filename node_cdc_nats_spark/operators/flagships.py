@@ -33,6 +33,7 @@ identical operands.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from ..io import load_table
 from ..registry import register
@@ -705,8 +706,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes) without changing any surviving pair's minimum. The oracle
     keeps the aggregate-over-everything formulation, so the pushdown is
     verified, not assumed."""
-    from pyspark.sql.window import Window
-
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     ps = (

@@ -104,6 +104,12 @@ def build_sf1(spark) -> None:
     marker = os.path.join(SF1_DIR, ".complete")
     if os.path.exists(marker):
         return
+    # Rebuild = wipe: later stages (build_sf1_embeddings/build_sf1_facts)
+    # replace the staged files with Spark output DIRECTORIES; recopying a
+    # bare file into such a directory would silently mix 1x and 10x data.
+    # No base marker -> every derived artifact and marker goes too.
+    if os.path.isdir(SF1_DIR):
+        shutil.rmtree(SF1_DIR)
     os.makedirs(SF1_DIR, exist_ok=True)
     src = SFS[-1]
     d = spark.read.parquet(f"{src}/documents.parquet")
@@ -489,21 +495,24 @@ def main() -> None:
         f"| **total** | {ftot[0]:.2f} | {ftot[1]:.2f} | {ftot[1]/ftot[0]:.2f} |"
     )
     fok = [r for r in fact_rows if r[3] == r[3]]
-    fworst = max(fok, key=lambda r: r[3])
-    fverdict = (
-        "every fact-op 10x ratio is <= ~10: no super-linear op."
-        if fworst[3] <= 10.5
-        else "RATIO ABOVE 10 — investigate before claiming linearity."
-    )
-    out += [
-        "",
-        f"Computed from this run: worst fact-op 10x ratio "
-        f"{fworst[3]:.2f} (`{fworst[0]}`) — {fverdict} Joins AQE",
-        "broadcasts at sf0.1 may legitimately switch to shuffle at sf1 as",
-        "dimension sizes cross the broadcast threshold — that runtime",
-        "re-plan is the designed behavior, and its cost shows up here",
-        "rather than in an OOM at 100 TB.",
-    ]
+    if fok:  # all-NaN (every query failed) must still write the file
+        fworst = max(fok, key=lambda r: r[3])
+        fverdict = (
+            "every fact-op 10x ratio is <= ~10: no super-linear op."
+            if fworst[3] <= 10.5
+            else "RATIO ABOVE 10 — investigate before claiming linearity."
+        )
+        out += [
+            "",
+            f"Computed from this run: worst fact-op 10x ratio "
+            f"{fworst[3]:.2f} (`{fworst[0]}`) — {fverdict} Joins AQE",
+            "broadcasts at sf0.1 may legitimately switch to shuffle at sf1 as",
+            "dimension sizes cross the broadcast threshold — that runtime",
+            "re-plan is the designed behavior, and its cost shows up here",
+            "rather than in an OOM at 100 TB.",
+        ]
+    else:
+        out += ["", "EVERY fact-op measurement failed — see WARN lines."]
 
     out.append(NOTES)
     with open("SCALING.md", "w") as f:
