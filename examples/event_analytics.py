@@ -1,0 +1,47 @@
+#!/usr/bin/env python
+"""Event-analytics walkthrough: the consumer-side analyses an event
+pipeline grows once the CDC stream lands — sessionization → funnel →
+cohort retention — over the `events` fixture, each stage a registered
+engine operator (`operators/analytics.py`). The reference client
+(`/root/reference/lib/nats.js`) delivers events and leaves all of this
+to the consumer; these are the queries that consumer runs.
+
+Run: python examples/event_analytics.py [sf_dir]   (default sf0.001)
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> dict[str, int]:
+    from node_cdc_nats_spark.operators.analytics import (
+        funnel_conversion,
+        retention_cohorts,
+        sessionize_events,
+    )
+    from node_cdc_nats_spark.session import get_spark
+
+    spark = get_spark(app_name="event_analytics_example", shuffle_partitions=8)
+    # 30-min-gap sessions per user: one user_id shuffle end-to-end.
+    sessions = sessionize_events(spark, sf_dir)
+    # Ordered signup -> click -> purchase funnel: one census row.
+    funnel = funnel_conversion(spark, sf_dir).collect()[0]
+    # Weekly cohort retention matrix (Monday-anchored calendar weeks).
+    cohorts = retention_cohorts(spark, sf_dir)
+    return {
+        "sessions": sessions.count(),
+        "n_signup": funnel.n_signup,
+        "n_click_after_signup": funnel.n_click_after_signup,
+        "n_purchase_after_click": funnel.n_purchase_after_click,
+        "cohort_cells": cohorts.count(),
+    }
+
+
+if __name__ == "__main__":
+    out = main(*sys.argv[1:2])
+    for stage, n in out.items():
+        print(f"{stage:24s} {n}")

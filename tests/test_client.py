@@ -274,3 +274,18 @@ def test_corpus_pipeline_example_runs(spark):
         "train_val_rows": 500,
         "fused_pipeline_rows": 336,
     }
+
+
+def test_event_analytics_example_runs(spark):
+    # The event-analytics walkthrough must stay runnable with pinned
+    # fixture counts (sf0.001): 15 of the fixture's users see all three
+    # funnel stages in order, and the 30-day window spans 5 ISO weeks.
+    import examples.event_analytics as ea
+
+    assert ea.main("/root/testdata/sf0.001") == {
+        "sessions": 946,
+        "n_signup": 15,
+        "n_click_after_signup": 15,
+        "n_purchase_after_click": 15,
+        "cohort_cells": 5,
+    }
