@@ -132,3 +132,47 @@ def test_retention_weeks_are_monday_anchored(spark, tmp_path):
         (jan1, 1): 1,  # u1 the following calendar week
         (jan1, 3): 1,  # u2 three weeks on
     }
+
+
+def test_analytics_oracle_parity_on_tie_heavy_corpus(spark, tmp_path):
+    """Cross-engine determinism under timestamp TIES: the driver fixture's
+    microsecond-random ts never collides, so its oracle parity cannot
+    exercise the (ts, event_id) tiebreak both engines must share. Build a
+    corpus where most per-user instants collide and run the REGISTERED
+    DuckDB oracles against the Spark ops on it."""
+    import os
+    import random
+
+    rng = random.Random(20260814)
+    rows = []
+    eid = 0
+    # 40 users x 120 events drawn from only 12 distinct instants each:
+    # ~10 events share every instant, so every window frame boundary is
+    # exercised, and types land on tied instants in every order.
+    for uid in range(40):
+        instants = sorted(
+            T0 + dt.timedelta(minutes=rng.randrange(0, 50_000)) for _ in range(12)
+        )
+        for _ in range(120):
+            ts = instants[rng.randrange(12)]
+            et = rng.choice(["view", "click", "signup", "purchase", "error"])
+            rows.append((eid, ts, uid, et, round(rng.uniform(0, 20), 2)))
+            eid += 1
+    sf = _write_events(tmp_path, rows)
+    # compare()'s DuckDB side creates views over every fixture table, so
+    # link the untouched ones in from the smallest driver fixture.
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings".split()
+    ):
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet", tmp_path / f"{t}.parquet")
+
+    from node_cdc_nats_spark import registry
+
+    from .oracle_diff import compare
+
+    for name in ("sessionize_events", "funnel_conversion", "retention_cohorts"):
+        problems = compare(
+            spark, name, registry.QUERIES[name], registry.ORACLES[name], sf
+        )
+        assert not problems, "\n".join(problems[:5])
