@@ -68,6 +68,7 @@ HEADLINE = [
     "text_stats",
     "topk_ngrams",
     "decontaminate_ngram",
+    "perplexity_bucket",
     "corpus_vocab_stats",
     "doc_rarity_score",
     "pipeline_end_to_end",

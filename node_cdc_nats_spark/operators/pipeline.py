@@ -867,3 +867,104 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vg.join(tr, "gram").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_leaked_grams")
     )
+
+
+@register(
+    "perplexity_bucket",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, UNNEST(STRING_SPLIT({_NORM_DUCK}, ' ')) AS token
+      FROM documents),
+    dt AS (SELECT doc_id, lang, token, COUNT(*) AS k
+           FROM tok WHERE token <> '' GROUP BY doc_id, lang, token),
+    cnts AS (SELECT token, CAST(SUM(k) AS BIGINT) AS cnt FROM dt GROUP BY token),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cnts),
+    ds AS (
+      SELECT doc_id, lang, CAST(SUM(k) AS BIGINT) AS n_tokens,
+             CAST(SUM(k * ((LENGTH(PRINTF('%b', total)) - 1)
+                           - (LENGTH(PRINTF('%b', cnt)) - 1))) AS DOUBLE)
+               / SUM(k) AS mean_surprisal
+      FROM dt JOIN cnts USING (token) CROSS JOIN tot
+      GROUP BY doc_id, lang),
+    cut AS (
+      SELECT lang,
+             vs[CAST((LEN(vs) + 2) // 3 AS INT)] AS c1,
+             vs[CAST((2 * LEN(vs) + 2) // 3 AS INT)] AS c2
+      FROM (SELECT lang, LIST_SORT(LIST(mean_surprisal)) AS vs
+            FROM ds
+            WHERE {_B16_DUCK.format(hex=_HEX, key='doc_id')} = 0
+            GROUP BY lang))
+    SELECT doc_id, ds.lang AS lang, n_tokens, mean_surprisal,
+           CASE WHEN c1 IS NULL THEN 'unsampled'
+                WHEN mean_surprisal <= c1 THEN 'head'
+                WHEN mean_surprisal <= c2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM ds LEFT JOIN cut USING (lang)
+    """,
+)
+def perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing: score every document by its mean
+    unigram surprisal under the corpus's own MLE unigram model, then
+    assign head/middle/tail terciles per language — the partition CCNet
+    uses to pick "looks like reference text" training data. (The
+    reference, rigoiot/node-cdc-nats, is transport-only — lib/nats.js has
+    no scoring ops; this extends the engine per the LLM-pipeline north
+    star, like the rest of this module.)
+
+    Engine-exact arithmetic: surprisal of a token with corpus count c is
+    floor(log2(total)) - floor(log2(c)) — computed as binary-digit-count
+    differences (integer, no libm), so the per-doc mean is an exact
+    integer sum followed by ONE IEEE division, identical in Spark and
+    DuckDB.
+
+    Scale (the part naive tercile bucketing gets wrong): NTILE(3) OVER
+    (PARTITION BY lang ...) would sort each language's documents inside a
+    single task — a per-lang global-order bottleneck at 100 TB. Instead
+    the tercile CUTOFFS are estimated from a deterministic md5-nibble
+    sample of documents (b16(doc_id) == 0, 1/16 here; dial the nibble
+    depth down for a 100 TB corpus) — a tiny per-lang sorted array — and
+    bucket assignment is a broadcast join + map-side CASE over the full
+    corpus. Languages absent from the sample get 'unsampled' (the honest
+    answer; CCNet computes cutoffs on a held-out sample too). The corpus
+    unigram-count pipeline is the same unique-(doc,token)-pair shuffle as
+    `doc_rarity_score`; the cutoff branch re-derives it rather than
+    caching (in production the cutoffs come from a checkpointed stats
+    table, not a second scan)."""
+    d = load_table(spark, sf_dir, "documents")
+    t2 = d.select(
+        "doc_id", "lang", F.explode(F.split(F.expr(_NORM_SPARK), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    dt = t2.groupBy("doc_id", "lang", "token").agg(F.count(F.lit(1)).alias("k"))
+    cnts = dt.groupBy("token").agg(F.sum("k").alias("cnt"))
+    tot = cnts.agg(F.sum("cnt").alias("total"))
+
+    def zipf(c: F.Column) -> F.Column:
+        return F.length(F.conv(c.cast("string"), 10, 2)) - 1
+
+    j = dt.join(cnts, "token").crossJoin(F.broadcast(tot))
+    s = zipf(F.col("total")) - zipf(F.col("cnt"))
+    n_tok = F.sum("k")
+    ds = j.groupBy("doc_id", "lang").agg(
+        n_tok.cast("long").alias("n_tokens"),
+        (F.sum(F.col("k") * s).cast("double") / n_tok).alias("mean_surprisal"),
+    )
+    vs = F.sort_array(F.collect_list("mean_surprisal"))
+    cut = (
+        ds.filter(_b16_spark("doc_id") == 0)
+        .groupBy("lang")
+        .agg(vs.alias("vs"))
+        .select(
+            "lang",
+            F.element_at("vs", ((F.size("vs") + 2) / 3).cast("int")).alias("c1"),
+            F.element_at("vs", ((F.size("vs") * 2 + 2) / 3).cast("int")).alias("c2"),
+        )
+    )
+    bucket = (
+        F.when(F.col("c1").isNull(), "unsampled")
+        .when(F.col("mean_surprisal") <= F.col("c1"), "head")
+        .when(F.col("mean_surprisal") <= F.col("c2"), "middle")
+        .otherwise("tail")
+    )
+    return ds.join(F.broadcast(cut), "lang", "left").select(
+        "doc_id", "lang", "n_tokens", "mean_surprisal", bucket.alias("ppl_bucket")
+    )

@@ -84,7 +84,10 @@ _VERIFY_HEAD = (
     "sessionize_events",
     "funnel_conversion",
     "retention_cohorts",
+    # r5: new — CCNet-style surprisal tercile bucketing, first verification
+    "perplexity_bucket",
 )
+
 
 
 # After r4 every one of the 124 r4-era queries carries a latest-status

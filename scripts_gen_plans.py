@@ -95,6 +95,10 @@ SHOWCASE = [
         "pipeline_end_to_end",
         "Composed pipeline fused by Catalyst: map-side quality gate + token counts, one content-hash window for dedup, broadcast 13-gram decontamination, pushed-down split filter.",
     ),
+    (
+        "perplexity_bucket",
+        "Surprisal terciles without a per-lang sort: unique-pair partial aggs, 1-row total broadcast, hash-sampled cutoffs broadcast back for a map-side CASE.",
+    ),
 ]
 
 

@@ -467,6 +467,8 @@ _CARTESIAN_OK = {
     # the Q11 fraction-of-total threshold)
     "q22_sales_opportunity",
     "q11_important_stock",
+    # 1-row corpus-total broadcast (surprisal normalizer)
+    "perplexity_bucket",
 }
 
 
@@ -485,3 +487,15 @@ def test_no_unexpected_cartesian_or_rowpython(spark, name):
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+
+
+def test_perplexity_bucket_no_global_sort(spark):
+    # Tercile assignment must be a broadcast of the per-lang cutoffs plus a
+    # map-side CASE — never NTILE's per-lang global sort (no
+    # rangepartitioning, no Window over the full corpus) — and the token
+    # count must partial-aggregate before its exchange.
+    plan = _plan(spark, "perplexity_bucket")
+    assert "rangepartitioning" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert plan.count("HashAggregate") >= 4

@@ -335,3 +335,40 @@ def test_upsert_merge_replay_idempotent(spark):
     replayed = merge_latest(once, batch2)  # checkpoint replay of batch2
     assert once.exceptAll(replayed).count() == 0
     assert replayed.exceptAll(once).count() == 0
+
+
+# -- perplexity_bucket: tercile bucketing semantics ----------------------------
+def test_perplexity_bucket_semantics(spark):
+    rows = registry.QUERIES["perplexity_bucket"](spark, SF_DIR).collect()
+    # Every document with >= 1 normalized token gets exactly one row.
+    assert len(rows) > 0
+    assert len({r.doc_id for r in rows}) == len(rows)
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        assert r.ppl_bucket in ("head", "middle", "tail", "unsampled")
+        assert r.n_tokens >= 1
+        assert r.mean_surprisal >= 0.0
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        buckets = {r.ppl_bucket for r in rs}
+        if buckets == {"unsampled"}:
+            continue  # lang absent from the 1/16 cutoff sample
+        assert "unsampled" not in buckets, lang
+        # Bucket assignment must be monotone in mean_surprisal: every head
+        # score <= every middle score <= every tail score (cutoff ties may
+        # straddle, hence <=).
+        order = {"head": 0, "middle": 1, "tail": 2}
+        top = {b: max(r.mean_surprisal for r in rs if r.ppl_bucket == b)
+               for b in buckets}
+        bot = {b: min(r.mean_surprisal for r in rs if r.ppl_bucket == b)
+               for b in buckets}
+        for a in buckets:
+            for b in buckets:
+                if order[a] < order[b]:
+                    assert top[a] <= bot[b], (lang, a, b)
+        # Cutoffs estimated from a 1/16 sample: terciles are approximate,
+        # but no single bucket may swallow (nearly) the whole language.
+        if len(rs) >= 30 and len(buckets) == 3:
+            for b in buckets:
+                frac = sum(1 for r in rs if r.ppl_bucket == b) / len(rs)
+                assert frac < 0.9, (lang, b, frac)
