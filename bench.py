@@ -68,6 +68,7 @@ HEADLINE = [
     "text_stats",
     "topk_ngrams",
     "decontaminate_ngram",
+    "decontaminate_containment",
     "perplexity_bucket",
     "corpus_vocab_stats",
     "doc_rarity_score",

@@ -968,3 +968,82 @@ def perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ds.join(F.broadcast(cut), "lang", "left").select(
         "doc_id", "lang", "n_tokens", "mean_surprisal", bucket.alias("ppl_bucket")
     )
+
+
+@register(
+    "decontaminate_containment",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT({_NORM_DUCK}, ' ') AS t FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, UNNEST({_TRIGRAMS_DUCK.format(toks='t')}) AS gram
+        FROM toks)),
+    bench AS (SELECT doc_id AS bench_doc_id, gram FROM g WHERE doc_id % 50 = 0),
+    bsize AS (SELECT bench_doc_id, COUNT(*) AS bench_ngrams
+              FROM bench GROUP BY bench_doc_id),
+    train AS (SELECT doc_id AS train_doc_id, gram FROM g WHERE doc_id % 50 <> 0),
+    shared AS (
+      SELECT train_doc_id, bench_doc_id, COUNT(*) AS shared_ngrams
+      FROM train JOIN bench USING (gram)
+      GROUP BY train_doc_id, bench_doc_id)
+    SELECT train_doc_id, bench_doc_id,
+           CAST(shared_ngrams AS BIGINT) AS shared_ngrams,
+           CAST(bench_ngrams AS BIGINT) AS bench_ngrams,
+           CAST(shared_ngrams AS DOUBLE) / bench_ngrams AS containment,
+           CAST(shared_ngrams AS DOUBLE) / bench_ngrams >= 0.5 AS contaminated
+    FROM shared JOIN bsize USING (bench_doc_id)
+    """,
+)
+def decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination by n-gram containment: for every (train doc,
+    benchmark doc) pair sharing any gram, the fraction of the benchmark
+    doc's distinct trigrams present in the train doc, flagged at
+    containment >= 0.5 — the overlap-fraction criterion (GPT-3-appendix
+    style) that
+    catches paraphrased/partial benchmark leaks `decontaminate_ngram`'s
+    any-single-gram flag would either miss (if grams are perturbed) or
+    over-fire on (one boilerplate gram). Containment is computed EXACTLY;
+    MinHash banding is deliberately not used here because banding recall
+    tracks Jaccard, and a small benchmark doc fully contained in a long
+    train doc has high containment but near-zero Jaccard — the exact
+    miss-case that matters.
+
+    Scale: the benchmark side (every 50th doc here; the real
+    benchmark suite in production) is small and broadcast — the corpus
+    never shuffles on gram. The only corpus-sized shuffle is the count
+    keyed by (train_doc, bench_doc), whose cardinality is bounded by
+    actual overlap, not the corpus x benchmark cross product. Division
+    is a single IEEE op on integer inputs — engine-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", F.split(F.expr(_NORM_SPARK), " ").alias("toks"))
+    # Plain explode (not explode_outer): a doc with < 3 tokens must
+    # contribute ZERO gram rows, exactly like the oracle's UNNEST —
+    # an outer-explode NULL row would inflate that doc's bench_ngrams.
+    g = toked.select(
+        "doc_id",
+        F.explode(F.expr(_TRIGRAMS_SPARK.format(toks="toks"))).alias("gram"),
+    ).distinct()
+    bench = g.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_doc_id"), "gram"
+    )
+    bsize = bench.groupBy("bench_doc_id").agg(
+        F.count(F.lit(1)).alias("bench_ngrams")
+    )
+    train = g.filter(F.col("doc_id") % 50 != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "gram"
+    )
+    shared = (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("train_doc_id", "bench_doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+    cont = F.col("shared_ngrams").cast("double") / F.col("bench_ngrams")
+    return shared.join(F.broadcast(bsize), "bench_doc_id").select(
+        "train_doc_id",
+        "bench_doc_id",
+        F.col("shared_ngrams").cast("long").alias("shared_ngrams"),
+        F.col("bench_ngrams").cast("long").alias("bench_ngrams"),
+        cont.alias("containment"),
+        (cont >= 0.5).alias("contaminated"),
+    )

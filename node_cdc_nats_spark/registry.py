@@ -86,6 +86,8 @@ _VERIFY_HEAD = (
     "retention_cohorts",
     # r5: new — CCNet-style surprisal tercile bucketing, first verification
     "perplexity_bucket",
+    # r5: new — pairwise n-gram-containment decontamination report
+    "decontaminate_containment",
 )
 
 

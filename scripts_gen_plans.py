@@ -99,6 +99,10 @@ SHOWCASE = [
         "perplexity_bucket",
         "Surprisal terciles without a per-lang sort: unique-pair partial aggs, 1-row total broadcast, hash-sampled cutoffs broadcast back for a map-side CASE.",
     ),
+    (
+        "decontaminate_containment",
+        "Pairwise benchmark containment: benchmark gram set broadcast twice (join + sizes); the only corpus shuffle is the (train,bench) pair count.",
+    ),
 ]
 
 

@@ -46,9 +46,11 @@ DOC_BOUND = [
     "token_count",
     "topk_ngrams",
     "decontaminate_ngram",
+    "decontaminate_containment",
     "split_leakage_report",
     "corpus_vocab_stats",
     "doc_rarity_score",
+    "perplexity_bucket",
     "pipeline_end_to_end",
 ]
 # The embedding-reading ops (r5): the adaptive-planes claim on

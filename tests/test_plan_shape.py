@@ -499,3 +499,11 @@ def test_perplexity_bucket_no_global_sort(spark):
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_decontaminate_containment_broadcasts_benchmark(spark):
+    # Both benchmark-side joins (gram match + size lookup) must broadcast;
+    # the corpus may never shuffle on gram.
+    plan = _plan(spark, "decontaminate_containment")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Exchange hashpartitioning(gram" not in plan

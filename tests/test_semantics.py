@@ -372,3 +372,21 @@ def test_perplexity_bucket_semantics(spark):
             for b in buckets:
                 frac = sum(1 for r in rs if r.ppl_bucket == b) / len(rs)
                 assert frac < 0.9, (lang, b, frac)
+
+
+# -- decontaminate_containment: overlap-fraction semantics ---------------------
+def test_decontaminate_containment_semantics(spark):
+    rows = registry.QUERIES["decontaminate_containment"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    assert len({(r.train_doc_id, r.bench_doc_id) for r in rows}) == len(rows)
+    for r in rows:
+        # Pair sides come from disjoint splits (every 50th doc is benchmark).
+        assert r.bench_doc_id % 50 == 0
+        assert r.train_doc_id % 50 != 0
+        assert 1 <= r.shared_ngrams <= r.bench_ngrams
+        assert abs(r.containment - r.shared_ngrams / r.bench_ngrams) < 1e-12
+        assert r.contaminated == (r.containment >= 0.5)
+    # The fixture corpus contains at least one genuine leak (an exact
+    # duplicate straddling the split) and plenty of sub-threshold noise.
+    assert any(r.contaminated for r in rows)
+    assert any(not r.contaminated for r in rows)
