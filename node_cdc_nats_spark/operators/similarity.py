@@ -681,6 +681,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [float(v) for v in r.embedding]
         for r in em.orderBy("vec_id").limit(IVF_K).collect()
     ]
+    if not cents:
+        # Empty corpus: no centroids to build an inverted file from — a
+        # well-typed empty result, not an IndexError (zero-row sources are
+        # a live-deployment reality, and the oracle is empty too).
+        return spark.createDataFrame([], "qid bigint, cid bigint, score double")
+    # A corpus smaller than IVF_K still defines that many real cells.
+    n_cells = len(cents)
 
     def cent_lit(c: int) -> Column:
         return F.array(*[F.lit(v) for v in cents[c]])
@@ -691,7 +698,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d2_exact(F.col("embedding"), cent_lit(c)).alias("d2"),
                 F.lit(c).alias("cell"),
             )
-            for c in range(IVF_K)
+            for c in range(n_cells)
         ])
 
     # Nearest cell: struct ordering is (d2, cell) — exactly the oracle's

@@ -186,8 +186,15 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("event_date")
             .parquet(out_dir)
         )
-        _PARTITIONED[key] = out_dir
-    df = spark.read.parquet(_PARTITIONED[key])
+        _PARTITIONED[key] = (
+            out_dir,
+            ev.withColumn("event_date", F.to_date("ts")).schema,
+        )
+    out_dir, schema = _PARTITIONED[key]
+    # Explicit schema: skips the footer-inference listing pass on a real
+    # archive, and keeps an archive with zero partition directories (empty
+    # source) a well-typed empty scan instead of UNABLE_TO_INFER_SCHEMA.
+    df = spark.read.schema(schema).parquet(out_dir)
     return (
         df.filter(
             (F.col("event_date") >= F.lit("2024-01-10").cast("date"))

@@ -58,6 +58,23 @@ def stage_events(spark: SparkSession, sf_dir: str, order: str = "time") -> str:
     )
     max_id = ev.agg(F.max("event_id")).first()[0]
     stage = tempfile.mkdtemp(prefix=f"events_stream_{order}_")
+    if max_id is None:
+        # Empty events table: a fresh topic, not an error. Stage N_FILES
+        # schema-bearing empty parquet files so every downstream streaming
+        # op replays its micro-batches empty (the zero-row-batch path a
+        # live deployment hits on day one) instead of dying on arithmetic
+        # against a missing max.
+        import shutil
+
+        tmpd = tempfile.mkdtemp()
+        ev.limit(0).coalesce(1).write.mode("overwrite").parquet(tmpd)
+        src = next(f for f in os.listdir(tmpd) if f.endswith(".parquet"))
+        for i in range(N_FILES):
+            dst = os.path.join(stage, f"{i:04d}.parquet")
+            shutil.copyfile(os.path.join(tmpd, src), dst)
+            os.utime(dst, (1_000_000 + i * 10, 1_000_000 + i * 10))
+        _STAGED[key] = stage
+        return stage
     if order == "scatter":
         batch_of = F.col("event_id") % N_FILES
     else:
