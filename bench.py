@@ -70,6 +70,7 @@ HEADLINE = [
     "decontaminate_ngram",
     "decontaminate_containment",
     "perplexity_bucket",
+    "bpe_pair_stats",
     "corpus_vocab_stats",
     "doc_rarity_score",
     "pipeline_end_to_end",

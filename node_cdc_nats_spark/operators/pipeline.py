@@ -1047,3 +1047,65 @@ def decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         cont.alias("containment"),
         (cont >= 0.5).alias("contaminated"),
     )
+
+
+@register(
+    "bpe_pair_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT UNNEST(STRING_SPLIT({_NORM_DUCK}, ' ')) AS token FROM documents),
+    vocab AS (
+      SELECT token, COUNT(*) AS cnt FROM tok WHERE token <> '' GROUP BY token),
+    pairs AS (
+      SELECT pair, cnt FROM (
+        SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(token)),
+                                     i -> SUBSTR(token, CAST(i AS INT), 2))) AS pair,
+               cnt
+        FROM vocab)),
+    agg AS (
+      SELECT pair,
+             CAST(SUM(cnt) AS BIGINT) AS pair_count,
+             CAST(COUNT(*) AS BIGINT) AS n_token_types
+      FROM pairs GROUP BY pair)
+    SELECT pair, pair_count, n_token_types
+    FROM agg ORDER BY pair_count DESC, pair LIMIT 50
+    """,
+)
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-induction statistics: the top-50 adjacent character pairs
+    across the corpus weighted by token frequency — exactly the candidate
+    ranking BPE's first merge step computes (and re-computes per merge;
+    this op is that inner loop as one query). `pair_count` is the number
+    of corpus occurrences of the pair inside a token; `n_token_types` the
+    number of distinct token types containing it.
+
+    Scale: the ONLY corpus-sized stage is the token-frequency aggregation
+    (identical shuffle to `corpus_vocab_stats`: explode collapses
+    map-side via partial aggregation). Pair explosion and pair counting
+    run over the VOCABULARY — orders of magnitude smaller than the corpus
+    — and the top-50 is TakeOrderedAndProject, never a global sort. The
+    (count desc, pair asc) tiebreak makes the LIMIT deterministic on both
+    engines."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split(F.expr(_NORM_SPARK), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # Gate on length >= 2: Spark's sequence(1, 0) is DESCENDING (yields
+    # [1, 0]), so an unguarded expression double-counts 1-char tokens as
+    # their own "pair" — the same trap _BIGRAMS_SPARK guards against.
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                "case when length(token) >= 2 then "
+                "transform(sequence(1, length(token) - 1), i -> substr(token, i, 2)) "
+                "else array() end"
+            )
+        ).alias("pair"),
+        "cnt",
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("cnt").cast("long").alias("pair_count"),
+        F.count(F.lit(1)).cast("long").alias("n_token_types"),
+    )
+    return agg.orderBy(F.col("pair_count").desc(), "pair").limit(50)

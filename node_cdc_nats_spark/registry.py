@@ -88,6 +88,8 @@ _VERIFY_HEAD = (
     "perplexity_bucket",
     # r5: new — pairwise n-gram-containment decontamination report
     "decontaminate_containment",
+    # r5: new — BPE first-merge pair ranking over the vocabulary
+    "bpe_pair_stats",
 )
 
 

@@ -39,20 +39,29 @@ for t in TABLES:
         f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
     )
 
+# Full value comparison (not just row counts): reuse the suite's
+# order-insensitive exact-value diff so a query returning the right
+# NUMBER of wrong rows cannot print OK.
+from tests.oracle_diff import compare  # noqa: E402
+
 names = sys.argv[1:] or sorted(qs)
 failed = []
 for name in names:
     try:
-        sdf = qs[name](spark, SF)
-        srows = sdf.count()
         if name in os_:
+            problems = compare(spark, name, qs[name], os_[name], SF)
             orows = con.execute(
                 f"SELECT COUNT(*) FROM ({os_[name]})"
             ).fetchone()[0]
-            ok = srows == orows
+            srows = orows if not problems else "?"
+            ok = not problems
+            if problems:
+                for p in problems[:3]:
+                    print(f"  {p}", flush=True)
         else:
-            orows, ok = None, srows >= 0
-        status = "OK " if ok else "ROWS-MISMATCH"
+            srows, orows = qs[name](spark, SF).count(), None
+            ok = srows >= 0
+        status = "OK " if ok else "VALUE-MISMATCH"
         if not ok:
             failed.append(name)
         print(f"{status} {name}: spark={srows} oracle={orows}", flush=True)

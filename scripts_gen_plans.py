@@ -103,6 +103,10 @@ SHOWCASE = [
         "decontaminate_containment",
         "Pairwise benchmark containment: benchmark gram set broadcast twice (join + sizes); the only corpus shuffle is the (train,bench) pair count.",
     ),
+    (
+        "bpe_pair_stats",
+        "BPE first-merge ranking: corpus-sized work ends at the vocabulary agg; pair explosion+count run over the vocab, top-50 via TakeOrderedAndProject.",
+    ),
 ]
 
 

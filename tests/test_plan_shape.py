@@ -507,3 +507,13 @@ def test_decontaminate_containment_broadcasts_benchmark(spark):
     plan = _plan(spark, "decontaminate_containment")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "Exchange hashpartitioning(gram" not in plan
+
+
+def test_bpe_pair_stats_vocab_sized_pair_stage(spark):
+    # Corpus-sized work ends at the token aggregation: pair explosion and
+    # pair counting run over the vocabulary, top-50 via
+    # TakeOrderedAndProject — never a global sort of pair counts.
+    plan = _plan(spark, "bpe_pair_stats")
+    assert plan.count("HashAggregate") >= 4  # partial+final for both aggs
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan

@@ -390,3 +390,18 @@ def test_decontaminate_containment_semantics(spark):
     # duplicate straddling the split) and plenty of sub-threshold noise.
     assert any(r.contaminated for r in rows)
     assert any(not r.contaminated for r in rows)
+
+
+# -- bpe_pair_stats: first-merge ranking semantics -----------------------------
+def test_bpe_pair_stats_semantics(spark):
+    rows = registry.QUERIES["bpe_pair_stats"](spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 50
+    # Returned in ranked order: counts non-increasing, pair asc on ties.
+    for a, b in zip(rows, rows[1:]):
+        assert a.pair_count > b.pair_count or (
+            a.pair_count == b.pair_count and a.pair < b.pair
+        ), (a, b)
+    for r in rows:
+        assert len(r.pair) == 2
+        # A pair occurs at least once in every token type counted for it.
+        assert r.pair_count >= r.n_token_types >= 1
