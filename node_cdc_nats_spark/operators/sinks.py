@@ -263,3 +263,55 @@ def sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         _STAGED_LAYOUTS[key] = compact_dir
     out = spark.read.parquet(_STAGED_LAYOUTS[key])
     return out.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+_BINARY_STAGED: dict[str, str] = {}
+
+
+@register(
+    "scan_binary",
+    oracle="""
+    SELECT doc_id,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+           MD5(text) AS content_md5
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-blob ingestion via Spark's built-in `binaryFile` format — the
+    entry point of the multimodal pipeline (operators/multimodal.py decodes
+    blobs that arrive exactly like this: one opaque file per asset). Every
+    10th document's UTF-8 bytes are staged as a `<doc_id>.bin` file once
+    per (process, sf) — the fixture's stand-in for an object-store bucket
+    of images/audio — then read back as (path, length, content) and
+    projected to (doc_id from the path, byte length, content md5).
+
+    Scale: binaryFile lists and reads files in parallel across executors
+    (maxPartitionBytes applies), and the projection is map-side; nothing
+    shuffles. The staging loop is fixture scaffolding, not the operator —
+    a production bucket is written by the upstream asset store. The
+    content column is dropped before return (the driver canonicalizer
+    requires hashable scalar cells; md5 carries the content identity)."""
+    import os
+
+    if sf_dir not in _BINARY_STAGED:
+        out = tempfile.mkdtemp(prefix="scan_binary_")
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 == 0)
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            with open(os.path.join(out, f"{r.doc_id}.bin"), "wb") as fh:
+                fh.write(r.text.encode("utf-8"))
+        _BINARY_STAGED[sf_dir] = out
+    df = spark.read.format("binaryFile").load(_BINARY_STAGED[sf_dir])
+    doc_id = F.regexp_extract(
+        F.element_at(F.split(F.col("path"), "/"), -1), r"^(\d+)\.bin$", 1
+    ).cast("long")
+    return df.select(
+        doc_id.alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )

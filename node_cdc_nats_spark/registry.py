@@ -90,6 +90,8 @@ _VERIFY_HEAD = (
     "decontaminate_containment",
     # r5: new — BPE first-merge pair ranking over the vocabulary
     "bpe_pair_stats",
+    # r5: new — binaryFile multimodal-blob ingestion scan
+    "scan_binary",
 )
 
 

@@ -113,6 +113,7 @@ def test_green_demotion_lists_are_sound():
         "perplexity_bucket",  # CCNet surprisal terciles, new in r5
         "decontaminate_containment",  # pairwise containment report, new in r5
         "bpe_pair_stats",  # BPE first-merge pair ranking, new in r5
+        "scan_binary",  # binaryFile blob-ingestion scan, new in r5
     }
     assert changed_in_r5 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
