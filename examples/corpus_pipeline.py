@@ -19,7 +19,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main(sf_dir: str = "/root/testdata/sf0.001") -> dict[str, int]:
     from node_cdc_nats_spark.operators.dedup import dedup_exact, dedup_minhash
     from node_cdc_nats_spark.operators.pipeline import (
+        bpe_pair_stats,
+        decontaminate_containment,
         decontaminate_ngram,
+        perplexity_bucket,
         pipeline_end_to_end,
         quality_filter_gopher,
         train_val_split,
@@ -43,6 +46,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict[str, int]:
         "near_dup_pairs": dedup_minhash(spark, sf_dir).count(),
         # 13-gram benchmark decontamination (broadcast containment join).
         "clean_docs": decontaminate_ngram(spark, sf_dir).count(),
+        # Pairwise overlap-fraction report (which benchmark leaked where).
+        "containment_pairs": decontaminate_containment(spark, sf_dir).count(),
+        # CCNet-style quality terciles from hash-sampled surprisal cutoffs.
+        "ppl_bucketed_docs": perplexity_bucket(spark, sf_dir).count(),
+        # Tokenizer induction: top BPE first-merge candidates.
+        "bpe_merge_candidates": bpe_pair_stats(spark, sf_dir).count(),
         # Deterministic hash split (no global sort, no RNG state).
         "train_val_rows": train_val_split(spark, sf_dir).count(),
         # The composed flagship: the four stages above as one fused plan.

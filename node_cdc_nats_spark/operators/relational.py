@@ -822,6 +822,14 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pay the shuffle once at write time, never at read time. Bucketed copies
     are staged once per process (the fixture's stand-in for the real
     warehouse tables)."""
+    # Per-SF table names: a global name would let a second staged SF in
+    # the same process silently repoint the first SF's cached query at the
+    # wrong data, and lets concurrent engine processes on different SFs
+    # clobber each other's warehouse dirs.
+    import re
+
+    sf_tag = re.sub(r"[^A-Za-z0-9]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    t_orders, t_lineitem = f"bkt_orders_{sf_tag}", f"bkt_lineitem_{sf_tag}"
     key = f"bucketed::{sf_dir}"
     if key not in _BUCKETED:
         # The warehouse directory outlives the (in-memory) catalog: drop any
@@ -830,7 +838,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         from urllib.parse import urlparse
 
         warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        for tbl in ("bkt_orders", "bkt_lineitem"):
+        for tbl in (t_orders, t_lineitem):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
             shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
         orders = load_table(spark, sf_dir, "orders")
@@ -838,16 +846,16 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             orders.write.mode("overwrite")
             .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-            .saveAsTable("bkt_orders")
+            .saveAsTable(t_orders)
         )
         (
             li.write.mode("overwrite")
             .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-            .saveAsTable("bkt_lineitem")
+            .saveAsTable(t_lineitem)
         )
         _BUCKETED.add(key)
-    o = spark.table("bkt_orders")
-    l = spark.table("bkt_lineitem")
+    o = spark.table(t_orders)
+    l = spark.table(t_lineitem)
     # hint("merge"): at fixture scale Spark would broadcast the small side
     # (also shuffle-free, but then bucketing proves nothing); at 100 TB
     # neither side broadcasts and sort-merge-over-buckets is the real plan.

@@ -271,6 +271,9 @@ def test_corpus_pipeline_example_runs(spark):
         "content_hash_groups": 500,
         "near_dup_pairs": 28,
         "clean_docs": 490,
+        "containment_pairs": 367,
+        "ppl_bucketed_docs": 500,
+        "bpe_merge_candidates": 50,
         "train_val_rows": 500,
         "fused_pipeline_rows": 336,
     }
