@@ -92,6 +92,8 @@ _VERIFY_HEAD = (
     "bpe_pair_stats",
     # r5: new — binaryFile multimodal-blob ingestion scan
     "scan_binary",
+    # r5: new — streaming SCD2 interval maintenance (foreachBatch merge)
+    "stream_scd2",
 )
 
 

@@ -90,3 +90,93 @@ def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(target).withColumn(
         "ts", F.col("ts").cast("timestamp_ntz")
     ).select("user_id", "event_id", "event_type", "value", "ts")
+
+
+def merge_scd2(target: DataFrame | None, batch_df: DataFrame) -> DataFrame:
+    """One SCD2 merge step: recompute the versioned intervals ONLY for the
+    users present in the batch; everyone else's intervals pass through
+    untouched. Target rows for affected users are converted back to change
+    rows (valid_from is the original change ts), unioned with the batch,
+    de-duplicated by event_id (idempotent under checkpoint-replayed
+    batches), and re-windowed. Per batch the window shuffle carries only
+    affected users' history — work tracks batch impact, not table size —
+    and the affected-keys semi/anti joins broadcast the (small) batch key
+    set against the running table."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+
+    def to_intervals(changes: DataFrame) -> DataFrame:
+        return changes.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+
+    batch = batch_df.select("user_id", "event_id", "value", "ts")
+    if target is None:
+        return to_intervals(batch.dropDuplicates(["event_id"]))
+    affected = batch.select("user_id").distinct()
+    untouched = target.join(F.broadcast(affected), "user_id", "left_anti")
+    replay = target.join(F.broadcast(affected), "user_id", "left_semi").select(
+        "user_id", "event_id", "value", F.col("valid_from").alias("ts")
+    )
+    recomputed = to_intervals(
+        replay.unionByName(batch).dropDuplicates(["event_id"])
+    )
+    return untouched.unionByName(recomputed)
+
+
+@register(
+    "stream_scd2",
+    oracle="""
+    SELECT user_id, event_id, value,
+           CAST(ts AS TIMESTAMP) AS valid_from,
+           CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS TIMESTAMP) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM events
+    WHERE event_type = 'signup' OR event_type = 'purchase'
+    """,
+)
+def stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming type-2 SCD: maintain the versioned-interval table across
+    micro-batches via foreachBatch merge — the streaming twin of
+    ``cdc_scd2`` (same oracle), closing the CDC guarantee for historical
+    tables: stream-merged intervals == batch recompute. A late change row
+    for a user splices into that user's history correctly because the
+    merge replays the affected user's full change set, not just the tail."""
+    src = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    target = tempfile.mkdtemp(prefix="scd2_target_")
+    state = {"df": None}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        state["df"] = merge_scd2(state["df"], batch_df).localCheckpoint(eager=True)
+
+    ckpt = _ckpt_dir()
+    q = (
+        src.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = state["df"]
+    if out is None:  # empty source: no batches delivered any rows
+        out = spark.createDataFrame(
+            [],
+            "user_id bigint, event_id bigint, value double, "
+            "valid_from timestamp, valid_to timestamp, is_current boolean",
+        )
+    out.write.mode("overwrite").parquet(target)
+    return (
+        spark.read.parquet(target)
+        .withColumn("valid_from", F.col("valid_from").cast("timestamp_ntz"))
+        .withColumn("valid_to", F.col("valid_to").cast("timestamp_ntz"))
+        .select("user_id", "event_id", "value", "valid_from", "valid_to", "is_current")
+    )

@@ -51,6 +51,7 @@ DOC_BOUND = [
     "corpus_vocab_stats",
     "doc_rarity_score",
     "perplexity_bucket",
+    "bpe_pair_stats",
     "pipeline_end_to_end",
 ]
 # The embedding-reading ops (r5): the adaptive-planes claim on

@@ -21,7 +21,7 @@ _SKIP = {
     "stream_tumble", "stream_slide", "stream_session", "stream_watermark",
     "stream_dedup", "stream_rpc_state", "nats_roundtrip", "scan_stream",
     "sink_parquet", "sink_memory", "stream_upsert", "stream_bounded_subscription",
-    "stream_stream_join", "stream_stream_left_join",
+    "stream_stream_join", "stream_stream_left_join", "stream_scd2",
 }
 
 

@@ -405,3 +405,39 @@ def test_bpe_pair_stats_semantics(spark):
         assert len(r.pair) == 2
         # A pair occurs at least once in every token type counted for it.
         assert r.pair_count >= r.n_token_types >= 1
+
+
+# -- stream_scd2: merge semantics ----------------------------------------------
+def test_scd2_merge_replay_idempotent_and_splices_late_rows(spark):
+    # The exactly-once claim for the foreachBatch SCD2 sink rests on the
+    # merge being idempotent under batch replay, and correctness under
+    # out-of-order delivery rests on the merge replaying the affected
+    # user's FULL history (a late change must splice into the middle of
+    # the intervals, not append).
+    from node_cdc_nats_spark.io import load_table
+    from node_cdc_nats_spark.streaming.upsert import merge_scd2
+
+    ev = load_table(spark, SF_DIR_ORACLE, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    ).select("user_id", "event_id", "value", "ts")
+    batch1 = ev.filter(F.col("event_id") % 3 == 0)
+    batch2 = ev.filter(F.col("event_id") % 3 == 1)
+    batch3 = ev.filter(F.col("event_id") % 3 == 2)
+    # localCheckpoint between merges exactly as the foreachBatch sink does:
+    # the merge self-joins the running target against rows sharing its own
+    # lineage, which needs the between-batch lineage break to resolve.
+    once = merge_scd2(None, batch1).localCheckpoint(eager=True)
+    once = merge_scd2(once, batch2).localCheckpoint(eager=True)
+    once = merge_scd2(once, batch3).localCheckpoint(eager=True)
+    replayed = merge_scd2(once, batch2)  # checkpoint replay of batch2
+    assert once.exceptAll(replayed).count() == 0
+    assert replayed.exceptAll(once).count() == 0
+    # Arrival order must not matter: the event_id%3 split interleaves each
+    # user's timeline across batches, so batch3's rows land BETWEEN rows
+    # already merged — the final table must still equal the batch recompute.
+    batch_view = registry.QUERIES["cdc_scd2"](spark, SF_DIR_ORACLE)
+    stream_view = once.withColumn(
+        "valid_from", F.col("valid_from").cast("timestamp_ntz")
+    ).withColumn("valid_to", F.col("valid_to").cast("timestamp_ntz"))
+    assert batch_view.exceptAll(stream_view).count() == 0
+    assert stream_view.exceptAll(batch_view).count() == 0
