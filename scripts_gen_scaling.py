@@ -255,10 +255,13 @@ Notes:
   growth — linear per token, as designed. `dedup_minhash`'s round-3
   ratio of ~5x per 10x is gone: the r=2 banding cut candidate
   generation ~20x, putting it back under the fixed-cost floor.
-- `join_bucketed` and `scan_partition_pruned` get FASTER with more data
-  at these sizes because their read-side layouts (buckets, partition
-  pruning) cut work while fixed costs amortize — the effect they exist
-  to produce at 100 TB.
+- `join_bucketed` and `scan_partition_pruned` stay near the fixed-cost
+  floor across SFs because their read-side layouts (pre-bucketed files,
+  partition pruning) bound the work each query actually reads — the
+  effect those layouts exist to produce at 100 TB. (An earlier revision
+  claimed they got *faster* with more data; that was the global-named
+  bucketed-table staging bug timing the wrong SF's tables, fixed in
+  round 5.)
 - Streaming ops (`stream_tumble`, `stream_rpc_state`) are flat across
   scale factors: micro-batch + state-store fixed costs dominate at
   fixture volume; state size is watermark/horizon-bounded by design.
