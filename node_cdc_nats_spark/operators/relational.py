@@ -993,3 +993,36 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         gate("_p50_approx", "p50_exact").alias("p50_within_5pct"),
         gate("_p90_approx", "p90_exact").alias("p90_within_5pct"),
     )
+
+
+@register(
+    "unpivot_melt",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+    FROM lineitem WHERE l_quantity >= 45
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem WHERE l_quantity >= 45
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_quantity >= 45
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+    FROM lineitem WHERE l_quantity >= 45
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape (melt): the four lineitem measures unpivoted to
+    (metric, val) rows — the inverse of agg_pivot, closing the reshape
+    pair. Spark's native `unpivot` is a single map-side operator (one scan,
+    no shuffle, no join): each input row emits 4 output rows inside the
+    same task, so the reshape is embarrassingly parallel at any scale. The
+    filter stays pushed into the parquet scan below the unpivot. Values
+    move verbatim (no arithmetic), so the cross-engine hash is exact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )

@@ -180,3 +180,37 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey"))
         .alias("decile_in_nation"),
     )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CAST(SUM(CAST(value AS DECIMAL(30,6)))
+                OVER (PARTITION BY user_id ORDER BY value
+                      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS sum_near,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY value
+                          RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+             AS n_near
+    FROM events
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per user, aggregate every event whose `value`
+    lies within 5.0 BELOW the current row's value — a value-distance frame,
+    which ROWS frames (win_frame_sliding) cannot express. RANGE frames are
+    peer-inclusive and bounded by the ORDER BY value itself, so the result
+    is deterministic without any tiebreak column. The sum accumulates in
+    DECIMAL (values carry 2 decimals, exact) and casts to double at the
+    edge, keeping the cross-engine hash bit-stable. One shuffle on the
+    partition key; per-user frames never cross partitions."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("value").rangeBetween(-5, W.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("sum_near"),
+        F.count(F.lit(1)).over(w).alias("n_near"),
+    )

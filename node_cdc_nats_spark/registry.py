@@ -94,6 +94,9 @@ _VERIFY_HEAD = (
     "scan_binary",
     # r5: new — streaming SCD2 interval maintenance (foreachBatch merge)
     "stream_scd2",
+    # r5: new — RANGE-frame window and wide-to-long reshape
+    "win_range_frame",
+    "unpivot_melt",
 )
 
 

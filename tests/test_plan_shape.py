@@ -517,3 +517,20 @@ def test_bpe_pair_stats_vocab_sized_pair_stage(spark):
     assert plan.count("HashAggregate") >= 4  # partial+final for both aggs
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_unpivot_is_map_side_with_pushdown(spark):
+    # The reshape must be one scan with the filter pushed below the
+    # unpivot — no join, no shuffle of any kind.
+    plan = _plan(spark, "unpivot_melt")
+    assert "Join" not in plan
+    assert "Exchange" not in plan.replace("ReusedExchange", "")
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,45" in plan
+
+
+def test_win_range_frame_single_shuffle(spark):
+    # One exchange on the partition key; RANGE frame evaluated per
+    # partition with no extra sort beyond the window's own.
+    plan = _plan(spark, "win_range_frame")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "rangepartitioning" not in plan
