@@ -375,3 +375,58 @@ def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "downsample_ohlc",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+             value, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('hour', CAST(ts AS TIMESTAMP))
+                                ORDER BY ts, event_id) AS rn_open,
+             ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('hour', CAST(ts AS TIMESTAMP))
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events)
+    SELECT event_type, bucket,
+           MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS vsum
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsample: per (event_type, hour) bucket the
+    open/high/low/close of `value` plus count and exact sum — the rollup a
+    CDC metrics archive materializes so dashboards never rescan raw
+    events. Open/close are (ts, event_id)-tiebroken row_numbers (min_by/
+    arg_min are tie-nondeterministic in both engines); high/low/count are
+    plain aggregates; the sum accumulates in DECIMAL for a bit-stable
+    cross-engine hash.
+
+    Plan: ONE shuffle — the window partitions by (event_type, bucket) and
+    the following groupBy uses the same keys, so Catalyst reuses the
+    window's hashpartitioning for the final aggregate. At 100 TB the
+    bucket count grows with the time span, not the event count, and each
+    window partition holds one bucket's events."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("bucket")
+    base = e.select("event_type", bucket, "value", "ts", "event_id")
+    wo = W.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    wc = W.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    staged = base.withColumn("rn_open", F.row_number().over(wo)).withColumn(
+        "rn_close", F.row_number().over(wc)
+    )
+    return staged.groupBy("event_type", "bucket").agg(
+        F.max(F.when(F.col("rn_open") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("vsum"),
+    )

@@ -1026,3 +1026,43 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, value, COUNT(*) AS cnt
+      FROM events GROUP BY event_type, value),
+    r AS (
+      SELECT event_type, value, cnt,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, value ASC) AS rn
+      FROM c)
+    SELECT event_type, value AS mode_value, CAST(cnt AS BIGINT) AS mode_count
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: the most frequent `value` per event
+    type, ties broken by smallest value. Built as count-groupBy +
+    row_number rather than the engines' native MODE(), because both
+    Spark's `mode()` and DuckDB's `MODE` are tie-nondeterministic — the
+    explicit (count desc, value asc) ordering is what makes the result
+    hashable cross-engine and reproducible run-to-run. Plan: partial+final
+    count agg, then a window over the (tiny) distinct-value set, already
+    partitioned compatibly."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    c = e.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("event_type").orderBy(F.col("cnt").desc(), F.col("value").asc())
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("value").alias("mode_value"),
+            F.col("cnt").cast("long").alias("mode_count"),
+        )
+    )

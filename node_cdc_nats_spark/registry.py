@@ -97,6 +97,9 @@ _VERIFY_HEAD = (
     # r5: new — RANGE-frame window and wide-to-long reshape
     "win_range_frame",
     "unpivot_melt",
+    # r5: new — deterministic per-group mode and time-bucketed OHLC rollup
+    "agg_mode",
+    "downsample_ohlc",
 )
 
 

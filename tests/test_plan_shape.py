@@ -534,3 +534,12 @@ def test_win_range_frame_single_shuffle(spark):
     plan = _plan(spark, "win_range_frame")
     assert plan.count("Exchange hashpartitioning(user_id") == 1
     assert "rangepartitioning" not in plan
+
+
+def test_downsample_ohlc_single_exchange(spark):
+    # The window partitions by (event_type, bucket) and the final agg
+    # groups by the same keys: Catalyst must reuse the window's
+    # hashpartitioning — exactly one exchange, no global sort.
+    plan = _plan(spark, "downsample_ohlc")
+    assert plan.count("Exchange hashpartitioning(event_type") == 1
+    assert "rangepartitioning" not in plan

@@ -117,6 +117,8 @@ def test_green_demotion_lists_are_sound():
         "stream_scd2",  # streaming SCD2 interval maintenance, new in r5
         "win_range_frame",  # RANGE-frame window, new in r5
         "unpivot_melt",  # wide-to-long reshape, new in r5
+        "agg_mode",  # deterministic per-group mode, new in r5
+        "downsample_ohlc",  # time-bucketed OHLC rollup, new in r5
     }
     assert changed_in_r5 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
