@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions 
 
 from ..io import load_table
 from ..registry import register
+from .text import NORM_SPARK_SQL
 
 SHINGLE_N = 3
 # 24 minhashes in 12 bands of r=2 rows: P[candidate | jaccard j] =
@@ -765,3 +766,73 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = out.localCheckpoint(eager=True)
     edges.unpersist()
     return result
+
+
+SPAN_TOKENS = 10
+
+
+@register(
+    "dedup_span",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, STRING_SPLIT({{norm}}, ' ') AS toks FROM documents),
+    ch AS (
+      SELECT doc_id, i AS idx,
+             ARRAY_TO_STRING(toks[i*{SPAN_TOKENS}+1 : i*{SPAN_TOKENS}+{SPAN_TOKENS}], ' ') AS chunk
+      FROM t, UNNEST(RANGE(0, CAST(CEIL(LEN(toks)/{SPAN_TOKENS}.0) AS INT))) AS u(i)),
+    kept AS (
+      SELECT doc_id, idx, chunk,
+             ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+      FROM ch)
+    SELECT doc_id,
+           COALESCE(STRING_AGG(CASE WHEN rn = 1 THEN chunk END, ' '
+                                ORDER BY idx), '') AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM kept GROUP BY doc_id
+    """.replace("{norm}", "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"),
+)
+def dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span-level dedup REWRITE: chunk every document into
+    fixed SPAN_TOKENS-token spans, keep only the corpus-wide FIRST occurrence
+    of each span (ordered by doc_id, position), and reassemble the
+    cleaned text — removing boilerplate repeated across documents rather
+    than dropping whole near-duplicate docs (that is `dedup_exact` /
+    `dedup_minhash`'s job; `dedup_substring` only REPORTS shared spans).
+
+    Scale: one shuffle on the span string for the first-occurrence
+    window (span cardinality ~ corpus tokens / SPAN_TOKENS, same order as
+    `dedup_exact`'s hash key space), one shuffle back on doc_id for the
+    ordered reassembly. The rebuild aggregates (idx, span) structs with
+    sort_array — deterministic, no global sort. At 100 TB span strings
+    can be hashed to 8-byte keys for the window and joined back; the
+    fixture keeps the strings for oracle transparency."""
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select(
+        "doc_id", F.split(F.expr(NORM_SPARK_SQL), " ").alias("toks")
+    )
+    k = SPAN_TOKENS
+    ch = toked.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(toks)/{k}.0) as int) - 1),"
+                f" i -> concat_ws(' ', slice(toks, i*{k}+1, {k})))"
+            )
+        ).alias("idx", "chunk"),
+    )
+    w = W.partitionBy("chunk").orderBy("doc_id", "idx")
+    kept = ch.withColumn("rn", F.row_number().over(w))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(filter(sort_array(collect_list(struct(idx, "
+                "case when rn = 1 then chunk end as c))), x -> x.c is not null),"
+                " x -> x.c)"
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
+    )
+    return rebuilt

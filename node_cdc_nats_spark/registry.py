@@ -100,6 +100,8 @@ _VERIFY_HEAD = (
     # r5: new — deterministic per-group mode and time-bucketed OHLC rollup
     "agg_mode",
     "downsample_ohlc",
+    # r5: new — C4-style span-level dedup rewrite
+    "dedup_span",
 )
 
 

@@ -441,3 +441,39 @@ def test_scd2_merge_replay_idempotent_and_splices_late_rows(spark):
     ).withColumn("valid_to", F.col("valid_to").cast("timestamp_ntz"))
     assert batch_view.exceptAll(stream_view).count() == 0
     assert stream_view.exceptAll(batch_view).count() == 0
+
+
+# -- dedup_span: rewrite semantics ----------------------------------------------
+def test_dedup_span_rewrite_semantics(spark):
+    rows = {r.doc_id: r for r in registry.QUERIES["dedup_span"](spark, SF_DIR).collect()}
+    assert len(rows) > 0
+    total_spans = sum(r.n_spans for r in rows.values())
+    total_kept = sum(r.n_kept for r in rows.values())
+    # The fixture contains repeated spans (duplicate docs), so some spans
+    # must be removed — and the first occurrence of every distinct span is
+    # always kept, so kept > 0.
+    assert 0 < total_kept < total_spans
+    for r in rows.values():
+        assert 0 <= r.n_kept <= r.n_spans
+        # clean_text word count == 10 * full kept spans minus the short
+        # tail; cheap invariant: kept==0 implies empty rewrite, kept>0
+        # implies non-empty.
+        assert (r.n_kept == 0) == (r.clean_text == "")
+    # Corpus-wide: every distinct span survives exactly once.
+    from node_cdc_nats_spark.operators.dedup import SPAN_TOKENS
+    from node_cdc_nats_spark.operators.text import NORM_SPARK_SQL
+    from node_cdc_nats_spark.io import load_table
+
+    toks = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.split(F.expr(NORM_SPARK_SQL), " ").alias("t"))
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, cast(ceil(size(t)/{SPAN_TOKENS}.0) as int) - 1),"
+                    f" i -> concat_ws(' ', slice(t, i*{SPAN_TOKENS}+1, {SPAN_TOKENS})))"
+                )
+            ).alias("chunk")
+        )
+    )
+    assert toks.distinct().count() == total_kept

@@ -119,6 +119,7 @@ def test_green_demotion_lists_are_sound():
         "unpivot_melt",  # wide-to-long reshape, new in r5
         "agg_mode",  # deterministic per-group mode, new in r5
         "downsample_ohlc",  # time-bucketed OHLC rollup, new in r5
+        "dedup_span",  # C4-style span-level dedup rewrite, new in r5
     }
     assert changed_in_r5 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
