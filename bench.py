@@ -71,6 +71,10 @@ HEADLINE = [
     "decontaminate_containment",
     "perplexity_bucket",
     "bpe_pair_stats",
+    "dedup_span",
+    "downsample_ohlc",
+    "unpivot_melt",
+    "win_range_frame",
     "corpus_vocab_stats",
     "doc_rarity_score",
     "pipeline_end_to_end",

@@ -107,6 +107,14 @@ SHOWCASE = [
         "bpe_pair_stats",
         "BPE first-merge ranking: corpus-sized work ends at the vocabulary agg; pair explosion+count run over the vocab, top-50 via TakeOrderedAndProject.",
     ),
+    (
+        "downsample_ohlc",
+        "Hourly OHLC rollup in ONE exchange: the final aggregate reuses the window's (event_type, bucket) hashpartitioning.",
+    ),
+    (
+        "dedup_span",
+        "Span-level dedup rewrite: first-occurrence window keyed on the span, ordered per-doc reassembly via sorted structs — two shuffles, no global sort.",
+    ),
 ]
 
 

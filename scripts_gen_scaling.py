@@ -52,6 +52,7 @@ DOC_BOUND = [
     "doc_rarity_score",
     "perplexity_bucket",
     "bpe_pair_stats",
+    "dedup_span",
     "pipeline_end_to_end",
 ]
 # The embedding-reading ops (r5): the adaptive-planes claim on
@@ -86,6 +87,7 @@ FACT_BOUND = [
     "q16_supplier_count",
     "q20_excess_stock",
     "cdc_upsert_latest",
+    "downsample_ohlc",
     "rpc_first_response",
     "sessionize_events",
     "funnel_conversion",
