@@ -1066,3 +1066,57 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("long").alias("mode_count"),
         )
     )
+
+
+@register(
+    "agg_corr",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           (n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))
+             AS corr_qty_price,
+           (n * sxy - sx * sy) / (n * n) AS covar_pop
+    FROM s
+    """,
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + population covariance of (quantity, price)
+    per return flag — built from exact DECIMAL moment sums rather than the
+    engines' native CORR/COVAR_POP, whose streaming/pairwise accumulation
+    orders differ between Spark and DuckDB (and across partitionings) on
+    the last ulp. Here every moment (Σx, Σy, Σx², Σy², Σxy) is an exact
+    decimal sum cast to double, and the closing formula is ONE identical
+    IEEE expression on both engines — bit-stable under AQE at any scale.
+    Plan: single partial+final aggregation, same shape as q1."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    from .exact import DEC
+
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.sum(y.cast(DEC)).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(30,4)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(30,4)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(30,4)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return agg.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        corr.alias("corr_qty_price"),
+        ((n * sxy - sx * sy) / (n * n)).alias("covar_pop"),
+    )

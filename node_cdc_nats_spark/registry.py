@@ -102,6 +102,8 @@ _VERIFY_HEAD = (
     "downsample_ohlc",
     # r5: new — C4-style span-level dedup rewrite
     "dedup_span",
+    # r5: new — engine-exact Pearson correlation / covariance
+    "agg_corr",
 )
 
 

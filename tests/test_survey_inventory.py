@@ -120,6 +120,7 @@ def test_green_demotion_lists_are_sound():
         "agg_mode",  # deterministic per-group mode, new in r5
         "downsample_ohlc",  # time-bucketed OHLC rollup, new in r5
         "dedup_span",  # C4-style span-level dedup rewrite, new in r5
+        "agg_corr",  # engine-exact correlation/covariance, new in r5
     }
     assert changed_in_r5 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
