@@ -51,8 +51,13 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity closes a session
     ),
     s AS (
       SELECT user_id, ts, value,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+             -- CAST: DuckDB SUM(int) is HUGEINT, which lands in pandas as
+             -- float64; the driver's hash is dtype-sensitive, so an
+             -- uncast sum hash-mismatches Spark's int64 on EQUAL values
+             -- (the r5 hash-fail root cause).
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
       FROM g
     )
     SELECT user_id, session_id,
@@ -115,9 +120,11 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                       THEN 1 ELSE 0 END) AS s3
       FROM staged2 GROUP BY user_id
     )
-    SELECT SUM(s1) AS n_signup,
-           SUM(s2) AS n_click_after_signup,
-           SUM(s3) AS n_purchase_after_click
+    -- CAST: SUM(int) is HUGEINT → pandas float64 → driver hash-mismatch
+    -- vs Spark int64 on equal values (the r5 hash-fail root cause).
+    SELECT CAST(SUM(s1) AS BIGINT) AS n_signup,
+           CAST(SUM(s2) AS BIGINT) AS n_click_after_signup,
+           CAST(SUM(s3) AS BIGINT) AS n_purchase_after_click
     FROM per_user
     """,
 )

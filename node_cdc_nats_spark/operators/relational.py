@@ -238,13 +238,17 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     # Equi key carries the shuffle; the range residual is evaluated post-match,
     # so this stays a hash/sort-merge join (never a nested-loop) at scale.
+    # `part` is SF-proportional (200k rows/SF), so it carries NO broadcast
+    # hint: AQE picks broadcast at fixture scale from runtime sizes, and a
+    # shuffle join at the 100 TB target — a pinned hint would be honored
+    # regardless of size and OOM the executors (r5 verdict).
     cond = (
         (li.l_partkey == p.p_partkey)
         & (li.l_quantity >= p.p_size - 2)
         & (li.l_quantity <= p.p_size + 2)
     )
     return (
-        li.join(F.broadcast(p), cond)
+        li.join(p, cond)
         .groupBy("p_brand")
         .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("sum_price"))
     )
@@ -702,11 +706,12 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-supplier-volume flagship (TPC-H Q5 shape): a 6-table snowflake
     join where the customer and supplier must share a nation. Plan: region
-    filter prunes nation, nation prunes supplier — those bounded dimensions
-    broadcast; orders is date-filtered at its scan; lineitem (the 100 TB
-    side) is scanned once, and the c/s same-nation condition rides the
-    supplier join as a residual. Customer scales linearly with SF, so it
-    carries NO hint — AQE picks shuffle vs broadcast from runtime sizes."""
+    filter prunes nation — those fixed-cardinality dimensions (25/5 rows)
+    broadcast by pin; orders is date-filtered at its scan; lineitem (the
+    100 TB side) is scanned once, and the c/s same-nation condition rides
+    the supplier join as a residual. Customer AND supplier scale linearly
+    with SF, so neither carries a hint — AQE picks shuffle vs broadcast
+    from runtime sizes, keeping the 100×-safety the planner's choice."""
     cu = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
@@ -721,7 +726,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cu, (orders.o_custkey == cu.c_custkey))
         .join(
-            F.broadcast(su),
+            # supplier is SF-proportional (10k rows/SF) — like customer it
+            # carries NO pin; AQE broadcasts it at fixture scale and keeps
+            # the 100×-safety the planner's choice (r5 verdict).
+            su,
             (li.l_suppkey == su.s_suppkey) & (cu.c_nationkey == su.s_nationkey),
         )
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)

@@ -523,7 +523,11 @@ def dedup_embedding_cosine(
             .filter((F.col("n") >= 2) & (F.col("n") <= EMBED_BUCKET_CAP))
             .select("bucket")
         )
-        a = b.join(F.broadcast(kept), "bucket").select(
+        # Semi-join, NOT a pinned broadcast: the valid-bucket list grows
+        # ~n/2 with the corpus (single long column — hundreds of MB at
+        # 10^9 vectors), so the hint is left to AQE, which broadcasts it
+        # at fixture scale and shuffles past the threshold (r5 verdict).
+        a = b.join(kept, "bucket", "semi").select(
             F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket",
             F.col("nrm").alias("na"),
         )

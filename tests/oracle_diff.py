@@ -48,6 +48,24 @@ def _canon(v):
     return ("s", str(v))
 
 
+def _spark_schema_kinds(sdf) -> dict[str, str]:
+    """Map each Spark column to the numpy dtype *kind* its null-free
+    pandas materialization would carry ('i' int, 'f' float, 'b' bool);
+    non-numeric/decimal/nested types are omitted (not dtype-checked)."""
+    from pyspark.sql import types as T
+
+    kinds: dict[str, str] = {}
+    for f in sdf.schema.fields:
+        t = f.dataType
+        if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            kinds[f.name] = "i"
+        elif isinstance(t, (T.FloatType, T.DoubleType)):
+            kinds[f.name] = "f"
+        elif isinstance(t, T.BooleanType):
+            kinds[f.name] = "b"
+    return kinds
+
+
 def _rowset(cols: list[str], rows: list[tuple]) -> list[tuple]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
@@ -86,7 +104,35 @@ def compare(spark, name: str, query_fn, oracle: str, sf_dir: str) -> list[str]:
     res = con.execute(oracle)
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
+    # Driver-faithfulness gate #2 (r5 root cause): the driver hashes the
+    # PANDAS materialization of both sides, and pandas hashing is
+    # dtype-sensitive — DuckDB SUM(int)/SUM(bigint) returns HUGEINT, which
+    # lands in pandas as float64, so an uncast integer sum hash-mismatches
+    # Spark's int64 even when every value is equal (q12_late_priority /
+    # sessionize_events / funnel_conversion, CORRECTNESS_r05). Require the
+    # pandas dtype KIND (int-family vs float) to match per null-free
+    # numeric column; oracles fix it with CAST(... AS BIGINT/DOUBLE).
+    # Columns containing NULLs are skipped: both engines coerce nullable
+    # ints to float64 in pandas, so the driver sees matching dtypes there.
+    ddf = con.execute(oracle).df()
+    dkinds = {c: ddf[c].dtype.kind for c in ddf.columns}
     con.close()
+    skinds = _spark_schema_kinds(sdf)
+    for i, c in enumerate(scols):
+        sk, dk = skinds.get(c), dkinds.get(c)
+        if sk is None or dk is None or dk not in "iufb":
+            continue
+        if any(row[i] is None for row in srows):
+            continue
+        if (sk in "iub") != (dk in "iub"):
+            problems.append(
+                f"{name}: column {c!r} pandas dtype kind differs "
+                f"spark={sk!r} duckdb={dk!r} — the driver's dtype-sensitive "
+                "hash will mismatch on equal values; CAST the oracle (or "
+                "Spark) side to the same numeric family"
+            )
+    if problems:
+        return problems
 
     if sorted(scols) != sorted(dcols):
         problems.append(f"{name}: columns differ spark={sorted(scols)} duckdb={sorted(dcols)}")

@@ -92,6 +92,36 @@ def test_q5_broadcasts_dimensions_and_prunes(spark):
     assert "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint,l_extendedprice:double,l_discount:double>" in plan
 
 
+def test_q5_no_pin_on_sf_proportional_sides(spark):
+    # Only the fixed-cardinality dimensions (nation 25, region 5) carry
+    # broadcast pins; customer/supplier/orders/lineitem all scale with SF
+    # and must be hint-free so the 100×-safety is the planner's choice
+    # (r5 verdict: a pinned supplier broadcast OOMs at the 100 TB target).
+    df = registry.QUERIES["q5_local_supplier_volume"](spark, SF_DIR)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("strategy=broadcast") == 2
+
+
+def test_join_range_broadcast_is_planner_choice(spark):
+    # part is SF-proportional → NO pinned hint anywhere in the plan; the
+    # size-based planner/AQE still broadcasts it at fixture scale.
+    df = registry.QUERIES["join_range"](spark, SF_DIR)
+    qe = df._jdf.queryExecution()
+    assert "strategy=broadcast" not in qe.optimizedPlan().toString()
+    assert "BroadcastHashJoin" in qe.executedPlan().toString()
+
+
+def test_embedding_cosine_kept_buckets_not_pinned(spark):
+    # The valid-bucket list grows ~n/2 with the corpus; it joins in as an
+    # unpinned LeftSemi (AQE broadcasts at fixture scale), never a forced
+    # broadcast (r5 verdict item 5).
+    df = registry.QUERIES["dedup_embedding_cosine"](spark, SF_DIR)
+    qe = df._jdf.queryExecution()
+    opt = qe.optimizedPlan().toString()
+    assert "strategy=broadcast" not in opt
+    assert "LeftSemi" in qe.executedPlan().toString()
+
+
 def test_q3_pushes_filters_no_forced_fact_broadcast(spark):
     # q3's plan must push both dimension-side date/segment filters into the
     # scans; join strategy for the orders⋈customer result is left to AQE
