@@ -88,6 +88,11 @@ HEADLINE = [
     "scan_partition_pruned",
     "stream_tumble",
     "stream_rpc_state",
+    # r6 additions
+    "events_anomaly_zscore",
+    "tfidf_topk_terms",
+    "quality_classifier_linear",
+    "dedup_incremental",
 ]
 
 

@@ -33,7 +33,7 @@ from pyspark.sql.window import Window
 
 from ..io import load_table
 from ..registry import register
-from .exact import dsum, sql_dsum
+from .exact import DEC, dsum, sql_dsum
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity closes a session
 
@@ -225,4 +225,53 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(30,4))) AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type)
+    SELECT event_id, e.event_type AS event_type, value,
+           (value - (sx / n))
+             / NULLIF(SQRT(GREATEST((sxx / n) - (sx / n) * (sx / n), 0)), 0)
+             AS zscore
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE ABS((value - (sx / n))
+              / NULLIF(SQRT(GREATEST((sxx / n) - (sx / n) * (sx / n), 0)), 0))
+          > 3.0
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-z-score outlier flagging per event type: events whose
+    value sits >3σ from their type's mean — the standing data-quality
+    monitor an event pipeline runs before metrics trust the feed.
+
+    Engine-exact: moments are DECIMAL-accumulated (order-independent,
+    AQE-stable — same machinery as agg_corr), and mean/variance/z each
+    close with the identical IEEE expression tree on both engines, with
+    the same GREATEST/NULLIF degenerate-group guards. Scale: one
+    partial+final aggregation on the tiny event_type key space, then the
+    per-type stats join back UNHINTED (a handful of rows — AQE
+    broadcasts; never a pin) and the z filter is map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("value")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.sum((x * x).cast("decimal(30,4)")).cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    m = sx / n
+    sd = F.sqrt(F.greatest((sxx / n) - m * m, F.lit(0.0)))
+    z = (x - m) / F.nullif(sd, F.lit(0.0))
+    return (
+        ev.join(stats, "event_type")
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) > 3.0)
     )

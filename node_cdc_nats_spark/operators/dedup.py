@@ -836,3 +836,57 @@ def dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
     )
     return rebuilt
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, MD5(text) AS content_hash,
+             STRPOS('0123456789abcdef',
+                    SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS b
+      FROM documents),
+    existing AS (SELECT DISTINCT content_hash FROM tagged WHERE b < 12),
+    incoming AS (SELECT doc_id, content_hash FROM tagged WHERE b >= 12)
+    SELECT doc_id, content_hash
+    FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM existing e
+                      WHERE e.content_hash = i.content_hash)
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) = 1
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup (the Dolma/C4 production shape): a new
+    batch arrives and must be deduplicated BOTH against the already-kept
+    corpus and within itself — without re-deduplicating the corpus. The
+    fixture's stand-in split is deterministic (md5-nibble of doc_id:
+    buckets 0-11 = existing corpus, 12-15 = incoming batch); in
+    production the existing side is the kept-hash table from previous
+    ingests.
+
+    Plan: one anti-join on content_hash knocks out batch docs already in
+    the corpus, then a keep-first window WITHIN the batch collapses
+    intra-batch copies. Scale: both the anti-join and the window hash on
+    content_hash, so Spark reuses one Exchange for both (the window
+    rides the join's distribution); the existing side is only its
+    DISTINCT hash column — the compact representation an ingest pipeline
+    checkpoints — and nothing is pinned broadcast (hash count grows with
+    the corpus; AQE decides)."""
+    from pyspark.sql import Window
+
+    from .pipeline import _b16_spark
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("content_hash"),
+        _b16_spark("doc_id").alias("b"),
+    )
+    existing = d.filter(F.col("b") < 12).select("content_hash").distinct()
+    incoming = d.filter(F.col("b") >= 12).select("doc_id", "content_hash")
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        incoming.join(existing, "content_hash", "anti")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content_hash")
+    )

@@ -928,21 +928,31 @@ def perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer; CCNet computes cutoffs on a held-out sample too). The corpus
     unigram-count pipeline is the same unique-(doc,token)-pair shuffle as
     `doc_rarity_score`; the cutoff branch re-derives it rather than
-    caching (in production the cutoffs come from a checkpointed stats
-    table, not a second scan)."""
+    caching — measured in r6: the sample filter pushes to the documents
+    scan, so the replay touches 1/16 of the corpus and persisting the
+    full score table is strictly slower (10.6 s vs 8.8 s cold at sf0.1).
+    The surprisal digit-count expressions are computed once per VOCAB
+    entry (on the token-count table, r6) rather than once per
+    (doc,token) pair — the pair table is orders of magnitude wider than
+    the vocabulary, and the string-conv log2 was its dominant per-row
+    cost."""
     d = load_table(spark, sf_dir, "documents")
     t2 = d.select(
         "doc_id", "lang", F.explode(F.split(F.expr(_NORM_SPARK), " ")).alias("token")
     ).filter(F.col("token") != "")
     dt = t2.groupBy("doc_id", "lang", "token").agg(F.count(F.lit(1)).alias("k"))
-    cnts = dt.groupBy("token").agg(F.sum("k").alias("cnt"))
-    tot = cnts.agg(F.sum("cnt").alias("total"))
 
     def zipf(c: F.Column) -> F.Column:
         return F.length(F.conv(c.cast("string"), 10, 2)) - 1
 
+    # Per-token surprisal digit-count evaluated on the VOCAB table (one
+    # row per distinct token), not on the much wider (doc,token) pair
+    # table after the join — same values, far fewer string-conv calls.
+    cnts = dt.groupBy("token").agg(F.sum("k").alias("cnt"))
+    cnts = cnts.select("token", "cnt", zipf(F.col("cnt")).alias("zc"))
+    tot = cnts.agg(zipf(F.sum("cnt")).alias("ztot"))
     j = dt.join(cnts, "token").crossJoin(F.broadcast(tot))
-    s = zipf(F.col("total")) - zipf(F.col("cnt"))
+    s = F.col("ztot") - F.col("zc")
     n_tok = F.sum("k")
     ds = j.groupBy("doc_id", "lang").agg(
         n_tok.cast("long").alias("n_tokens"),
@@ -1109,3 +1119,145 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_token_types"),
     )
     return agg.orderBy(F.col("pair_count").desc(), "pair").limit(50)
+
+
+@register(
+    "tfidf_topk_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT({_NORM_DUCK}, ' ')) AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok WHERE token <> '' GROUP BY doc_id, token),
+    df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+      SELECT doc_id, token, tf,
+             CAST(tf * ((LENGTH(PRINTF('%b', n_docs)) - 1)
+                        - (LENGTH(PRINTF('%b', df)) - 1)) AS BIGINT) AS score
+      FROM tf JOIN df USING (token) CROSS JOIN nd)
+    SELECT doc_id, token, tf, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, tf DESC, token) AS BIGINT)
+             AS rnk
+    FROM scored
+    QUALIFY rnk <= 3
+    """,
+)
+def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by integer TF-IDF — the
+    keyword extraction a corpus browser / topic audit runs over training
+    data. IDF is the binary-digit-count surprisal (floor(log2 n_docs) −
+    floor(log2 df)) — INTEGER, so score = tf·idf is exact on both engines
+    with no libm anywhere (same trick as `perplexity_bucket`, and the
+    digit counts are evaluated on the vocabulary table, not the pair
+    table). Scale: explode → two partial+final hash aggs (doc,token then
+    token) → unhinted df join (vocab-sized; AQE chooses) → per-doc
+    row_number window. Three key-partitioned data shuffles (pair agg,
+    token join, doc window) + a 1-row scalar broadcast — no global sort
+    anywhere, and the window's per-doc state is the handful of that
+    doc's terms."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.expr(_NORM_SPARK), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    nd = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
+
+    def digits2(c: F.Column) -> F.Column:
+        return F.length(F.conv(c.cast("string"), 10, 2)) - 1
+
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id", "token", "tf",
+            (F.col("tf") * (digits2(F.col("n_docs")) - digits2(F.col("df"))))
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("tf").desc(), "token"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# Fixed classifier weights — literals on both engines so the linear
+# score is ONE identical IEEE expression tree (no exp/log: a logistic
+# link would differ in the last ulp across libm implementations; the
+# decision boundary only needs the linear score's sign).
+_QCW_STOP, _QCW_DIGIT, _QCW_AVGLEN, _QCW_BIAS = 3.0, 2.0, 0.05, 0.5
+
+
+@register(
+    "quality_classifier_linear",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT({_NORM_DUCK}, ' '),
+                                  x -> x <> '')) AS DOUBLE) AS n_toks,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT({_NORM_DUCK}, ' '),
+                                  x -> x IN ('the','a','of','and','to','in','is','it','for','on')))
+               AS DOUBLE) AS n_stop,
+             CAST(LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS DOUBLE)
+               AS n_digit,
+             CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+             CAST(LENGTH(REPLACE({_NORM_DUCK}, ' ', '')) AS DOUBLE) AS n_tokchars
+      FROM documents)
+    SELECT doc_id,
+           (({_QCW_STOP} * (n_stop / NULLIF(n_toks, 0))
+             - {_QCW_DIGIT} * (n_digit / NULLIF(n_chars, 0)))
+            + {_QCW_AVGLEN} * (n_tokchars / NULLIF(n_toks, 0))) - {_QCW_BIAS}
+             AS quality_logit,
+           (({_QCW_STOP} * (n_stop / NULLIF(n_toks, 0))
+              - {_QCW_DIGIT} * (n_digit / NULLIF(n_chars, 0)))
+             + {_QCW_AVGLEN} * (n_tokchars / NULLIF(n_toks, 0)))
+            - {_QCW_BIAS} > 0 AS keep
+    FROM feats
+    """,
+)
+def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight linear quality classifier (fastText-style gate, the
+    shape CCNet/LLaMA-style pipelines apply after rule filters): three
+    engineered features — stopword ratio, digit-character ratio, mean
+    token length — closed with literal weights into one linear logit and
+    a sign decision. Weights live in `_QCW_*`; a trained model would
+    broadcast its coefficient vector the same way.
+
+    Engine-exact: every feature is count/count (single IEEE division,
+    NULLIF-guarded), and the logit is ONE parenthesized expression tree
+    evaluated identically in Spark and DuckDB — deliberately NO
+    exp/sigmoid, whose libm rounding differs across engines; the
+    decision boundary only needs the logit's sign. Scale: pure map-side
+    projection over built-ins — no shuffle, whole-stage codegen, linear
+    at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.expr(_NORM_SPARK)
+    toks = F.filter(F.split(norm, " "), lambda x: x != "")
+    stop_list = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+    n_toks = F.size(toks).cast("double")
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin(*stop_list))
+    ).cast("double")
+    n_digit = F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).cast("double")
+    n_chars = F.length(F.col("text")).cast("double")
+    n_tokchars = F.length(F.regexp_replace(norm, " ", "")).cast("double")
+    logit = (
+        (
+            F.lit(_QCW_STOP) * (n_stop / F.nullif(n_toks, F.lit(0.0)))
+            - F.lit(_QCW_DIGIT) * (n_digit / F.nullif(n_chars, F.lit(0.0)))
+        )
+        + F.lit(_QCW_AVGLEN) * (n_tokchars / F.nullif(n_toks, F.lit(0.0)))
+    ) - F.lit(_QCW_BIAS)
+    return d.select(
+        "doc_id",
+        logit.alias("quality_logit"),
+        (logit > 0).alias("keep"),
+    )

@@ -830,15 +830,23 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pay the shuffle once at write time, never at read time. Bucketed copies
     are staged once per process (the fixture's stand-in for the real
     warehouse tables)."""
-    # Per-SF table names: a global name would let a second staged SF in
-    # the same process silently repoint the first SF's cached query at the
-    # wrong data, and lets concurrent engine processes on different SFs
-    # clobber each other's warehouse dirs.
+    # Per-directory table names: a global name would let a second staged
+    # SF in the same process silently repoint the first SF's cached query
+    # at the wrong data. The tag digests the FULL path (not just the
+    # basename) so it is unique exactly like the `_BUCKETED` cache key —
+    # two dirs sharing a final component (/a/sf0.1 vs /b/sf0.1) get
+    # distinct tables instead of clobbering each other (ADVICE r5).
+    import hashlib
     import re
 
-    sf_tag = re.sub(r"[^A-Za-z0-9]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    norm = sf_dir.rstrip("/")
+    sf_tag = (
+        re.sub(r"[^A-Za-z0-9]", "_", norm.rsplit("/", 1)[-1])
+        + "_"
+        + hashlib.md5(norm.encode()).hexdigest()[:8]
+    )
     t_orders, t_lineitem = f"bkt_orders_{sf_tag}", f"bkt_lineitem_{sf_tag}"
-    key = f"bucketed::{sf_dir}"
+    key = f"bucketed::{norm}"
     if key not in _BUCKETED:
         # The warehouse directory outlives the (in-memory) catalog: drop any
         # prior-session table AND its leftover location before re-staging.
@@ -1090,7 +1098,13 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n,
-           (n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))
+           -- GREATEST(.,0) clamps a rounding-induced negative before SQRT
+           -- (DuckDB raises Out of Range there); NULLIF makes the
+           -- zero-variance case NULL on BOTH engines (Spark's 0/0 is NaN,
+           -- DuckDB's is NULL — ADVICE r5).
+           (n * sxy - sx * sy)
+             / NULLIF(SQRT(GREATEST(n * sxx - sx * sx, 0))
+                      * SQRT(GREATEST(n * syy - sy * sy, 0)), 0)
              AS corr_qty_price,
            (n * sxy - sx * sy) / (n * n) AS covar_pop
     FROM s
@@ -1119,9 +1133,14 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    corr = (n * sxy - sx * sy) / (
-        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    # Zero-variance guard (ADVICE r5): clamp rounding-induced negatives
+    # before sqrt and NULL the corr when either variance is zero, so a
+    # degenerate group (constant x or y) yields NULL on BOTH engines
+    # instead of Spark NaN vs DuckDB NULL/raise.
+    denom = F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(0.0))) * F.sqrt(
+        F.greatest(n * syy - sy * sy, F.lit(0.0))
     )
+    corr = F.when(denom > 0, (n * sxy - sx * sy) / denom)
     return agg.select(
         "l_returnflag",
         n.cast("long").alias("n"),

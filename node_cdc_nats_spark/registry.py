@@ -37,90 +37,45 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# Absolute head of round 5's verification order: ops whose DEFINITION
-# changed in round 5, so their r3/r4 greens verified old code.
-# dedup_embedding_cosine was restructured for adaptive signature width
-# (similarity.n_planes_for + optional banding — the fixture-scale plan
-# degenerates to the verified single-band/8-plane one, but the green must
-# be re-earned); dedup_simhash and ann_lsh_topk gained empty-Arrow-batch
-# guards inside their pandas_udfs (ADVICE r4).
+# Absolute head of round 6's verification order: the three r5 CORRECTNESS
+# hash-fails whose oracles were redefined this round (root cause: DuckDB
+# SUM(int) → HUGEINT → pandas float64 vs Spark int64 under the driver's
+# dtype-sensitive hash; fixed with CAST(... AS BIGINT)), plus every op
+# whose code or oracle changed in r6, so the driver re-earns those greens
+# against current definitions.
 _VERIFY_HEAD = (
-    "dedup_embedding_cosine",
-    "dedup_simhash",
-    "ann_lsh_topk",
-    "scan_orc",  # r5: new — ORC file-format reader, first verification
-    "dedup_embedding_banded",  # r5: new — banded OR-construction, first verification
-    # r5: doc_rarity_score redefined (unique-pair shuffle rewrite) — its r3
-    # green verified the occurrence-shuffle definition
-    "doc_rarity_score",
-    # r5: udtf_tokens redeclared Arrow-optimized (useArrow=True)
-    "udtf_tokens",
-    # r5: new corpus ops — long-span verbatim-overlap pairs and the
-    # cross-split contamination audit, first verification
-    "dedup_substring",
-    "split_leakage_report",
-    # r5: new TPC-H-style flagships (operators/flagships.py), first verification
-    "q6_forecast_revenue",
-    "q9_nation_revenue",
-    "q14_promo_effect",
-    "q18_large_volume",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q19_disjunctive_revenue",
-    "q21_waiting_supplier",
-    "q22_sales_opportunity",
-    # r5: the last five TPC-H shapes (partsupp derived from lineitem
-    # distinct pairs), first verification
-    "q2_min_cost_supplier",
-    "q11_important_stock",
+    # r6: the r5 hash-fails, oracle sums cast to BIGINT
     "q12_late_priority",
-    "q16_supplier_count",
-    "q20_excess_stock",
-    # r5: new event-analytics ops (operators/analytics.py), first verification
     "sessionize_events",
     "funnel_conversion",
-    "retention_cohorts",
-    # r5: new — CCNet-style surprisal tercile bucketing, first verification
-    "perplexity_bucket",
-    # r5: new — pairwise n-gram-containment decontamination report
-    "decontaminate_containment",
-    # r5: new — BPE first-merge pair ranking over the vocabulary
-    "bpe_pair_stats",
-    # r5: new — binaryFile multimodal-blob ingestion scan
-    "scan_binary",
-    # r5: new — streaming SCD2 interval maintenance (foreachBatch merge)
-    "stream_scd2",
-    # r5: new — RANGE-frame window and wide-to-long reshape
-    "win_range_frame",
-    "unpivot_melt",
-    # r5: new — deterministic per-group mode and time-bucketed OHLC rollup
-    "agg_mode",
-    "downsample_ohlc",
-    # r5: new — C4-style span-level dedup rewrite
-    "dedup_span",
-    # r5: new — engine-exact Pearson correlation / covariance
+    # r6: oracle redefined — zero-variance NULLIF/GREATEST guard (ADVICE)
     "agg_corr",
+    # r6: impl changed — SF-proportional broadcast pins removed
+    "join_range",
+    "q5_local_supplier_volume",
+    # r6: impl changed — kept-bucket list now an unhinted semi-join
+    "dedup_embedding_cosine",
+    # r6: impl changed — bucketed-table names digest the full sf_dir path
+    "join_bucketed",
+    # r6: impl changed — per-token surprisal hoisted to the vocab table
+    "perplexity_bucket",
+    # r6: new ops, first verification
+    "events_anomaly_zscore",     # per-type 3-sigma outlier flags
+    "tfidf_topk_terms",          # integer TF-IDF top-3 terms per doc
+    "quality_classifier_linear", # fixed-weight linear quality gate
+    "dedup_incremental",         # new-batch vs kept-corpus ingest dedup
 )
 
 
-
-# After r4 every one of the 124 r4-era queries carries a latest-status
-# full pass (r4 itself went 50/50 over the errs, redefinitions, and
-# drift-falsified greens). With nothing broken or stale, the budgeted walk
-# puts any op with NO recorded status (unlisted anywhere — the safety net
-# for a future op someone forgets to head-list) right after the head, then
-# refreshes the OLDEST evidence first: r1 greens, then r2, then r3; r4
-# rows are the freshest and go last (head 5 + unlisted 0 + r1 33 + r2 10
-# + first 2 of r3 fill the 50 slots).
+# The budgeted walk (50 driver slots per round) then refreshes the OLDEST
+# evidence first. After r5 the freshest rows are the r5 sample (its
+# 41-op head + the first 9 r1-era aggregates); the oldest remaining
+# evidence is r1 (23 ops), then r2 (9), then r3 (30). Round 6's 50 slots
+# cover head 13 + unlisted 0 + r1 23 + r2 9 + the first 5 of r3; the r3
+# tail and the r4/r5 blocks carry the freshest evidence and wait for r7.
 _R1_GREEN_SAFE = (
-    "agg_count", "agg_cube", "agg_distinct", "agg_grouping_sets",
-    "agg_multi", "agg_pivot", "agg_rollup", "agg_stats", "agg_sum",
-    "date_ops", "filter_predicate", "join_bucketed", "join_cross",
-    "join_full", "join_inner", "join_left", "join_range", "join_right",
+    "date_ops", "filter_predicate", "join_cross",
+    "join_full", "join_inner", "join_left", "join_right",
     "join_semi", "join_skew_salted", "join_theta",
     "json_schema_projection", "limit", "math_ops", "project",
     "q1_pricing_summary", "q3_shipping_priority", "sort", "str_ops",
@@ -130,23 +85,21 @@ _R1_GREEN_SAFE = (
 _R2_GREEN_SAFE = (
     "multimodal_meta", "multimodal_frame_sample", "multimodal_features",
     "multimodal_resize", "udf_scalar", "udf_grouped", "udf_grouped_agg",
-    # udtf_tokens moved to _VERIFY_HEAD (r5 Arrow redeclaration)
     "scan_parquet", "scan_csv",
 )
 _R3_GREEN = (
     "agg_approx_distinct", "scan_json",
     "train_val_split", "sample_stratified", "quality_filter_gopher",
     "topk_ngrams", "decontaminate_ngram", "repetition_ratio", "pii_redact",
-    "corpus_vocab_stats", "sample_temperature", "doc_rarity_score",
+    "corpus_vocab_stats", "sample_temperature",
     "corpus_mix_report", "corpus_shuffle", "pack_sequences",
     "embed_norm_quantize", "q10_returned_items", "win_ntile", "array_ops",
-    "q5_local_supplier_volume", "join_anti", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_simhash", "sim_topk", "ann_lsh_topk",
+    "join_anti", "dedup_exact",
+    "dedup_ngram_jaccard", "sim_topk",
     "embed_knn", "text_stats", "lang_id", "token_count", "quality_score",
     "doc_fingerprint", "text_normalize", "text_embed_hash",
 )
-# r4 greens (the r3-err re-verifications and drift-falsified re-greens) —
-# freshest evidence, verified only when budget reaches them.
+# r4 greens — second-freshest evidence.
 _R4_GREEN = (
     "agg_quantiles", "agg_approx_quantiles", "channel_params", "join_asof",
     "map_ops", "scan_schema_evolution", "sink_compacted", "nats_roundtrip",
@@ -162,14 +115,30 @@ _R4_GREEN = (
     "stream_stream_join", "cdc_upsert_latest", "cdc_changelog", "cdc_scd2",
     "fanout_dispatch", "bounded_subscription",
 )
+# r5 greens (the r5 head that is NOT redefined in r6, plus the nine
+# r1-era aggregates r5 refreshed) — freshest evidence, verified last.
+_R5_GREEN = (
+    "dedup_simhash", "ann_lsh_topk", "scan_orc", "dedup_embedding_banded",
+    "doc_rarity_score", "udtf_tokens", "dedup_substring",
+    "split_leakage_report", "q6_forecast_revenue", "q9_nation_revenue",
+    "q14_promo_effect", "q18_large_volume", "q4_order_priority",
+    "q7_volume_shipping", "q8_market_share", "q13_customer_distribution",
+    "q15_top_supplier", "q17_small_quantity", "q19_disjunctive_revenue",
+    "q21_waiting_supplier", "q22_sales_opportunity", "q2_min_cost_supplier",
+    "q11_important_stock", "q16_supplier_count", "q20_excess_stock",
+    "retention_cohorts", "decontaminate_containment",
+    "bpe_pair_stats", "scan_binary", "stream_scd2", "win_range_frame",
+    "unpivot_melt", "agg_mode", "downsample_ohlc", "dedup_span",
+    "agg_count", "agg_cube", "agg_distinct", "agg_grouping_sets",
+    "agg_multi", "agg_pivot", "agg_rollup", "agg_stats", "agg_sum",
+)
 
 
 def load_all() -> None:
     """Import every operator module so registrations run, then order the
     registry for the driver's budgeted walk (50 verification slots per
-    round, head first): round-5-redefined ops, then proven greens
-    oldest-evidence-first (r1 → r2 → r3), then anything without a listed
-    status (the freshest r4 greens) in registration order."""
+    round, head first): round-6-redefined ops, then any unlisted op, then
+    proven greens oldest-evidence-first (r1 → r2 → r3 → r4 → r5)."""
     from .operators import (  # noqa: F401
         dedup,
         similarity,
@@ -196,6 +165,7 @@ def load_all() -> None:
         | set(_R2_GREEN_SAFE)
         | set(_R3_GREEN)
         | set(_R4_GREEN)
+        | set(_R5_GREEN)
     )
     blocks = (
         _VERIFY_HEAD,
@@ -208,6 +178,7 @@ def load_all() -> None:
         _R2_GREEN_SAFE,
         _R3_GREEN,
         _R4_GREEN,
+        _R5_GREEN,
     )
     ordered: list[str] = []
     for block in blocks:

@@ -499,6 +499,8 @@ _CARTESIAN_OK = {
     "q11_important_stock",
     # 1-row corpus-total broadcast (surprisal normalizer)
     "perplexity_bucket",
+    # 1-row n_docs broadcast (IDF normalizer)
+    "tfidf_topk_terms",
 }
 
 

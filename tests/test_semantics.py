@@ -477,3 +477,37 @@ def test_dedup_span_rewrite_semantics(spark):
         )
     )
     assert toks.distinct().count() == total_kept
+
+
+def test_agg_corr_zero_variance_group_is_null_on_both_engines(spark, tmp_path):
+    # ADVICE r5: a constant-x group makes the corr denominator zero —
+    # Spark's raw formula gives NaN (0/0) while DuckDB NULLs the division
+    # and can even raise on SQRT of a rounding-induced negative. The
+    # guarded formula must return NULL on BOTH engines.
+    import duckdb
+    import pandas as pd
+
+    from node_cdc_nats_spark.operators.relational import agg_corr
+    from node_cdc_nats_spark.registry import ORACLES
+
+    rows = pd.DataFrame(
+        {
+            "l_returnflag": ["A"] * 4 + ["B"] * 4,
+            "l_quantity": [7.0] * 4 + [1.0, 2.0, 3.0, 4.0],  # A: zero variance
+            "l_extendedprice": [10.0, 20.0, 30.0, 40.0] * 2,
+        }
+    )
+    sf = str(tmp_path)
+    rows.to_parquet(f"{sf}/lineitem.parquet")
+    out = {r["l_returnflag"]: r.asDict() for r in agg_corr(spark, sf).collect()}
+    assert out["A"]["corr_qty_price"] is None
+    assert abs(out["B"]["corr_qty_price"] - 1.0) < 1e-12  # y = 10x exactly
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf}/lineitem.parquet')"
+    )
+    drows = {r[0]: r for r in con.execute(ORACLES["agg_corr"]).fetchall()}
+    con.close()
+    assert drows["A"][2] is None
+    assert out["B"]["corr_qty_price"] == drows["B"][2]  # bit-identical

@@ -59,14 +59,16 @@ def test_inventory_is_substantial():
 
 def test_green_demotion_lists_are_sound():
     # Every listed name must actually exist (a typo would silently waste a
-    # head slot), ops whose definition changed in round 5 must sit in the
+    # head slot), ops whose definition changed in round 6 must sit in the
     # head (their prior green rows verified old definitions), and the
-    # r1/r2/r3 evidence lists must be mutually disjoint.
+    # per-round evidence lists must be mutually disjoint and cover the
+    # whole registry.
     from node_cdc_nats_spark.registry import (
         _R1_GREEN_SAFE,
         _R2_GREEN_SAFE,
         _R3_GREEN,
         _R4_GREEN,
+        _R5_GREEN,
         _VERIFY_HEAD,
     )
 
@@ -76,13 +78,14 @@ def test_green_demotion_lists_are_sound():
         (_R2_GREEN_SAFE, "_R2_GREEN_SAFE"),
         (_R3_GREEN, "_R3_GREEN"),
         (_R4_GREEN, "_R4_GREEN"),
+        (_R5_GREEN, "_R5_GREEN"),
     )
     for lst, label in lists:
         unknown = [n for n in lst if n not in registry.QUERIES]
         assert not unknown, f"{label} names not registered: {unknown}"
         assert len(set(lst)) == len(lst), f"{label} has duplicates"
     seen: set[str] = set()
-    for lst in (_R1_GREEN_SAFE, _R2_GREEN_SAFE, _R3_GREEN, _R4_GREEN):
+    for lst in (_R1_GREEN_SAFE, _R2_GREEN_SAFE, _R3_GREEN, _R4_GREEN, _R5_GREEN):
         dup = seen & set(lst)
         assert not dup, f"evidence lists overlap: {dup}"
         seen |= set(lst)
@@ -94,45 +97,30 @@ def test_green_demotion_lists_are_sound():
     assert not unlisted, (
         f"ops with no verification status (add to _VERIFY_HEAD): {unlisted}"
     )
-    changed_in_r5 = {
-        "dedup_embedding_cosine", "dedup_simhash", "ann_lsh_topk",
-        "doc_rarity_score",  # r5 unique-pair shuffle rewrite
-        "udtf_tokens",  # r5 Arrow-optimized redeclaration
-        # new in r5 — no prior green:
-        "scan_orc", "dedup_embedding_banded",
-        "dedup_substring", "split_leakage_report",
-        "q6_forecast_revenue", "q9_nation_revenue",
-        "q14_promo_effect", "q18_large_volume",
-        "q4_order_priority", "q7_volume_shipping", "q8_market_share",
-        "q13_customer_distribution", "q15_top_supplier", "q17_small_quantity",
-        "q19_disjunctive_revenue", "q21_waiting_supplier",
-        "q22_sales_opportunity",
-        "q2_min_cost_supplier", "q11_important_stock", "q12_late_priority",
-        "q16_supplier_count", "q20_excess_stock",
-        "sessionize_events", "funnel_conversion", "retention_cohorts",
-        "perplexity_bucket",  # CCNet surprisal terciles, new in r5
-        "decontaminate_containment",  # pairwise containment report, new in r5
-        "bpe_pair_stats",  # BPE first-merge pair ranking, new in r5
-        "scan_binary",  # binaryFile blob-ingestion scan, new in r5
-        "stream_scd2",  # streaming SCD2 interval maintenance, new in r5
-        "win_range_frame",  # RANGE-frame window, new in r5
-        "unpivot_melt",  # wide-to-long reshape, new in r5
-        "agg_mode",  # deterministic per-group mode, new in r5
-        "downsample_ohlc",  # time-bucketed OHLC rollup, new in r5
-        "dedup_span",  # C4-style span-level dedup rewrite, new in r5
-        "agg_corr",  # engine-exact correlation/covariance, new in r5
+    changed_in_r6 = {
+        # the r5 CORRECTNESS hash-fails — oracle integer SUMs cast to
+        # BIGINT (DuckDB HUGEINT → pandas float64 root cause)
+        "q12_late_priority", "sessionize_events", "funnel_conversion",
+        "agg_corr",  # zero-variance NULLIF/GREATEST guard (ADVICE r5)
+        # SF-proportional broadcast pins removed (r5 verdict)
+        "join_range", "q5_local_supplier_volume", "dedup_embedding_cosine",
+        "join_bucketed",  # table names digest the full sf_dir (ADVICE r5)
+        "perplexity_bucket",  # surprisal digit-counts hoisted to vocab table
+        # new in r6 — no prior green:
+        "events_anomaly_zscore", "tfidf_topk_terms",
+        "quality_classifier_linear", "dedup_incremental",
     }
-    assert changed_in_r5 == set(_VERIFY_HEAD)
+    assert changed_in_r6 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
     names = list(registry.QUERIES)
     assert names[: len(_VERIFY_HEAD)] == list(_VERIFY_HEAD)
 
 
 def test_oldest_evidence_fills_the_driver_budget():
-    # The point of the r5 reorder: with all 124 queries green after r4, the
-    # driver's 50 verification slots go to the round-5-redefined head and
-    # then the OLDEST evidence (the r1 and r2 greens), refreshing stale
-    # rows before fresh r4 rows burn slots.
+    # The point of the per-round reorder: the driver's 50 verification
+    # slots go to the round-6-redefined head and then the OLDEST evidence
+    # (the remaining r1 and r2 greens), refreshing stale rows before
+    # fresh r4/r5 rows burn slots.
     from node_cdc_nats_spark.registry import (
         _R1_GREEN_SAFE,
         _R2_GREEN_SAFE,
