@@ -54,6 +54,10 @@ DOC_BOUND = [
     "bpe_pair_stats",
     "dedup_span",
     "pipeline_end_to_end",
+    # r6 additions (all documents-bound)
+    "tfidf_topk_terms",
+    "quality_classifier_linear",
+    "dedup_incremental",
 ]
 # The embedding-reading ops (r5): the adaptive-planes claim on
 # dedup_embedding_cosine ("EMBED_BUCKET_CAP only ever trims degenerate
@@ -92,6 +96,8 @@ FACT_BOUND = [
     "sessionize_events",
     "funnel_conversion",
     "retention_cohorts",
+    # r6 addition (events-bound)
+    "events_anomaly_zscore",
 ]
 
 
