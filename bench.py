@@ -93,6 +93,8 @@ HEADLINE = [
     "tfidf_topk_terms",
     "quality_classifier_linear",
     "dedup_incremental",
+    "doc_chunk_overlap",
+    "layout_zorder",
 ]
 
 

@@ -1275,3 +1275,97 @@ def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         logit.alias("quality_logit"),
         (logit > 0).alias("keep"),
     )
+
+
+_CHUNK, _STRIDE = 256, 192  # 64-char overlap between adjacent chunks
+
+
+@register(
+    "doc_chunk_overlap",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(i * {_STRIDE} AS BIGINT) AS chunk_start,
+           SUBSTR(text, CAST(i * {_STRIDE} + 1 AS INT), {_CHUNK}) AS chunk_text,
+           CAST(LENGTH(SUBSTR(text, CAST(i * {_STRIDE} + 1 AS INT), {_CHUNK}))
+                AS BIGINT) AS chunk_len
+    FROM documents,
+         UNNEST(GENERATE_SERIES(0,
+             CAST(FLOOR(CAST(GREATEST(LENGTH(text) - 1, 0) AS DOUBLE)
+                        / {_STRIDE}) AS BIGINT))) AS t(i)
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking ({_CHUNK}-char chunks, {_STRIDE}-char
+    stride → 64-char overlap) with stable (doc_id, chunk_id) keys — the
+    segmentation step an embedding/retrieval pipeline runs before
+    vectorizing a corpus, sized so no boundary sentence is lost to a hard
+    split. Chunk boundaries are pure character arithmetic (identical on
+    both engines); the empty document degenerates to one empty chunk on
+    both. Scale: map-side `sequence` + `explode` + `substring` — zero
+    shuffles, whole-stage codegen, output rows ≈ chars/stride. The
+    chunk_id is derivable from (doc_id, chunk_start), so downstream
+    embedding jobs can join chunk vectors back without a synthetic key."""
+    d = load_table(spark, sf_dir, "documents")
+    last = F.floor(
+        F.greatest(F.length("text") - 1, F.lit(0)).cast("double") / _STRIDE
+    ).cast("int")
+    return (
+        d.select("doc_id", "text", F.explode(F.sequence(F.lit(0), last)).alias("i"))
+        .select(
+            "doc_id",
+            F.col("i").cast("long").alias("chunk_id"),
+            (F.col("i") * _STRIDE).cast("long").alias("chunk_start"),
+            F.substring(F.col("text"), F.col("i") * _STRIDE + 1, _CHUNK).alias(
+                "chunk_text"
+            ),
+            F.length(
+                F.substring(F.col("text"), F.col("i") * _STRIDE + 1, _CHUNK)
+            ).cast("long").alias("chunk_len"),
+        )
+    )
+
+
+def _z_interleave_sql(x: str, y: str, bits: int = 8) -> str:
+    """Bit-interleaved Z-value of two non-negative ints (low `bits` bits
+    each): x's bit i lands at 2i, y's at 2i+1. Built from &, * and +
+    only — the operator set Spark SQL and DuckDB share verbatim, so ONE
+    generated expression string serves both engines (shifts are *2^k
+    multiplications; extraction is CAST(v/2^i) & 1)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((CAST(FLOOR(({x}) / {1 << i}) AS BIGINT) & 1) * {1 << (2 * i)})")
+        terms.append(f"((CAST(FLOOR(({y}) / {1 << i}) AS BIGINT) & 1) * {1 << (2 * i + 1)})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_ZEXPR = _z_interleave_sql("l_partkey % 256", "l_suppkey % 256")
+
+
+@register(
+    "layout_zorder",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CAST({_ZEXPR} AS BIGINT) AS zval
+    FROM lineitem
+    """,
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) curve value over (partkey, suppkey) low bytes —
+    THE multi-dimensional layout key for a 100 TB fact table that is
+    range-filtered on more than one column: writing the table
+    `repartitionByRange(zval).sortWithinPartitions(zval)` clusters rows
+    so parquet row-group min/max stats prune scans on EITHER dimension
+    (a single-column sort prunes only its own column). This op computes
+    the key; the write pattern is `sink_compacted`'s with zval as the
+    range key. Engine-exact: bit extraction is integer divide + AND + 
+    multiply — one generated expression string evaluated verbatim by
+    both engines, map-side, no shuffle in the key computation itself."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.expr(_ZEXPR).cast("long").alias("zval"),
+    )

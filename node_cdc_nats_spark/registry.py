@@ -64,6 +64,8 @@ _VERIFY_HEAD = (
     "tfidf_topk_terms",          # integer TF-IDF top-3 terms per doc
     "quality_classifier_linear", # fixed-weight linear quality gate
     "dedup_incremental",         # new-batch vs kept-corpus ingest dedup
+    "doc_chunk_overlap",         # sliding-window chunking for embedding prep
+    "layout_zorder",             # Morton-curve layout key for 2-D pruning
 )
 
 

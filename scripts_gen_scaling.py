@@ -58,6 +58,7 @@ DOC_BOUND = [
     "tfidf_topk_terms",
     "quality_classifier_linear",
     "dedup_incremental",
+    "doc_chunk_overlap",
 ]
 # The embedding-reading ops (r5): the adaptive-planes claim on
 # dedup_embedding_cosine ("EMBED_BUCKET_CAP only ever trims degenerate
@@ -98,6 +99,8 @@ FACT_BOUND = [
     "retention_cohorts",
     # r6 addition (events-bound)
     "events_anomaly_zscore",
+    # r6 addition (lineitem-bound, map-side)
+    "layout_zorder",
 ]
 
 

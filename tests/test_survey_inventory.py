@@ -109,6 +109,7 @@ def test_green_demotion_lists_are_sound():
         # new in r6 — no prior green:
         "events_anomaly_zscore", "tfidf_topk_terms",
         "quality_classifier_linear", "dedup_incremental",
+        "doc_chunk_overlap", "layout_zorder",
     }
     assert changed_in_r6 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
