@@ -405,3 +405,22 @@ def test_once_and_off():
     c.off("subscribe", cb)
     c.subscribe("c")
     assert seen == [0]
+
+
+def test_ingest_layout_example_runs(spark):
+    # The r6 ingest/layout walkthrough stays runnable with pinned fixture
+    # counts (sf0.001): all 129 docs of the incoming batch survive
+    # incremental dedup (the fixture has no cross-batch duplicates), 84
+    # docs pass the linear quality gate, the corpus chunks into 1042
+    # overlapping segments, and 18 events sit >3 sigma from their type's
+    # mean.
+    import examples.ingest_layout as il
+
+    assert il.main("/root/testdata/sf0.001") == {
+        "batch_docs_kept": 129,
+        "quality_keep": 84,
+        "chunks": 1042,
+        "tfidf_rows": 1500,
+        "zorder_rows": 6000,
+        "anomalous_events": 18,
+    }
