@@ -95,6 +95,8 @@ HEADLINE = [
     "dedup_incremental",
     "doc_chunk_overlap",
     "layout_zorder",
+    "agg_weighted_avg",
+    "orders_rfm_segments",
 ]
 
 

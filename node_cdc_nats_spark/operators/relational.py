@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io import load_table
 from ..registry import register
-from .exact import davg, dsum, sql_davg, sql_dsum
+from .exact import DEC, davg, dsum, sql_davg, sql_dsum
 
 
 # ---------------------------------------------------------------------------
@@ -1146,4 +1146,117 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n"),
         corr.alias("corr_qty_price"),
         ((n * sxy - sx * sy) / (n * n)).alias("covar_pop"),
+    )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,4)))
+                AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+             AS wavg_price,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag — the weighted
+    mean every metrics layer needs, closed engine-exactly: numerator and
+    denominator are DECIMAL-accumulated (order-independent under AQE —
+    same machinery as `exact.dsum`), the quotient is ONE IEEE division
+    identical on both engines. Plan: single partial+final hash agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    num = F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(30,4)"))
+    den = F.sum(F.col("l_quantity").cast(DEC))
+    return li.groupBy("l_returnflag").agg(
+        (num.cast("double") / den.cast("double")).alias("wavg_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG): nation names per
+    region, comma-joined in lexicographic order. Spark's collect_list is
+    non-deterministic in arrival order, so the engine sorts the collected
+    array BEFORE joining — the only way a concatenation aggregate can be
+    exact across engines and across partitionings (collect order differs
+    under AQE; sorted output does not). Plan: one hash agg on the tiny
+    key; at 100 TB per-group result size is the real constraint — cap or
+    switch to the top-k pattern when groups are unbounded."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "orders_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT o_custkey, last_order, frequency, monetary,
+             NTILE(3) OVER (ORDER BY last_order DESC, o_custkey) AS r_tier,
+             NTILE(3) OVER (ORDER BY frequency DESC, o_custkey)  AS f_tier,
+             NTILE(3) OVER (ORDER BY monetary DESC, o_custkey)   AS m_tier
+      FROM per_cust)
+    SELECT CAST(r_tier AS INT) AS r_tier, CAST(f_tier AS INT) AS f_tier,
+           CAST(m_tier AS INT) AS m_tier,
+           COUNT(*) AS n_customers,
+           CAST(MIN(o_custkey) AS BIGINT) AS example_custkey
+    FROM scored GROUP BY r_tier, f_tier, m_tier
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer recency / frequency /
+    monetary aggregates, each cut into terciles, then the 27-cell segment
+    census. Tie-breaking every NTILE by the unique custkey makes tier
+    assignment deterministic on both engines despite equal scores.
+
+    Scale note: NTILE over the full customer table is a global sort — fine
+    here because the windowed relation is the per-customer AGGREGATE
+    (customer-count rows, not orders), but at 10⁹ customers the cutoffs
+    would come from a hash-sampled quantile estimate broadcast back
+    map-side, exactly the `perplexity_bucket` pattern; the census keyed
+    on 27 cells is then one tiny hash agg."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("monetary"),
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        F.ntile(3).over(
+            Window.orderBy(F.col("last_order").desc(), "o_custkey")
+        ).alias("r_tier"),
+        F.ntile(3).over(
+            Window.orderBy(F.col("frequency").desc(), "o_custkey")
+        ).alias("f_tier"),
+        F.ntile(3).over(
+            Window.orderBy(F.col("monetary").desc(), "o_custkey")
+        ).alias("m_tier"),
+    )
+    return scored.groupBy("r_tier", "f_tier", "m_tier").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("o_custkey").alias("example_custkey"),
     )

@@ -66,6 +66,9 @@ _VERIFY_HEAD = (
     "dedup_incremental",         # new-batch vs kept-corpus ingest dedup
     "doc_chunk_overlap",         # sliding-window chunking for embedding prep
     "layout_zorder",             # Morton-curve layout key for 2-D pruning
+    "agg_weighted_avg",          # decimal-exact weighted mean
+    "agg_string_agg",            # ordered LISTAGG (sorted-array join)
+    "orders_rfm_segments",       # RFM tercile segmentation census
 )
 
 

@@ -110,6 +110,7 @@ def test_green_demotion_lists_are_sound():
         "events_anomaly_zscore", "tfidf_topk_terms",
         "quality_classifier_linear", "dedup_incremental",
         "doc_chunk_overlap", "layout_zorder",
+        "agg_weighted_avg", "agg_string_agg", "orders_rfm_segments",
     }
     assert changed_in_r6 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
