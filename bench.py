@@ -97,6 +97,11 @@ HEADLINE = [
     "layout_zorder",
     "agg_weighted_avg",
     "orders_rfm_segments",
+    "events_transition_matrix",
+    "rolling_active_users",
+    "dedup_bloom_prefilter",
+    "agg_histogram",
+    "source_dup_rate",
 ]
 
 

@@ -275,3 +275,121 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", z.alias("zscore"))
         .filter(F.abs(F.col("zscore")) > 3.0)
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS next_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, next_type, COUNT(*) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n_transitions,
+           -- int64/int64 double division: both engines round the exact
+           -- rational to the same nearest double, so the hash is stable.
+           CAST(n_transitions AS DOUBLE) /
+             SUM(n_transitions) OVER (PARTITION BY prev_type) AS p_next
+    FROM pairs
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition census over the per-user event
+    sequence: for every (prev_type -> next_type) pair, the transition
+    count and its row-normalized probability. This is the behavioral
+    summary a next-event model trains on, and the reference's consumers
+    would build it from the same delivered stream `sessionize_events`
+    reads (lib/nats.js:94-96 routes, analysis is consumer-side).
+
+    Scale (100 TB events): ONE shuffle on user_id for the lag window —
+    the same partition spec as the other event ops, so a multi-analysis
+    job reuses the Exchange — then the pair census is a partial+final
+    hash aggregate over at most |event_type|^2 groups (tiny, bounded by
+    the type vocabulary, not by data volume). The p_next window runs on
+    that tiny census, not on the events. No Python, no skew risk beyond
+    the hot-user case `join_skew_salted` demonstrates the salting for.
+    Determinism: lag ordered by (ts, event_id) — the unique tiebreak —
+    and the probability is an int64/int64 double division, identical in
+    both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w_prev = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_prev)
+        ).alias("p_next"),
+    )
+
+
+@register(
+    "rolling_active_users",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    grid AS (SELECT DISTINCT d FROM user_days),
+    in_window AS (
+      SELECT DISTINCT g.d AS day, u.user_id
+      FROM grid g JOIN user_days u
+        ON DATE_DIFF('day', u.d, g.d) BETWEEN 0 AND 6
+    )
+    SELECT day, COUNT(*) AS active_7d
+    FROM in_window GROUP BY day ORDER BY day
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the canonical
+    engagement metric a rolling COUNT(DISTINCT) range frame cannot
+    express in either engine (distinct aggregates are not frameable).
+
+    Plan: dedup events to (user_id, day) pairs (one shuffle; at 100 TB
+    this is the big reduction — billions of events collapse to
+    |users|x|days| pairs), then a range join against the DAY GRID.
+    The grid is bounded by calendar time, not data volume (10 years
+    = ~3.7k rows), so it is the one side a pinned `broadcast()` is
+    permanently safe for — the same reasoning that keeps region/nation
+    pins legal while SF-proportional pins were removed in r6. Spark
+    plans the theta-join as BroadcastNestedLoopJoin over the tiny grid
+    (each user-day fans out to <=7 grid days), and the final distinct +
+    count is the two-level dedup-then-count the other analytics ops use
+    to avoid an Expand plan. Determinism: day arithmetic is integer
+    datediff on DATE — no timezone, no floats.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    grid = user_days.select("d").distinct()
+    return (
+        user_days.alias("u")
+        .join(
+            F.broadcast(grid.alias("g")),
+            F.datediff(F.col("g.d"), F.col("u.d")).between(0, 6),
+        )
+        .select(F.col("g.d").alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("active_7d"))
+        .orderBy("day")
+    )

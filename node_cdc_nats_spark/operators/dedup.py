@@ -890,3 +890,145 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "content_hash")
     )
+
+
+# --- Bloom-prefiltered incremental dedup -----------------------------------
+
+BLOOM_M = 65_536  # bits; test-scale stand-in for the 2^30-bit production filter
+_HEX = "0123456789abcdef"
+
+
+def _sql_hex16(col: str, off: int) -> str:
+    """DuckDB: 4 hex chars of ``col`` starting at 1-based ``off`` as an
+    int in [0, 65535] (DuckDB has no hex->int cast; nibble arithmetic is
+    the portable spelling, mirroring Spark's ``conv(substr, 16, 10)``)."""
+    terms = [
+        f"(STRPOS('{_HEX}', SUBSTR({col}, {off + i}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _spark_hex16(col: str, off: int) -> Column:
+    """Spark mirror of :func:`_sql_hex16`."""
+    return F.conv(F.substring(col, off, 4), 16, 10).cast("int")
+
+
+@register(
+    "dedup_bloom_prefilter",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id, MD5(text) AS content_hash,
+             STRPOS('{_HEX}',
+                    SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS b
+      FROM documents),
+    existing AS (SELECT DISTINCT content_hash FROM tagged WHERE b < 12),
+    pos AS (
+      SELECT DISTINCT p FROM (
+        SELECT {_sql_hex16('content_hash', 1)} AS p FROM existing
+        UNION ALL SELECT {_sql_hex16('content_hash', 5)} FROM existing
+        UNION ALL SELECT {_sql_hex16('content_hash', 9)} FROM existing
+      )
+    ),
+    incoming AS (SELECT doc_id, content_hash FROM tagged WHERE b >= 12),
+    flagged AS (
+      SELECT doc_id, content_hash,
+             {_sql_hex16('content_hash', 1)} IN (SELECT p FROM pos)
+         AND {_sql_hex16('content_hash', 5)} IN (SELECT p FROM pos)
+         AND {_sql_hex16('content_hash', 9)} IN (SELECT p FROM pos)
+               AS bloom_hit
+      FROM incoming)
+    SELECT f.doc_id, f.content_hash, f.bloom_hit,
+           f.bloom_hit AND EXISTS (SELECT 1 FROM existing e
+                                   WHERE e.content_hash = f.content_hash)
+             AS confirmed_dup
+    FROM flagged f
+    """,
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_incremental`'s scale path: before the exact anti-join
+    against the kept corpus, screen the incoming batch through a Bloom
+    filter of the corpus's content hashes, so only Bloom-POSITIVE docs
+    pay the shuffle join. k=3 independent 16-bit hashes per doc (three
+    disjoint 4-hex-char slices of the md5 — independent by md5's
+    diffusion), m=65536 bits here; production sizes m to the kept-hash
+    count (2^30 bits = 128 MB for ~10^8 hashes at ~1% FP), shipped as a
+    broadcast variable instead of this test-scale literal.
+
+    Why this is THE 100 TB ingest shape: the corpus hash set is
+    SF-proportional (never broadcastable — the r6 unpin lesson), but its
+    Bloom projection is FIXED-SIZE, so the negative verdicts — the vast
+    majority of a mostly-novel batch — are decided map-side with zero
+    shuffle, and the exact join's build side shrinks to the hit rate.
+    The driver-side materialization here is the distinct POSITION list
+    (bounded by m=65536 ints, independent of corpus size), not the
+    hashes. False positives are resolved by the exact join (output pins
+    `confirmed_dup => bloom_hit`, and a Bloom false NEGATIVE is
+    impossible by construction — the test suite asserts both); verdicts
+    per doc are returned so the oracle checks the FP behavior too, not
+    just the surviving set."""
+    from .pipeline import _b16_spark
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("content_hash"),
+        _b16_spark("doc_id").alias("b"),
+    )
+    existing = d.filter(F.col("b") < 12).select("content_hash").distinct()
+    incoming = d.filter(F.col("b") >= 12).select("doc_id", "content_hash")
+
+    # Build the filter: 3 positions per kept hash, distinct, collected —
+    # a driver transfer bounded by m (65536 ints), NOT by corpus size.
+    pos_rows = (
+        existing.select(
+            F.explode(
+                F.array(
+                    _spark_hex16("content_hash", 1),
+                    _spark_hex16("content_hash", 5),
+                    _spark_hex16("content_hash", 9),
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    bits = ["0"] * BLOOM_M
+    for r in pos_rows:
+        bits[r["p"]] = "1"
+    bitmap = "".join(bits)
+
+    # One-row scalar broadcast carries the bitmap; the membership test is
+    # three JVM-side substring probes — whole-stage-codegen, no Python.
+    bloom_df = spark.createDataFrame([(bitmap,)], ["bloom"])
+    probe = lambda off: (  # noqa: E731
+        F.substring(F.col("bloom"), _spark_hex16("content_hash", off) + 1, F.lit(1))
+        == "1"
+    )
+    flagged = (
+        incoming.crossJoin(F.broadcast(bloom_df))
+        .select(
+            "doc_id",
+            "content_hash",
+            (probe(1) & probe(5) & probe(9)).alias("bloom_hit"),
+        )
+    )
+    # Only Bloom-positives reach the exact membership join (the point of
+    # the prefilter); negatives are settled without touching the corpus.
+    hits = (
+        flagged.filter(F.col("bloom_hit"))
+        .join(
+            existing.withColumn("in_corpus", F.lit(True)),
+            "content_hash",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "content_hash",
+            "bloom_hit",
+            F.coalesce(F.col("in_corpus"), F.lit(False)).alias("confirmed_dup"),
+        )
+    )
+    misses = flagged.filter(~F.col("bloom_hit")).select(
+        "doc_id", "content_hash", "bloom_hit", F.lit(False).alias("confirmed_dup")
+    )
+    return hits.unionByName(misses)

@@ -1372,3 +1372,54 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         F.expr(_ZEXPR).cast("long").alias("zval"),
     )
+
+
+@register(
+    "source_dup_rate",
+    oracle="""
+    WITH per_hash AS (
+      SELECT source, MD5(text) AS content_hash, COUNT(*) AS n_copies
+      FROM documents GROUP BY source, MD5(text)
+    )
+    SELECT source,
+           CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_unique,
+           -- int64/int64 double division: both engines round the exact
+           -- rational to the same nearest double.
+           CAST(SUM(n_copies) - COUNT(*) AS DOUBLE)
+             / CAST(SUM(n_copies) AS DOUBLE) AS dup_rate
+    FROM per_hash GROUP BY source ORDER BY source
+    """,
+)
+def source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate telemetry: how much of each ingest
+    source is verbatim copies. This is the governance report a corpus
+    team reads before re-weighting sources (a 40%-dup crawl slice gets
+    downsampled; a 0%-dup curated slice doesn't) — the reporting twin of
+    `dedup_exact`, which drops the copies this op merely measures.
+
+    Scale: two-level dedup-then-count on (source, md5(text)) — one
+    shuffle keyed by the composite, partial aggregation collapses
+    copies map-side first, and the second aggregate runs on unique
+    hashes only (|sources| final groups). No COUNT(DISTINCT) Expand, no
+    Python, and the md5 is computed once per row in the scan projection.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.md5(F.col("text").cast("binary")).alias("content_hash")
+    )
+    per_hash = d.groupBy("source", "content_hash").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    n_docs = F.sum("n_copies")
+    return (
+        per_hash.groupBy("source")
+        .agg(
+            n_docs.alias("n_docs"),
+            F.count(F.lit(1)).alias("n_unique"),
+            (
+                (n_docs - F.count(F.lit(1))).cast("double")
+                / n_docs.cast("double")
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

@@ -1260,3 +1260,55 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.min("o_custkey").alias("example_custkey"),
     )
+
+
+HIST_WIDTH = 5_000.0  # fixed-width profiling buckets over l_extendedprice
+HIST_NBUCKETS = 24  # clamp range [0, 120000); out-of-range rows land in the edges
+
+
+@register(
+    "agg_histogram",
+    oracle=f"""
+    SELECT bucket,
+           bucket * {HIST_WIDTH} AS lo,
+           (bucket + 1) * {HIST_WIDTH} AS hi,
+           COUNT(*) AS n_items
+    FROM (
+      SELECT LEAST(GREATEST(CAST(FLOOR(l_extendedprice / {HIST_WIDTH}) AS INTEGER),
+                            0), {HIST_NBUCKETS - 1}) AS bucket
+      FROM lineitem)
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of ``l_extendedprice`` — the data-profiling
+    pass a pipeline runs before choosing filter thresholds or spotting
+    drift between ingest batches. Bounds are FIXED constants (clamped to
+    edge buckets), not a data-dependent min/max: a two-pass dynamic
+    histogram would scan 100 TB twice and make the bucketing
+    non-deterministic under late data; profiling jobs pin the range and
+    re-pin when the edge buckets grow. Plan: the bucket id is a map-side
+    arithmetic projection, then a partial+final hash aggregate over at
+    most 24 groups — the shuffle moves 24 rows per task regardless of
+    SF. Determinism: floor(double / exact-constant) and integer clamps
+    agree across engines; lo/hi are small-int * constant products."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bucket = F.least(
+        F.greatest(
+            F.floor(F.col("l_extendedprice") / F.lit(HIST_WIDTH)).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(HIST_NBUCKETS - 1),
+    ).alias("bucket")
+    return (
+        li.select(bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .select(
+            "bucket",
+            (F.col("bucket") * HIST_WIDTH).alias("lo"),
+            ((F.col("bucket") + 1) * HIST_WIDTH).alias("hi"),
+            "n_items",
+        )
+        .orderBy("bucket")
+    )

@@ -69,6 +69,11 @@ _VERIFY_HEAD = (
     "agg_weighted_avg",          # decimal-exact weighted mean
     "agg_string_agg",            # ordered LISTAGG (sorted-array join)
     "orders_rfm_segments",       # RFM tercile segmentation census
+    "events_transition_matrix",  # Markov next-event census + row probs
+    "rolling_active_users",      # trailing-7-day distinct actives per day
+    "dedup_bloom_prefilter",     # broadcast-Bloom incremental-ingest screen
+    "agg_histogram",             # fixed-width profiling histogram
+    "source_dup_rate",           # per-source exact-dup telemetry
 )
 
 
@@ -76,8 +81,8 @@ _VERIFY_HEAD = (
 # evidence first. After r5 the freshest rows are the r5 sample (its
 # 41-op head + the first 9 r1-era aggregates); the oldest remaining
 # evidence is r1 (23 ops), then r2 (9), then r3 (30). Round 6's 50 slots
-# cover head 13 + unlisted 0 + r1 23 + r2 9 + the first 5 of r3; the r3
-# tail and the r4/r5 blocks carry the freshest evidence and wait for r7.
+# cover head 23 + unlisted 0 + r1 23 + the first 4 of r2; the r2 tail,
+# r3, and the r4/r5 blocks carry fresher evidence and wait for r7.
 _R1_GREEN_SAFE = (
     "date_ops", "filter_predicate", "join_cross",
     "join_full", "join_inner", "join_left", "join_right",

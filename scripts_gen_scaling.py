@@ -59,6 +59,8 @@ DOC_BOUND = [
     "quality_classifier_linear",
     "dedup_incremental",
     "doc_chunk_overlap",
+    "dedup_bloom_prefilter",
+    "source_dup_rate",
 ]
 # The embedding-reading ops (r5): the adaptive-planes claim on
 # dedup_embedding_cosine ("EMBED_BUCKET_CAP only ever trims degenerate
@@ -101,6 +103,12 @@ FACT_BOUND = [
     "events_anomaly_zscore",
     # r6 addition (lineitem-bound, map-side)
     "layout_zorder",
+    # r6 addition (orders-bound; NTILE over the per-customer aggregate)
+    "orders_rfm_segments",
+    # r6 additions (events-bound window/grid-join ops; lineitem histogram)
+    "events_transition_matrix",
+    "rolling_active_users",
+    "agg_histogram",
 ]
 
 

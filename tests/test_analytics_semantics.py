@@ -176,3 +176,49 @@ def test_analytics_oracle_parity_on_tie_heavy_corpus(spark, tmp_path):
             spark, name, registry.QUERIES[name], registry.ORACLES[name], sf
         )
         assert not problems, "\n".join(problems[:5])
+
+
+def test_transition_matrix_counts_and_probs(spark, tmp_path):
+    """Hand-built two-user sequence with a same-instant tie: transitions
+    follow the (ts, event_id) order, user boundaries produce no pair, and
+    p_next row-normalizes per prev_type."""
+    rows = [
+        # user 1: a -> b -> b (the b@t2/b@t2 tie ordered by event_id)
+        (1, T0, 1, "a", 0.0),
+        (2, T0 + dt.timedelta(seconds=1), 1, "b", 0.0),
+        (3, T0 + dt.timedelta(seconds=2), 1, "b", 0.0),
+        # user 2: a -> c
+        (4, T0, 2, "a", 0.0),
+        (5, T0 + dt.timedelta(seconds=5), 2, "c", 0.0),
+    ]
+    d = _write_events(tmp_path, rows)
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n_transitions"], r["p_next"])
+        for r in registry.QUERIES["events_transition_matrix"](spark, d).collect()
+    }
+    assert got == {
+        ("a", "b"): (1, 0.5),
+        ("a", "c"): (1, 0.5),
+        ("b", "b"): (1, 1.0),
+    }
+
+
+def test_rolling_active_users_window_edges(spark, tmp_path):
+    """Trailing-7-day actives: a user active on day 0 counts for grid
+    days 0..6 only (inclusive both ends), and a user's multiple events
+    in-window count once."""
+    def ev(i, day, uid):
+        return (i, T0 + dt.timedelta(days=day), uid, "click", 0.0)
+
+    # user 1 on days 0 (twice) and 7; user 2 on day 7 only.
+    d = _write_events(
+        tmp_path, [ev(1, 0, 1), ev(2, 0, 1), ev(3, 7, 1), ev(4, 7, 2)]
+    )
+    got = {
+        r["day"].isoformat(): r["active_7d"]
+        for r in registry.QUERIES["rolling_active_users"](spark, d).collect()
+    }
+    # grid = {day0, day7}; day0 window [d-6, d0] sees only user 1's day-0
+    # events (once); day7 window [day1, day7] sees both users' day-7
+    # events but NOT user 1's day-0 activity (6-day trailing bound).
+    assert got == {"2024-01-01": 1, "2024-01-08": 2}

@@ -275,3 +275,39 @@ def test_adaptive_planes_path_end_to_end(spark, tmp_path_factory):
         for p in S.dedup_embedding_cosine(spark, str(out), threshold=0.99).collect()
     }
     assert (0, n) in pairs and pairs[(0, n)] > 0.999
+
+
+def test_bloom_prefilter_invariants(spark):
+    """Bloom screening contract on the real fixture: (1) no false
+    negatives — every incoming doc whose hash IS in the corpus is
+    bloom-positive; (2) exact verification runs only on positives, so
+    confirmed_dup => bloom_hit; (3) the verdict set matches
+    dedup_incremental's survivors exactly (the prefilter changes cost,
+    never the answer)."""
+    from node_cdc_nats_spark import registry
+
+    registry.load_all()
+    out = registry.QUERIES["dedup_bloom_prefilter"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert out, "fixture incoming batch must be non-empty"
+    for r in out:
+        if r["confirmed_dup"]:
+            assert r["bloom_hit"], "false negative: confirmed dup missed by Bloom"
+    # Survivor equivalence: incremental dedup's kept set == bloom path's
+    # non-dup set collapsed keep-first within the batch.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    survivors = {
+        r["doc_id"]
+        for r in registry.QUERIES["dedup_incremental"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    import pandas as pd
+
+    df = pd.DataFrame([r.asDict() for r in out])
+    fresh = df[~df.confirmed_dup].sort_values("doc_id")
+    kept = set(fresh.groupby("content_hash").head(1).doc_id)
+    assert kept == survivors

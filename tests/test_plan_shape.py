@@ -501,6 +501,11 @@ _CARTESIAN_OK = {
     "perplexity_bucket",
     # 1-row n_docs broadcast (IDF normalizer)
     "tfidf_topk_terms",
+    # calendar-bounded day grid (non-equi trailing-window join; the grid
+    # grows with TIME, not data volume — a decade is ~3.7k rows)
+    "rolling_active_users",
+    # 1-row Bloom-bitmap scalar broadcast
+    "dedup_bloom_prefilter",
 }
 
 
@@ -624,3 +629,42 @@ def test_layout_zorder_prunes_2d_box_queries(spark, tmp_path):
     assert z <= 0.5, f"z-order should exclude most row groups, overlapped {z:.0%}"
     assert n >= 0.7, f"sanity: natural order should overlap most groups, got {n:.0%}"
     assert z < n / 2, f"z-order must at least halve touched groups ({z:.0%} vs {n:.0%})"
+
+
+def test_transition_matrix_one_wide_shuffle(spark):
+    # The lag window shuffles on user_id once; the census aggregate that
+    # follows exchanges only the tiny |types|^2 pair table.
+    plan = _plan(spark, "events_transition_matrix")
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") <= 3  # window + census + p_next
+    assert "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint,event_type:string>" in plan
+
+
+def test_rolling_active_users_broadcasts_grid(spark):
+    # The day grid is the broadcast side of the trailing-window theta
+    # join; the user-day pairs must NOT be the build side.
+    plan = _plan(spark, "rolling_active_users")
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+    assert "Expand" not in plan  # distinct-then-count, not COUNT(DISTINCT)
+
+
+def test_agg_histogram_partial_agg_and_pruned_scan(spark):
+    plan = _plan(spark, "agg_histogram")
+    assert plan.count("HashAggregate") >= 2  # partial map-side + final
+    assert "ReadSchema: struct<l_extendedprice:double>" in plan
+
+
+def test_bloom_prefilter_scan_and_broadcasts(spark):
+    # The bitmap rides a broadcast; the exact-verify join hashes on
+    # content_hash; the documents scan reads only (doc_id, text).
+    plan = _plan(spark, "dedup_bloom_prefilter")
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_source_dup_rate_two_level_agg(spark):
+    plan = _plan(spark, "source_dup_rate")
+    assert "Expand" not in plan
+    assert plan.count("HashAggregate") >= 3  # partial+final hash level, final source level
+    assert "ReadSchema: struct<text:string,source:string>" in plan or \
+           "ReadSchema: struct<source:string,text:string>" in plan

@@ -111,6 +111,8 @@ def test_green_demotion_lists_are_sound():
         "quality_classifier_linear", "dedup_incremental",
         "doc_chunk_overlap", "layout_zorder",
         "agg_weighted_avg", "agg_string_agg", "orders_rfm_segments",
+        "events_transition_matrix", "rolling_active_users",
+        "dedup_bloom_prefilter", "agg_histogram", "source_dup_rate",
     }
     assert changed_in_r6 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
