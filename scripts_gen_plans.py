@@ -115,6 +115,14 @@ SHOWCASE = [
         "dedup_span",
         "Span-level dedup rewrite: first-occurrence window keyed on the span, ordered per-doc reassembly via sorted structs — two shuffles, no global sort.",
     ),
+    (
+        "dedup_bloom_prefilter",
+        "Ingest-dedup scale path: the Bloom bitmap rides a 1-row scalar broadcast, negatives are decided map-side with zero shuffle, and only Bloom-positive docs reach the exact content-hash join.",
+    ),
+    (
+        "rolling_active_users",
+        "Trailing-7-day actives: user-day dedup shuffles once, then a BroadcastNestedLoopJoin over the calendar-bounded day grid (broadcast side grows with TIME, not data) and a two-level distinct-count with no Expand.",
+    ),
 ]
 
 
