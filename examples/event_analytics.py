@@ -19,8 +19,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main(sf_dir: str = "/root/testdata/sf0.001") -> dict[str, int]:
     from node_cdc_nats_spark.operators.analytics import (
+        events_transition_matrix,
         funnel_conversion,
         retention_cohorts,
+        rolling_active_users,
         sessionize_events,
     )
     from node_cdc_nats_spark.session import get_spark
@@ -32,12 +34,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict[str, int]:
     funnel = funnel_conversion(spark, sf_dir).collect()[0]
     # Weekly cohort retention matrix (Monday-anchored calendar weeks).
     cohorts = retention_cohorts(spark, sf_dir)
+    # First-order Markov next-event census (same user_id shuffle spec).
+    transitions = events_transition_matrix(spark, sf_dir)
+    # Trailing-7-day distinct actives (calendar-grid broadcast join).
+    actives = rolling_active_users(spark, sf_dir)
     return {
         "sessions": sessions.count(),
         "n_signup": funnel.n_signup,
         "n_click_after_signup": funnel.n_click_after_signup,
         "n_purchase_after_click": funnel.n_purchase_after_click,
         "cohort_cells": cohorts.count(),
+        "transition_pairs": transitions.count(),
+        "active_days": actives.count(),
     }
 
 
