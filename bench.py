@@ -102,6 +102,8 @@ HEADLINE = [
     "dedup_bloom_prefilter",
     "agg_histogram",
     "source_dup_rate",
+    "ngram_novelty_curve",
+    "source_overlap_matrix",
 ]
 
 

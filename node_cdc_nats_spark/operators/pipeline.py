@@ -1423,3 +1423,156 @@ def source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "ngram_novelty_curve",
+    oracle=f"""
+    WITH toks AS (
+      SELECT CAST(STRPOS('{_HEX}',
+                   SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INTEGER)
+               AS batch,
+             STRING_SPLIT({{norm}}, ' ') AS t
+      FROM documents),
+    g0 AS (SELECT batch, UNNEST({{tri}}) AS gram FROM toks),
+    g AS (SELECT DISTINCT batch, gram FROM g0),
+    firsts AS (SELECT gram, MIN(batch) AS first_b FROM g GROUP BY gram),
+    per_batch AS (SELECT batch, COUNT(*) AS n_distinct FROM g GROUP BY batch),
+    novel AS (SELECT first_b, COUNT(*) AS n_new FROM firsts GROUP BY first_b)
+    SELECT p.batch, p.n_distinct,
+           COALESCE(n.n_new, CAST(0 AS BIGINT)) AS n_new,
+           CAST(COALESCE(n.n_new, 0) AS DOUBLE) / CAST(p.n_distinct AS DOUBLE)
+             AS novelty_rate
+    FROM per_batch p LEFT JOIN novel n ON n.first_b = p.batch
+    ORDER BY p.batch
+    """.format(norm=_NORM_DUCK, tri=_TRIGRAMS_DUCK.format(toks="t")),
+)
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ingest-batch n-gram novelty: for each batch (md5-nibble of
+    doc_id — the same deterministic 16-way ingest split the incremental
+    dedup ops use), how many distinct trigrams appear at all and how many
+    appear for the FIRST time corpus-wide. The novelty rate's decay is
+    the saturation curve a data-acquisition team reads to decide when a
+    source is mined out — the measurable version of "new data is adding
+    nothing new".
+
+    Plan: explode trigrams once, dedup (gram, batch) — one shuffle on the
+    composite key with map-side partial dedup — then gram-keyed MIN and
+    two 16-row censuses joined batch-to-first_b. The wide shuffles are
+    both linear in distinct-gram volume; nothing is collected. At 100 TB
+    the (gram, batch) dedup dominates and partitions by gram hash — the
+    same layout the MIN aggregate wants, so Catalyst reuses one Exchange
+    for both."""
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select(
+        _b16_spark("doc_id").alias("batch"),
+        F.split(F.expr(_NORM_SPARK), " ").alias("toks"),
+    )
+    gb = (
+        toked.select(
+            "batch",
+            F.explode(F.expr(_TRIGRAMS_SPARK.format(toks="toks"))).alias("gram"),
+        )
+        .distinct()
+    )
+    firsts = gb.groupBy("gram").agg(F.min("batch").alias("first_b"))
+    per_batch = gb.groupBy("batch").agg(F.count(F.lit(1)).alias("n_distinct"))
+    novel = firsts.groupBy("first_b").agg(F.count(F.lit(1)).alias("n_new"))
+    zero = F.lit(0).cast("long")
+    return (
+        per_batch.join(novel, per_batch.batch == novel.first_b, "left")
+        .select(
+            "batch",
+            "n_distinct",
+            F.coalesce(F.col("n_new"), zero).alias("n_new"),
+            (
+                F.coalesce(F.col("n_new"), zero).cast("double")
+                / F.col("n_distinct").cast("double")
+            ).alias("novelty_rate"),
+        )
+        .orderBy("batch")
+    )
+
+
+@register(
+    "source_overlap_matrix",
+    oracle="""
+    WITH hs AS (SELECT DISTINCT MD5(text) AS h, source FROM documents),
+    per_source AS (SELECT source, COUNT(*) AS n FROM hs GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+      FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT pa.source AS source_a, pb.source AS source_b,
+           COALESCE(s.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+           pa.n AS n_a, pb.n AS n_b,
+           CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
+             / CAST(pa.n + pb.n - COALESCE(s.n_shared, 0) AS DOUBLE) AS jaccard
+    FROM per_source pa
+    JOIN per_source pb ON pa.source < pb.source
+    LEFT JOIN shared s
+      ON s.source_a = pa.source AND s.source_b = pb.source
+    ORDER BY source_a, source_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content overlap between ingest sources: for EVERY source
+    pair, the count of verbatim documents (by md5) they share and the
+    Jaccard similarity of their distinct-hash sets — zero-overlap pairs
+    included, so the result is the full upper-triangle governance matrix
+    behind "crawl B is 80% a re-crawl of A — drop it", the cross-SOURCE
+    complement of `source_dup_rate`'s within-source view.
+
+    Plan: distinct (hash, source) — one shuffle, map-side partial dedup —
+    then a self-equi-join ON THE HASH whose per-key fan-out is bounded by
+    the source catalog size (a hash carries at most |sources| rows, and
+    the a.source < b.source residual halves the pairs), a census
+    aggregate over at most |sources|² rows, and finally a catalog-sized
+    theta join (|sources|² pairs — the source catalog is organizationally
+    bounded, dozens not millions, so the nested-loop pair grid is a
+    constant) left-joined against the shared census. The corpus-sized
+    work never leaves hash-keyed equi-joins; only catalog-sized relations
+    reach the theta join. No driver-side materialization anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    hs = d.select(
+        F.md5(F.col("text").cast("binary")).alias("h"), "source"
+    ).distinct()
+    per_source = hs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = hs.alias("a"), hs.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    pa = per_source.select(
+        F.col("source").alias("source_a"), F.col("n").alias("n_a")
+    )
+    pb = per_source.select(
+        F.col("source").alias("source_b"), F.col("n").alias("n_b")
+    )
+    pairs = pa.join(pb, F.col("source_a") < F.col("source_b"))
+    zero = F.lit(0).cast("long")
+    n_shared = F.coalesce(F.col("n_shared"), zero)
+    return (
+        pairs.join(shared, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            n_shared.alias("n_shared"),
+            "n_a",
+            "n_b",
+            (
+                n_shared.cast("double")
+                / (F.col("n_a") + F.col("n_b") - n_shared).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -74,6 +74,8 @@ _VERIFY_HEAD = (
     "dedup_bloom_prefilter",     # broadcast-Bloom incremental-ingest screen
     "agg_histogram",             # fixed-width profiling histogram
     "source_dup_rate",           # per-source exact-dup telemetry
+    "ngram_novelty_curve",       # per-ingest-batch trigram novelty decay
+    "source_overlap_matrix",     # pairwise source content-overlap census
 )
 
 

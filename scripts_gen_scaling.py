@@ -61,6 +61,8 @@ DOC_BOUND = [
     "doc_chunk_overlap",
     "dedup_bloom_prefilter",
     "source_dup_rate",
+    "ngram_novelty_curve",
+    "source_overlap_matrix",
 ]
 # The embedding-reading ops (r5): the adaptive-planes claim on
 # dedup_embedding_cosine ("EMBED_BUCKET_CAP only ever trims degenerate

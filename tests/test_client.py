@@ -282,7 +282,8 @@ def test_corpus_pipeline_example_runs(spark):
 def test_event_analytics_example_runs(spark):
     # The event-analytics walkthrough must stay runnable with pinned
     # fixture counts (sf0.001): 15 of the fixture's users see all three
-    # funnel stages in order, and the 30-day window spans 5 ISO weeks.
+    # funnel stages in order, the 30-day window spans 5 ISO weeks and 30
+    # rolling-active days, and all 5×5 event-type transitions occur.
     import examples.event_analytics as ea
 
     assert ea.main("/root/testdata/sf0.001") == {
@@ -291,6 +292,8 @@ def test_event_analytics_example_runs(spark):
         "n_click_after_signup": 15,
         "n_purchase_after_click": 15,
         "cohort_cells": 5,
+        "active_days": 30,
+        "transition_pairs": 25,
     }
 
 

@@ -506,6 +506,9 @@ _CARTESIAN_OK = {
     "rolling_active_users",
     # 1-row Bloom-bitmap scalar broadcast
     "dedup_bloom_prefilter",
+    # catalog-sized source-pair grid (|sources|² theta join; the corpus
+    # self-join stays hash-keyed — pinned by its dedicated plan test)
+    "source_overlap_matrix",
 }
 
 
@@ -668,3 +671,27 @@ def test_source_dup_rate_two_level_agg(spark):
     assert plan.count("HashAggregate") >= 3  # partial+final hash level, final source level
     assert "ReadSchema: struct<text:string,source:string>" in plan or \
            "ReadSchema: struct<source:string,text:string>" in plan
+
+
+def test_novelty_curve_exchange_reuse_no_expand(spark):
+    # (gram, batch) dedup and the gram-keyed MIN are both gram-hash
+    # layouts; the censuses are 16-row. No Expand, no nested loop.
+    plan = _plan(spark, "ngram_novelty_curve")
+    assert "Expand" not in plan
+    assert plan.count("HashAggregate") >= 4  # dedup + MIN + two censuses, partial/final
+
+
+def test_source_overlap_self_join_is_hash_keyed(spark):
+    # The corpus self-join must be an equi-join on the content hash
+    # (per-key fan-out bounded by the source catalog). The ONLY
+    # nested-loop join allowed is the catalog-sized pair grid (two
+    # |sources|-row aggregates theta-joined on source_a < source_b);
+    # never a nested loop over the corpus itself.
+    plan = _plan(spark, "source_overlap_matrix")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # catalog pair grid only
+    # The corpus self-join on md5(text) stays an equi hash/sort-merge join.
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        plan.count("BroadcastHashJoin") >= 1
+    )
+    assert "ReadSchema: struct<text:string,source:string>" in plan

@@ -113,6 +113,7 @@ def test_green_demotion_lists_are_sound():
         "agg_weighted_avg", "agg_string_agg", "orders_rfm_segments",
         "events_transition_matrix", "rolling_active_users",
         "dedup_bloom_prefilter", "agg_histogram", "source_dup_rate",
+        "ngram_novelty_curve", "source_overlap_matrix",
     }
     assert changed_in_r6 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
