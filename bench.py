@@ -104,6 +104,11 @@ HEADLINE = [
     "source_dup_rate",
     "ngram_novelty_curve",
     "source_overlap_matrix",
+    "lang_confusion_matrix",
+    "seq_len_histogram",
+    "collocation_lift_topk",
+    "embed_label_centroids",
+    "funnel_latency_stats",
 ]
 
 

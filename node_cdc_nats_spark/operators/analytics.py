@@ -393,3 +393,100 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("active_7d"))
         .orderBy("day")
     )
+
+
+@register(
+    "funnel_latency_stats",
+    oracle=f"""
+    WITH staged AS (
+      SELECT user_id, ts, event_id, event_type,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) OVER w
+               AS first_signup
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    conv AS (
+      SELECT user_id,
+             MIN(first_signup) AS first_signup,
+             MIN(ts) AS first_purchase
+      FROM staged
+      WHERE event_type = 'purchase' AND first_signup IS NOT NULL
+      GROUP BY user_id
+    ),
+    lat AS (
+      -- CAST: DuckDB DATE_TRUNC('week') yields DATE; Spark date_trunc
+      -- yields TIMESTAMP — align the dtypes for the driver's comparison.
+      SELECT CAST(DATE_TRUNC('week', first_signup) AS TIMESTAMP) AS cohort_week,
+             epoch_us(first_purchase) - epoch_us(first_signup) AS lat_us
+      FROM conv
+    )
+    SELECT cohort_week,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(MIN(lat_us) AS DOUBLE) / 1000000.0 AS min_s,
+           CAST(MAX(lat_us) AS DOUBLE) / 1000000.0 AS max_s,
+           CAST(SUM(CAST(lat_us AS DECIMAL(30,0))) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS avg_s
+    FROM lat GROUP BY cohort_week
+    ORDER BY cohort_week
+    """,
+)
+def funnel_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: for every user whose purchase follows their first
+    signup (the same ordered-funnel semantics as `funnel_conversion`),
+    the signup→first-purchase latency, aggregated per Monday-anchored
+    signup-week cohort — the growth-team report behind "conversion is
+    getting slower for recent cohorts".
+
+    Plan: ONE user_id window shuffle (the running first-signup minimum —
+    identical spec to `funnel_conversion`, so the partitioning is
+    reusable across both queries in a shared pipeline), a per-user
+    aggregate that REUSES the same user_id partitioning (no second
+    exchange), then a cohort-week census of at most a few hundred rows.
+    Latencies are integer epoch-microsecond differences (timezone-free,
+    exact); the mean is decimal-accumulated so it is identical across
+    engines and partitionings; min/max/avg leave integer space in ONE
+    double division each."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = ev.withColumn(
+        "first_signup",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w_run),
+    )
+    conv = (
+        staged.filter(
+            (F.col("event_type") == "purchase") & F.col("first_signup").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("first_signup").alias("first_signup"),
+            F.min("ts").alias("first_purchase"),
+        )
+    )
+    us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+    lat = conv.select(
+        F.date_trunc("week", F.col("first_signup")).alias("cohort_week"),
+        (
+            F.expr(us.format(c="first_purchase"))
+            - F.expr(us.format(c="first_signup"))
+        ).alias("lat_us"),
+    )
+    return (
+        lat.groupBy("cohort_week")
+        .agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            (F.min("lat_us").cast("double") / F.lit(1000000.0)).alias("min_s"),
+            (F.max("lat_us").cast("double") / F.lit(1000000.0)).alias("max_s"),
+            (
+                F.sum(F.col("lat_us").cast("decimal(30,0)")).cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(1000000.0))
+            ).alias("avg_s"),
+        )
+        .orderBy("cohort_week")
+    )

@@ -1576,3 +1576,181 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# Fixed packing context length for the histogram's padded-sequence
+# column (matches pack_sequences' 512-token manifest).
+_SEQ_LEN = 512
+
+
+@register(
+    "seq_len_histogram",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_toks
+      FROM documents),
+    b AS (
+      SELECT (LENGTH(PRINTF('%b', n_toks)) - 1) AS bucket,
+             n_toks
+      FROM t),
+    census AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+             CAST(SUM((n_toks + {_SEQ_LEN - 1}) // {_SEQ_LEN}) AS BIGINT)
+               AS seqs_padded_alone
+      FROM b GROUP BY bucket)
+    SELECT bucket,
+           CAST(1 << bucket AS BIGINT) AS lo,
+           CAST((1 << (bucket + 1)) - 1 AS BIGINT) AS hi,
+           n_docs, total_tokens, seqs_padded_alone,
+           CAST(SUM(n_docs) OVER (ORDER BY bucket
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_docs
+    FROM census
+    ORDER BY bucket
+    """,
+)
+def seq_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-2 histogram of per-document whitespace token counts plus
+    the padding cost of NOT packing: `seqs_padded_alone` is how many
+    512-token training sequences the bucket consumes if every document is
+    padded alone, vs the `total_tokens`/512 floor a packer achieves —
+    the measurement behind choosing `pack_sequences` and a context
+    length. Buckets are floor(log2 n) via the binary-digit-count trick
+    (integer, libm-free, identical in both engines — same as
+    `tfidf_topk_terms`' IDF).
+
+    Plan: the bucket id and ceil-div are map-side integer projections;
+    the census is one partial+final hash aggregate over ~20 groups (the
+    shuffle moves ~20 rows per task regardless of SF); the cumulative
+    count is a window over that 20-row census. No corpus-sized sort or
+    join anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    bucket = (F.length(F.conv(n_toks.cast("string"), 10, 2)) - 1).alias("bucket")
+    census = (
+        d.select(bucket, n_toks.alias("n_toks"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            # `div` = exact integer ceil-division (never a double round-trip)
+            F.sum(
+                F.expr(f"(n_toks + {_SEQ_LEN - 1}) div {_SEQ_LEN}")
+            ).alias("seqs_padded_alone"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return census.select(
+        "bucket",
+        F.expr("shiftleft(cast(1 as bigint), cast(bucket as int))").alias("lo"),
+        F.expr(
+            "shiftleft(cast(1 as bigint), cast(bucket + 1 as int)) - 1"
+        ).alias("hi"),
+        "n_docs",
+        "total_tokens",
+        "seqs_padded_alone",
+        F.sum("n_docs").over(cum).alias("cum_docs"),
+    ).orderBy("bucket")
+
+
+# Minimum corpus occurrences for a bigram to be collocation-eligible —
+# the standard small-count guard (lift explodes on hapax pairs).
+_COLLOC_MIN_COUNT = 5
+
+
+@register(
+    "collocation_lift_topk",
+    oracle=f"""
+    WITH t AS (
+      SELECT STRING_SPLIT({{norm}}, ' ') AS toks FROM documents),
+    uni AS (
+      SELECT u.tok AS token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM t, UNNEST(toks) AS u(tok)
+      WHERE u.tok <> '' GROUP BY u.tok),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uni),
+    bi AS (
+      SELECT b.bigram, CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM t, UNNEST(
+        CASE WHEN LEN(toks) >= 2 THEN
+          LIST_TRANSFORM(RANGE(1, LEN(toks)),
+                         i -> toks[i] || ' ' || toks[i + 1])
+        ELSE [] END) AS b(bigram)
+      GROUP BY b.bigram
+      HAVING COUNT(*) >= {_COLLOC_MIN_COUNT}),
+    scored AS (
+      SELECT bi.bigram, bi.c_xy, ua.c AS c_x, ub.c AS c_y,
+             CAST(bi.c_xy AS DOUBLE) * CAST(n.n_tokens AS DOUBLE)
+               / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS lift
+      FROM bi
+      JOIN uni ua ON ua.token = STRING_SPLIT(bi.bigram, ' ')[1]
+      JOIN uni ub ON ub.token = STRING_SPLIT(bi.bigram, ' ')[2]
+      CROSS JOIN n)
+    SELECT bigram, c_xy, c_x, c_y, lift
+    FROM scored ORDER BY lift DESC, bigram LIMIT 50
+    """.format(norm=_NORM_DUCK),
+)
+def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 word-pair collocations by lift = P(xy)/(P(x)·P(y)) — the
+    PMI-family statistic behind multi-word-expression mining and
+    tokenizer-merge candidates, spelled as a pure count ratio so no libm
+    log ever runs (exact integer counts; ONE double expression per
+    surviving bigram, identical shape in both engines).
+
+    Plan: two corpus-sized explodes that each collapse immediately via
+    partial+final hash aggregation (bigram census, unigram census); the
+    HAVING count >= 5 floor prunes the bigram table to frequent pairs
+    BEFORE any join, so both unigram-count joins are vocabulary-sized
+    and unhinted (AQE broadcasts the small side at fixture scale); the
+    1-row token total is a scalar broadcast, and the top-50 is
+    TakeOrderedAndProject with an alphabetical tiebreak — never a global
+    sort. At 100 TB the bigram census shuffle dominates and is linear in
+    corpus volume with map-side collapse; everything after it is
+    vocabulary-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(F.split(F.expr(_NORM_SPARK), " ").alias("toks"))
+    uni = (
+        t.select(F.explode("toks").alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = uni.agg(F.sum("c").alias("n_tokens"))
+    bi = (
+        t.select(
+            F.explode(
+                F.expr(
+                    "case when size(toks) >= 2 then "
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) "
+                    "else array() end"
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= _COLLOC_MIN_COUNT)
+    )
+    ua = uni.select(F.col("token").alias("tok_a"), F.col("c").alias("c_x"))
+    ub = uni.select(F.col("token").alias("tok_b"), F.col("c").alias("c_y"))
+    scored = (
+        bi.withColumn("tok_a", F.element_at(F.split("bigram", " "), 1))
+        .withColumn("tok_b", F.element_at(F.split("bigram", " "), 2))
+        .join(ua, "tok_a")
+        .join(ub, "tok_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "bigram",
+            "c_xy",
+            "c_x",
+            "c_y",
+            (
+                F.col("c_xy").cast("double") * F.col("n_tokens").cast("double")
+                / (F.col("c_x").cast("double") * F.col("c_y").cast("double"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), "bigram").limit(50)

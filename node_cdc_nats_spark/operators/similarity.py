@@ -823,3 +823,67 @@ def ann_ivf_topk_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("qid", "cid", "score")
     )
+
+
+# Element quantization for cross-engine-exact centroid sums: micro-units
+# (floor(x * 1e6)) make the per-element contribution an INTEGER, so the
+# cross-row sum is order-independent — the decimal-sum trick specialized
+# to embeddings (cross-row double aggregation is the one float operation
+# that is NOT deterministic across partitionings; see operators/exact.py).
+_CENTROID_SCALE = 1_000_000.0
+
+
+@register(
+    "embed_label_centroids",
+    oracle=f"""
+    WITH e AS (
+      SELECT label,
+             UNNEST(RANGE(0, LEN(embedding))) AS pos,
+             UNNEST(LIST_TRANSFORM(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_CENTROID_SCALE}) AS BIGINT)))
+               AS q
+      FROM embeddings)
+    SELECT label, CAST(pos AS INTEGER) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(q) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * {_CENTROID_SCALE}) AS centroid
+    FROM e GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+)
+def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding space, one row per (label,
+    dimension) — the building block of k-means/IVF training, nearest-
+    class-mean classification, and embedding-drift monitoring between
+    ingest batches. Elements are quantized to integer micro-units BEFORE
+    the cross-row sum so the aggregation is order-independent and
+    bit-identical across engines AND across AQE repartitionings — a raw
+    double SUM would drift on the last ulp at every partition-count
+    change (the failure mode operators/exact.py exists for).
+
+    Plan: posexplode is a map-side projection (rows × dim, no shuffle);
+    one partial+final hash aggregate on (label, pos) — |labels|·dim
+    groups, so each task ships at most that census regardless of corpus
+    size; sums are DECIMAL(38,0)-accumulated (overflow-safe past 10^12
+    vectors, where a BIGINT micro-unit sum would wrap). The output
+    division is a single IEEE expression per row."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.floor(F.col("x").cast("double") * F.lit(_CENTROID_SCALE)).cast(
+        "decimal(38,0)"
+    )
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .select("label", "pos", q.alias("q"))
+        .groupBy("label", "pos")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("sum_q"))
+        .select(
+            "label",
+            F.col("pos").cast("int").alias("pos"),
+            "n",
+            (
+                F.col("sum_q").cast("double")
+                / (F.col("n").cast("double") * F.lit(_CENTROID_SCALE))
+            ).alias("centroid"),
+        )
+        .orderBy("label", "pos")
+    )

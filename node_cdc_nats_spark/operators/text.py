@@ -304,3 +304,89 @@ def text_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).cast("int")
     return out.select("doc_id", "emb_csv", nnz.alias("nnz"))
+
+
+@register(
+    "lang_confusion_matrix",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+             {_lang_score_sql('de')} AS s_de,
+             {_lang_score_sql('en')} AS s_en,
+             {_lang_score_sql('es')} AS s_es,
+             {_lang_score_sql('fr')} AS s_fr
+      FROM documents),
+    pred AS (
+      SELECT lang,
+             CASE
+               WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+               WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+               WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+               WHEN s_es >= s_fr THEN 'es'
+               ELSE 'fr'
+             END AS lang_pred
+      FROM scored),
+    census AS (
+      SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM pred GROUP BY lang, lang_pred)
+    SELECT lang, lang_pred, n_docs,
+           CAST(n_docs AS DOUBLE)
+             / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE)
+             AS share_of_lang
+    FROM census
+    ORDER BY lang, lang_pred
+    """,
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement census between the ingest metadata's ``lang`` column and
+    the `lang_id` heuristic's prediction — the confusion matrix a data
+    team reads to decide whether to trust crawl-supplied language tags or
+    re-tag the corpus (off-diagonal mass = mislabeled training data
+    leaking into per-language sampling weights).
+
+    Plan: the marker scoring is the same shuffle-free map-side HOF pass
+    as `lang_id`; the census is one partial+final hash aggregate over at
+    most |langs|·(|langs|+1) groups, so the shuffle moves a handful of
+    rows per task regardless of corpus size; the per-lang share is a
+    window over that census (catalog-sized, not corpus-sized).
+    Determinism: integer marker counts, alphabetical argmax tie-break,
+    and a single double division per output row."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+
+    def marker_filter(markers: tuple[str, ...]):
+        return lambda t: t.isin(*markers)
+
+    scores = {
+        lang: F.size(F.filter(toks, marker_filter(LANG_MARKERS[lang])))
+        for lang in LANG_ORDER
+    }
+    scored = d.select(
+        "lang", *[scores[lang].alias(f"s_{lang}") for lang in LANG_ORDER]
+    )
+    s = {lang: F.col(f"s_{lang}") for lang in LANG_ORDER}
+    best = F.greatest(*s.values())
+    pred = (
+        F.when(best == 0, "und")
+        .when((s["de"] >= s["en"]) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+    census = (
+        scored.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    from pyspark.sql.window import Window
+
+    per_lang = Window.partitionBy("lang")
+    return census.select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(per_lang).cast("double")
+        ).alias("share_of_lang"),
+    ).orderBy("lang", "lang_pred")

@@ -76,6 +76,11 @@ _VERIFY_HEAD = (
     "source_dup_rate",           # per-source exact-dup telemetry
     "ngram_novelty_curve",       # per-ingest-batch trigram novelty decay
     "source_overlap_matrix",     # pairwise source content-overlap census
+    "lang_confusion_matrix",     # metadata-vs-heuristic language agreement
+    "seq_len_histogram",         # log2 token-length census + packing waste
+    "collocation_lift_topk",     # libm-free PMI-family collocation mining
+    "embed_label_centroids",     # order-independent per-label centroids
+    "funnel_latency_stats",      # signup->purchase latency per week cohort
 )
 
 
@@ -83,8 +88,8 @@ _VERIFY_HEAD = (
 # evidence first. After r5 the freshest rows are the r5 sample (its
 # 41-op head + the first 9 r1-era aggregates); the oldest remaining
 # evidence is r1 (23 ops), then r2 (9), then r3 (30). Round 6's 50 slots
-# cover head 23 + unlisted 0 + r1 23 + the first 4 of r2; the r2 tail,
-# r3, and the r4/r5 blocks carry fresher evidence and wait for r7.
+# cover head 31 + unlisted 0 + the first 19 of r1; the r1 tail, r2, r3,
+# and the r4/r5 blocks carry fresher evidence and wait for r7.
 _R1_GREEN_SAFE = (
     "date_ops", "filter_predicate", "join_cross",
     "join_full", "join_inner", "join_left", "join_right",

@@ -63,6 +63,9 @@ DOC_BOUND = [
     "source_dup_rate",
     "ngram_novelty_curve",
     "source_overlap_matrix",
+    "lang_confusion_matrix",
+    "seq_len_histogram",
+    "collocation_lift_topk",
 ]
 # The embedding-reading ops (r5): the adaptive-planes claim on
 # dedup_embedding_cosine ("EMBED_BUCKET_CAP only ever trims degenerate
@@ -77,6 +80,7 @@ EMB_BOUND = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "embed_norm_quantize",
+    "embed_label_centroids",
 ]
 # The fact-bound ops (r5): the TPC-H flagships' 100 TB story was argued
 # from plan shape but only measured to sf0.1; a true sf1-equivalent
@@ -111,6 +115,8 @@ FACT_BOUND = [
     "events_transition_matrix",
     "rolling_active_users",
     "agg_histogram",
+    # r6 addition (events-bound; shares funnel_conversion's window spec)
+    "funnel_latency_stats",
 ]
 
 

@@ -509,6 +509,8 @@ _CARTESIAN_OK = {
     # catalog-sized source-pair grid (|sources|² theta join; the corpus
     # self-join stays hash-keyed — pinned by its dedicated plan test)
     "source_overlap_matrix",
+    # 1-row corpus-token-total scalar broadcast (the lift normalizer)
+    "collocation_lift_topk",
 }
 
 
@@ -695,3 +697,53 @@ def test_source_overlap_self_join_is_hash_keyed(spark):
         plan.count("BroadcastHashJoin") >= 1
     )
     assert "ReadSchema: struct<text:string,source:string>" in plan
+
+
+def test_lang_confusion_census_no_corpus_join(spark):
+    # Marker scoring is map-side; the only aggregation is the |langs|²
+    # census, and the share window runs over that census — no Expand, no
+    # corpus-sized join, scan pruned to (lang, text).
+    plan = _plan(spark, "lang_confusion_matrix")
+    assert "Expand" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final census
+    assert "ReadSchema: struct<text:string,lang:string>" in plan or \
+           "ReadSchema: struct<lang:string,text:string>" in plan
+
+
+def test_seq_len_histogram_census_only(spark):
+    # Bucket id and ceil-div are map-side integer projections; the whole
+    # query is one ~20-group census plus a window over it — no join.
+    plan = _plan(spark, "seq_len_histogram")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_collocation_topk_never_global_sorts(spark):
+    # Top-50 must be TakeOrderedAndProject; the two unigram joins are
+    # vocab-sized equi-joins; the only nested loop is the 1-row token
+    # total broadcast.
+    plan = _plan(spark, "collocation_lift_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row N broadcast
+    assert plan.count("HashAggregate") >= 4  # bigram + unigram censuses
+
+
+def test_embed_centroids_single_census_no_join(spark):
+    # posexplode is a map-side Generate; the only exchange is the
+    # (label, pos) census — |labels|·dim groups — with map-side partials.
+    plan = _plan(spark, "embed_label_centroids")
+    assert "Join" not in plan
+    assert "Generate" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_funnel_latency_reuses_user_exchange(spark):
+    # The running first-signup window and the per-user aggregate share
+    # ONE user_id hash partitioning; after that only the cohort-week
+    # census moves data.
+    plan = _plan(spark, "funnel_latency_stats")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "Window" in plan

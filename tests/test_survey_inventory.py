@@ -114,6 +114,9 @@ def test_green_demotion_lists_are_sound():
         "events_transition_matrix", "rolling_active_users",
         "dedup_bloom_prefilter", "agg_histogram", "source_dup_rate",
         "ngram_novelty_curve", "source_overlap_matrix",
+        "lang_confusion_matrix", "seq_len_histogram",
+        "collocation_lift_topk", "embed_label_centroids",
+        "funnel_latency_stats",
     }
     assert changed_in_r6 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
