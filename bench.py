@@ -109,6 +109,9 @@ HEADLINE = [
     "collocation_lift_topk",
     "embed_label_centroids",
     "funnel_latency_stats",
+    "knn_label_purity",
+    "events_hourly_cusum",
+    "orders_market_basket",
 ]
 
 

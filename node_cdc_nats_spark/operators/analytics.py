@@ -490,3 +490,90 @@ def funnel_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week")
     )
+
+
+@register(
+    "events_hourly_cusum",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS hour FROM events),
+    census AS (
+      SELECT event_type, hour, CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY event_type, hour),
+    bounds AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM e),
+    hours AS (
+      SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM e),
+    dense AS (
+      SELECT t.event_type, h.hour, COALESCE(c.n, CAST(0 AS BIGINT)) AS n
+      FROM types t CROSS JOIN hours h
+      LEFT JOIN census c ON c.event_type = t.event_type AND c.hour = h.hour),
+    tot AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS d
+      FROM dense GROUP BY event_type)
+    SELECT dense.event_type, dense.hour, dense.n AS n_events,
+           CAST(SUM(CAST(dense.n * tot.d - tot.total AS DECIMAL(38,0)))
+                  OVER (PARTITION BY dense.event_type ORDER BY dense.hour
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / CAST(tot.d AS DOUBLE) AS cusum
+    FROM dense JOIN tot ON tot.event_type = dense.event_type
+    ORDER BY dense.event_type, dense.hour
+    """,
+)
+def events_hourly_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection over hourly event-type rates: cumulative sum
+    of each hour's deviation from the type's mean hourly rate, on a DENSE
+    hour grid (zero-event hours count — a silent outage IS drift). A
+    sustained rate shift shows as a monotone cusum ramp long before any
+    single hour looks anomalous — the classic change-point telemetry next
+    to `events_anomaly_zscore`'s pointwise 3σ flags.
+
+    Determinism: deviations are pre-scaled integers (n·D − total, never
+    the fractional mean), the running sum accumulates DECIMAL in the
+    window's defined hour order, and the only doubles are one division
+    per output row. Plan: one corpus-sized census shuffle with map-side
+    partials ((type, hour) groups — calendar-bounded, not data-bounded);
+    the dense grid is |types|·|hours| rows built from a 1-row bounds agg
+    and broadcast; the window runs per type over grid-sized input. At
+    100 TB the census shuffle dominates and moves only grid-sized
+    partials per task."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    )
+    census = ev.groupBy("event_type", "hour").agg(F.count(F.lit(1)).alias("n"))
+    bounds = ev.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    hours = bounds.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    dense = (
+        types.crossJoin(F.broadcast(hours))
+        .join(census, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
+        )
+    )
+    tot = dense.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("d")
+    )
+    dev = (F.col("n") * F.col("d") - F.col("total")).cast("decimal(38,0)")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        dense.join(tot, "event_type")
+        .select("event_type", "hour", F.col("n").alias("n_events"),
+                dev.alias("dev"), "d")
+        .withColumn(
+            "cusum",
+            F.sum("dev").over(w).cast("double") / F.col("d").cast("double"),
+        )
+        .select("event_type", "hour", "n_events", "cusum")
+        .orderBy("event_type", "hour")
+    )

@@ -1312,3 +1312,81 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# Minimum co-occurrence count for a part pair to enter the basket report
+# (hapax pairs make lift meaningless).
+BASKET_MIN_COUNT = 2
+
+
+@register(
+    "orders_market_basket",
+    oracle=f"""
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM lp),
+    per_part AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM lp GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= {BASKET_MIN_COUNT}),
+    scored AS (
+      SELECT p.part_a, p.part_b, p.c_ab, pa.c AS c_a, pb.c AS c_b,
+             CAST(p.c_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+               / (CAST(pa.c AS DOUBLE) * CAST(pb.c AS DOUBLE)) AS lift
+      FROM pairs p
+      JOIN per_part pa ON pa.l_partkey = p.part_a
+      JOIN per_part pb ON pb.l_partkey = p.part_b
+      CROSS JOIN n)
+    SELECT part_a, part_b, c_ab, c_a, c_b, lift
+    FROM scored ORDER BY lift DESC, part_a, part_b LIMIT 50
+    """,
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: the top-50 part pairs by lift =
+    P(a,b)·N / (P(a)·P(b)) over co-occurrence in the same order — the
+    classic retail affinity report, and the same counts-plus-one-division
+    determinism recipe as `collocation_lift_topk` applied to a
+    TRANSACTIONAL self-join instead of a text explode.
+
+    Plan: distinct (order, part) — one shuffle with map-side dedup — then
+    a self-equi-join ON THE ORDER KEY whose per-key fan-out is bounded by
+    basket size (a TPC-H order holds ≤7 lines, so pairs/order ≤ 21 — the
+    join output is a small constant × lineitem, linear at 100 TB); the
+    pair census collapses via partial aggregation and is floored at
+    count ≥ 2 BEFORE the two per-part-count joins (both
+    unhinted — the per-part table is SF-proportional, AQE decides); the
+    order total is a 1-row scalar broadcast and the top-50 is
+    TakeOrderedAndProject with a (part_a, part_b) tiebreak — never a
+    global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    n = lp.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    per_part = lp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= BASKET_MIN_COUNT)
+    )
+    pa = per_part.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a"))
+    pb = per_part.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b"))
+    scored = (
+        pairs.join(pa, "part_a")
+        .join(pb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b", "c_ab", "c_a", "c_b",
+            (
+                F.col("c_ab").cast("double") * F.col("n_orders").cast("double")
+                / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), "part_a", "part_b").limit(50)

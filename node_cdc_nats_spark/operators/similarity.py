@@ -887,3 +887,105 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+@register(
+    "knn_label_purity",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding, {sql_lsh_bucket('embedding')} AS bucket,
+             {sql_norm('embedding')} AS nrm
+      FROM embeddings),
+    scored AS (
+      SELECT a.vec_id, a.label,
+             c.label AS n_label,
+             {sql_cosine_pre('a.embedding', 'c.embedding', 'a.nrm', 'c.nrm')}
+               AS score,
+             c.vec_id AS cid
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+    ranked AS (
+      SELECT vec_id, label, n_label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, cid) AS rn
+      FROM scored),
+    per_vec AS (
+      SELECT vec_id, label,
+             CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+             CAST(SUM(CASE WHEN n_label = label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_same
+      FROM ranked WHERE rn <= {TOP_K} GROUP BY vec_id, label)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(n_neighbors) AS BIGINT) AS n_neighbors,
+           CAST(SUM(n_same) AS BIGINT) AS n_same,
+           CAST(SUM(n_same) AS DOUBLE) / CAST(SUM(n_neighbors) AS DOUBLE)
+             AS purity
+    FROM per_vec GROUP BY label ORDER BY label
+    """,
+)
+def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label coherence: every vector's 3 nearest
+    LSH-bucket-mates are checked for label agreement, aggregated to a
+    per-label purity score — the QA metric behind "are these embeddings
+    good enough to train a classifier / route by?" (purity near 1/|labels|
+    = the space carries no label signal; near 1.0 = clean clusters).
+
+    Plan: the signature projection is one Arrow pass feeding BOTH sides of
+    a bucket equi-join (the ann_lsh_topk contract: bucketing bounds the
+    per-key fan-out and is mirrored exactly in the oracle — at larger
+    corpora the signature widens via n_planes_for, similarity.py:55, so
+    Σ|bucket|² stays linear); then a per-vector top-3 window, a per-vector
+    census, and a |labels|-row final census. Counts are integers
+    end-to-end; purity is ONE double division per output row."""
+    em = load_table(spark, sf_dir, "embeddings")
+    b = (
+        em.select("vec_id", "label", "embedding", bucket_norm_udf().alias("bn"))
+        .select(
+            "vec_id", "label", "embedding",
+            F.col("bn.bucket").alias("bucket"), F.col("bn.nrm").alias("nrm"),
+        )
+        .persist()
+    )
+    a = b.select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"), "bucket", F.col("nrm").alias("qn"),
+    )
+    c = b.select(
+        F.col("vec_id").alias("cid"), F.col("label").alias("clabel"),
+        F.col("embedding").alias("ce"), "bucket", F.col("nrm").alias("cn"),
+    )
+    scored = (
+        a.join(c, "bucket")
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid", "qlabel", "clabel", "cid",
+            cosine_pre(
+                F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), "cid")
+    per_vec = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .groupBy("qid", "qlabel")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.sum(
+                F.when(F.col("clabel") == F.col("qlabel"), 1).otherwise(0)
+            ).alias("n_same"),
+        )
+    )
+    return (
+        per_vec.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum("n_neighbors").alias("n_neighbors"),
+            F.sum("n_same").alias("n_same"),
+            (
+                F.sum("n_same").cast("double")
+                / F.sum("n_neighbors").cast("double")
+            ).alias("purity"),
+        )
+        .orderBy("label")
+    )

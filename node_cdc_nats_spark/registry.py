@@ -81,6 +81,9 @@ _VERIFY_HEAD = (
     "collocation_lift_topk",     # libm-free PMI-family collocation mining
     "embed_label_centroids",     # order-independent per-label centroids
     "funnel_latency_stats",      # signup->purchase latency per week cohort
+    "knn_label_purity",          # embedding label-coherence QA via LSH-kNN
+    "events_hourly_cusum",       # CUSUM drift over dense hourly rate grid
+    "orders_market_basket",      # part-pair lift mining over order baskets
 )
 
 
@@ -88,7 +91,7 @@ _VERIFY_HEAD = (
 # evidence first. After r5 the freshest rows are the r5 sample (its
 # 41-op head + the first 9 r1-era aggregates); the oldest remaining
 # evidence is r1 (23 ops), then r2 (9), then r3 (30). Round 6's 50 slots
-# cover head 31 + unlisted 0 + the first 19 of r1; the r1 tail, r2, r3,
+# cover head 34 + unlisted 0 + the first 16 of r1; the r1 tail, r2, r3,
 # and the r4/r5 blocks carry fresher evidence and wait for r7.
 _R1_GREEN_SAFE = (
     "date_ops", "filter_predicate", "join_cross",

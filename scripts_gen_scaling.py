@@ -81,6 +81,7 @@ EMB_BOUND = [
     "ann_ivf_topk",
     "embed_norm_quantize",
     "embed_label_centroids",
+    "knn_label_purity",
 ]
 # The fact-bound ops (r5): the TPC-H flagships' 100 TB story was argued
 # from plan shape but only measured to sf0.1; a true sf1-equivalent
@@ -117,6 +118,9 @@ FACT_BOUND = [
     "agg_histogram",
     # r6 addition (events-bound; shares funnel_conversion's window spec)
     "funnel_latency_stats",
+    # r6 additions (events-bound dense-grid CUSUM; lineitem basket mining)
+    "events_hourly_cusum",
+    "orders_market_basket",
 ]
 
 

@@ -511,6 +511,11 @@ _CARTESIAN_OK = {
     "source_overlap_matrix",
     # 1-row corpus-token-total scalar broadcast (the lift normalizer)
     "collocation_lift_topk",
+    # 1-row order-total scalar broadcast (the basket-lift normalizer)
+    "orders_market_basket",
+    # calendar-bounded types×hours grid (both sides tiny; hours grow with
+    # TIME, not data volume)
+    "events_hourly_cusum",
 }
 
 
@@ -747,3 +752,36 @@ def test_funnel_latency_reuses_user_exchange(spark):
     plan = _plan(spark, "funnel_latency_stats")
     assert plan.count("Exchange hashpartitioning(user_id") == 1
     assert "Window" in plan
+
+
+def test_knn_purity_bucket_join_and_censuses(spark):
+    # The self-join must be the bucket equi-join (ann_lsh_topk contract),
+    # followed by the per-vector top-3 window and two integer censuses.
+    plan = _plan(spark, "knn_label_purity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    assert plan.count("HashAggregate") >= 4  # per-vec + per-label, partial/final
+
+
+def test_hourly_cusum_census_then_grid(spark):
+    # The corpus-sized stage is the (type, hour) census with map-side
+    # partials; the dense grid join and the running-sum window act on
+    # grid-sized input only. No Expand, no corpus-side nested loop beyond
+    # the tiny types×hours grid.
+    plan = _plan(spark, "events_hourly_cusum")
+    assert "Expand" not in plan
+    assert plan.count("HashAggregate") >= 4  # census + per-type totals
+    assert "Window" in plan
+    assert "ReadSchema: struct<ts:timestamp" in plan
+
+
+def test_market_basket_hash_keyed_and_topk(spark):
+    # The self-join must be an equi-join on the order key (per-key fan-out
+    # bounded by basket size); the only nested loop is the 1-row order
+    # total; top-50 is TakeOrderedAndProject, never a global sort.
+    plan = _plan(spark, "orders_market_basket")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "TakeOrderedAndProject" in plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>" in plan

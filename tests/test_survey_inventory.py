@@ -116,7 +116,8 @@ def test_green_demotion_lists_are_sound():
         "ngram_novelty_curve", "source_overlap_matrix",
         "lang_confusion_matrix", "seq_len_histogram",
         "collocation_lift_topk", "embed_label_centroids",
-        "funnel_latency_stats",
+        "funnel_latency_stats", "knn_label_purity",
+        "events_hourly_cusum", "orders_market_basket",
     }
     assert changed_in_r6 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
