@@ -57,6 +57,23 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict[str, int]:
         # The composed flagship: the four stages above as one fused plan.
         "fused_pipeline_rows": pipeline_end_to_end(spark, sf_dir).count(),
     }
+    # r6 corpus-observability additions — the reports a data team reads
+    # BEFORE re-running the gate/dedup/split stages above.
+    from node_cdc_nats_spark.operators.pipeline import (
+        collocation_lift_topk,
+        ngram_novelty_curve,
+        seq_len_histogram,
+    )
+    from node_cdc_nats_spark.operators.text import lang_confusion_matrix
+
+    # log2 token-length census + padding waste (sizes pack_sequences).
+    stages["seq_len_buckets"] = seq_len_histogram(spark, sf_dir).count()
+    # PMI-family collocations as pure count ratios (tokenizer-merge cues).
+    stages["top_collocations"] = collocation_lift_topk(spark, sf_dir).count()
+    # Crawl-tag vs heuristic language agreement (off-diagonal = mislabels).
+    stages["lang_confusion_cells"] = lang_confusion_matrix(spark, sf_dir).count()
+    # Per-ingest-batch trigram novelty decay (source saturation curve).
+    stages["novelty_batches"] = ngram_novelty_curve(spark, sf_dir).count()
     return stages
 
 

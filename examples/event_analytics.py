@@ -19,8 +19,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main(sf_dir: str = "/root/testdata/sf0.001") -> dict[str, int]:
     from node_cdc_nats_spark.operators.analytics import (
+        events_hourly_cusum,
         events_transition_matrix,
         funnel_conversion,
+        funnel_latency_stats,
         retention_cohorts,
         rolling_active_users,
         sessionize_events,
@@ -38,6 +40,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict[str, int]:
     transitions = events_transition_matrix(spark, sf_dir)
     # Trailing-7-day distinct actives (calendar-grid broadcast join).
     actives = rolling_active_users(spark, sf_dir)
+    # Signup->first-purchase latency per signup-week cohort (r6).
+    latency = funnel_latency_stats(spark, sf_dir)
+    # CUSUM drift over the dense hourly type-rate grid (r6).
+    cusum = events_hourly_cusum(spark, sf_dir)
     return {
         "sessions": sessions.count(),
         "n_signup": funnel.n_signup,
@@ -46,6 +52,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict[str, int]:
         "cohort_cells": cohorts.count(),
         "transition_pairs": transitions.count(),
         "active_days": actives.count(),
+        "latency_cohorts": latency.count(),
+        "cusum_rows": cusum.count(),
     }
 
 

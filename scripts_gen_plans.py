@@ -123,6 +123,18 @@ SHOWCASE = [
         "rolling_active_users",
         "Trailing-7-day actives: user-day dedup shuffles once, then a BroadcastNestedLoopJoin over the calendar-bounded day grid (broadcast side grows with TIME, not data) and a two-level distinct-count with no Expand.",
     ),
+    (
+        "orders_market_basket",
+        "Basket mining: distinct (order, part) self-equi-joins ON THE ORDER KEY (fan-out bounded by basket size ≤7), the pair census partial-aggregates and is count-floored before the per-part joins; top-50 via TakeOrderedAndProject.",
+    ),
+    (
+        "events_hourly_cusum",
+        "Dense-grid CUSUM: the corpus collapses in ONE (type, hour) census shuffle with map-side partials; the types×hours grid join, totals, and decimal running sum all act on grid-sized input.",
+    ),
+    (
+        "embed_label_centroids",
+        "Centroids without float drift: map-side posexplode + integer micro-unit quantization, then a single (label, pos) exchange with map-side partials — |labels|·dim rows per task regardless of corpus size.",
+    ),
 ]
 
 

@@ -276,6 +276,10 @@ def test_corpus_pipeline_example_runs(spark):
         "bpe_merge_candidates": 50,
         "train_val_rows": 500,
         "fused_pipeline_rows": 336,
+        "seq_len_buckets": 4,
+        "top_collocations": 50,
+        "lang_confusion_cells": 10,
+        "novelty_batches": 16,
     }
 
 
@@ -294,6 +298,8 @@ def test_event_analytics_example_runs(spark):
         "cohort_cells": 5,
         "active_days": 30,
         "transition_pairs": 25,
+        "latency_cohorts": 1,
+        "cusum_rows": 3600,
     }
 
 
