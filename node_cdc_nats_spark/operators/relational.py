@@ -1352,25 +1352,38 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism recipe as `collocation_lift_topk` applied to a
     TRANSACTIONAL self-join instead of a text explode.
 
-    Plan: distinct (order, part) — one shuffle with map-side dedup — then
-    a self-equi-join ON THE ORDER KEY whose per-key fan-out is bounded by
-    basket size (a TPC-H order holds ≤7 lines, so pairs/order ≤ 21 — the
-    join output is a small constant × lineitem, linear at 100 TB); the
-    pair census collapses via partial aggregation and is floored at
-    count ≥ 2 BEFORE the two per-part-count joins (both
-    unhinted — the per-part table is SF-proportional, AQE decides); the
-    order total is a 1-row scalar broadcast and the top-50 is
-    TakeOrderedAndProject with a (part_a, part_b) tiebreak — never a
-    global sort."""
+    Plan: the corpus pays ONE exchange — a per-order collect_set that
+    reduces each basket to its sorted distinct-part array (≤7 elements in
+    TPC-H, so state per key is a constant) — and every downstream relation
+    derives from that grouped frame: pairs explode MAP-SIDE from the
+    sorted array (x<y for free, ≤21 structs per order — a self-join
+    formulation would rescan lineitem for each role instead), per-part
+    order counts explode the same arrays, and the order total is the
+    grouped frame's 1-row count (scalar broadcast). The pair census is
+    floored at count ≥ 2 BEFORE the two per-part-count joins (both
+    unhinted — the per-part table is SF-proportional, AQE decides), and
+    the top-50 is TakeOrderedAndProject with a (part_a, part_b) tiebreak
+    — never a global sort."""
     li = load_table(spark, sf_dir, "lineitem")
-    lp = li.select("l_orderkey", "l_partkey").distinct()
-    n = lp.agg(F.count_distinct("l_orderkey").alias("n_orders"))
-    per_part = lp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    a = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
-    b = lp.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    g = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .select("parts")
+    )
+    n = g.agg(F.count(F.lit(1)).alias("n_orders"))
+    per_part = (
+        g.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pair_structs = F.expr(
+        "flatten(transform(parts, (x, i) -> "
+        "transform(slice(parts, i + 2, size(parts)), "
+        "y -> struct(x as part_a, y as part_b))))"
+    )
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
+        g.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= BASKET_MIN_COUNT)

@@ -125,7 +125,7 @@ SHOWCASE = [
     ),
     (
         "orders_market_basket",
-        "Basket mining: distinct (order, part) self-equi-joins ON THE ORDER KEY (fan-out bounded by basket size ≤7), the pair census partial-aggregates and is count-floored before the per-part joins; top-50 via TakeOrderedAndProject.",
+        "Basket mining: ONE per-order collect_set exchange reduces each basket to its sorted part array; pairs explode MAP-SIDE (≤21 per order), the pair census partial-aggregates and is count-floored before the per-part joins; top-50 via TakeOrderedAndProject.",
     ),
     (
         "events_hourly_cusum",

@@ -776,12 +776,15 @@ def test_hourly_cusum_census_then_grid(spark):
     assert "ReadSchema: struct<ts:timestamp" in plan
 
 
-def test_market_basket_hash_keyed_and_topk(spark):
-    # The self-join must be an equi-join on the order key (per-key fan-out
-    # bounded by basket size); the only nested loop is the 1-row order
-    # total; top-50 is TakeOrderedAndProject, never a global sort.
+def test_market_basket_collects_baskets_and_topk(spark):
+    # Baskets reduce via per-order collect_set (pairs then explode
+    # map-side from the sorted array — no order-key self-join rescanning
+    # lineitem per role); the only nested loop is the 1-row order total;
+    # top-50 is TakeOrderedAndProject, never a global sort.
     plan = _plan(spark, "orders_market_basket")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "collect_set" in plan
+    assert "SortMergeJoin" not in plan  # no corpus self-join anywhere
     assert "TakeOrderedAndProject" in plan
     assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>" in plan
