@@ -112,6 +112,8 @@ HEADLINE = [
     "knn_label_purity",
     "events_hourly_cusum",
     "orders_market_basket",
+    "dedup_minhash_calibration",
+    "embed_drift_by_batch",
 ]
 
 

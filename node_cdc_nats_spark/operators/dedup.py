@@ -1032,3 +1032,115 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "content_hash", "bloom_hit", F.lit(False).alias("confirmed_dup")
     )
     return hits.unionByName(misses)
+
+
+def _sql_minhash_sig() -> str:
+    """DuckDB mirror of the 24-column minhash signature as ONE list —
+    the per-position view `_sql_minhash_band_union` folds into band keys."""
+    def mh(i: int) -> str:
+        a, b = MH_COEFFS[i]
+        return (
+            f"LIST_MIN(LIST_TRANSFORM(hl, x -> "
+            f"({a} * (x % {_MH_P}) + {b}) % {_MH_P}))"
+        )
+
+    return "[" + ", ".join(mh(i) for i in range(MINHASH_K)) + "]"
+
+
+@register(
+    "dedup_minhash_calibration",
+    oracle=f"""
+    WITH sh_docs AS ({_SQL_HASHED_SHINGLED_DOCS}),
+    sigs AS (SELECT doc_id, hl, {_sql_minhash_sig()} AS sig FROM sh_docs),
+    bands AS ({_sql_minhash_band_union()}),
+    kept AS (SELECT band, mh FROM bands GROUP BY band, mh
+             HAVING COUNT(*) BETWEEN 2 AND {MINHASH_BUCKET_CAP}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN kept k ON a.band = k.band AND a.mh = k.mh
+      JOIN bands b ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(LEN(LIST_FILTER(RANGE(1, {MINHASH_K + 1}),
+                                i -> sa.sig[i] = sb.sig[i])) AS BIGINT)
+             AS n_agree,
+           CAST(LEN(LIST_FILTER(RANGE(1, {MINHASH_K + 1}),
+                                i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+             / {MINHASH_K}.0 AS est_jaccard,
+           CAST(LEN(LIST_INTERSECT(sa.hl, sb.hl)) AS DOUBLE)
+             / (LEN(sa.hl) + LEN(sb.hl) - LEN(LIST_INTERSECT(sa.hl, sb.hl)))
+             AS true_jaccard,
+           ABS(CAST(LEN(LIST_FILTER(RANGE(1, {MINHASH_K + 1}),
+                                    i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+                 / {MINHASH_K}.0
+               - CAST(LEN(LIST_INTERSECT(sa.hl, sb.hl)) AS DOUBLE)
+                 / (LEN(sa.hl) + LEN(sb.hl) - LEN(LIST_INTERSECT(sa.hl, sb.hl))))
+             AS abs_err
+    FROM cand
+    JOIN sigs sa ON sa.doc_id = doc_a
+    JOIN sigs sb ON sb.doc_id = doc_b
+    """,
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit for the MinHash pipeline: for every LSH
+    candidate pair, the signature-agreement estimate of Jaccard
+    (n_agree/24) next to the exact hashed-shingle Jaccard and their
+    absolute error — the "measure, don't guess" table that tells a data
+    team whether K=24 is enough signature for their threshold before they
+    trust `dedup_minhash`'s candidates at 100 TB (E[est] = true Jaccard;
+    spread at K=24 is ±~0.10, which this table shows empirically on the
+    live corpus, not from the textbook formula).
+
+    Plan: identical candidate generation to `dedup_minhash` (banded
+    buckets, MINHASH_BUCKET_CAP, pairs explode from capped bucket
+    arrays), then the same two signature-table joins the verify step
+    pays — the estimate adds a zip_with over two 24-element arrays, a
+    few ns per pair. Determinism: n_agree is an integer, both ratios are
+    single divisions, and the error is one subtraction of two such
+    doubles — identical expression shape in both engines."""
+    hashed = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", hashed_shingles_udf().alias("hs"))
+        .select("doc_id", F.col("hs.hl").alias("hl"), F.col("hs.sig").alias("sig"))
+        .persist()
+    )
+    bands = hashed.select(
+        "doc_id", F.posexplode(band_values(F.col("sig"))).alias("band", "mh")
+    )
+    buckets = (
+        bands.groupBy("band", "mh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= MINHASH_BUCKET_CAP))
+    )
+    cand = (
+        buckets.select(F.explode(bucket_pairs(F.col("ds"))).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
+    )
+    sa = hashed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hl").alias("hl_a"), F.col("sig").alias("sig_a"),
+    )
+    sb = hashed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hl").alias("hl_b"), F.col("sig").alias("sig_b"),
+    )
+    n_agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    ).cast("long")
+    inter = F.size(F.array_intersect("hl_a", "hl_b"))
+    true_j = inter.cast("double") / (F.size("hl_a") + F.size("hl_b") - inter)
+    est_j = n_agree.cast("double") / F.lit(float(MINHASH_K))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            n_agree.alias("n_agree"),
+            est_j.alias("est_jaccard"),
+            true_j.alias("true_jaccard"),
+            F.abs(est_j - true_j).alias("abs_err"),
+        )
+    )

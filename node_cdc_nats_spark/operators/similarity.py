@@ -989,3 +989,87 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "embed_drift_by_batch",
+    oracle=f"""
+    WITH e AS (
+      SELECT STRPOS('0123456789abcdef',
+                    SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1 AS batch,
+             UNNEST(RANGE(0, LEN(embedding))) AS pos,
+             UNNEST(LIST_TRANSFORM(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_CENTROID_SCALE}) AS BIGINT)))
+               AS q
+      FROM embeddings),
+    bp AS (
+      SELECT batch, pos,
+             CAST(SUM(q) AS DECIMAL(38,0)) AS sq,
+             CAST(COUNT(*) AS BIGINT) AS nb
+      FROM e GROUP BY batch, pos),
+    gp AS (
+      SELECT pos, CAST(SUM(sq) AS DECIMAL(38,0)) AS gsq,
+             CAST(SUM(nb) AS BIGINT) AS gn
+      FROM bp GROUP BY pos)
+    SELECT bp.batch,
+           CAST(MAX(bp.nb) AS BIGINT) AS n_vecs,
+           CAST(SUM(ABS(bp.sq * gp.gn - gp.gsq * bp.nb)) AS DOUBLE)
+             / (CAST(MAX(bp.nb) AS DOUBLE) * CAST(MAX(gp.gn) AS DOUBLE)
+                * {_CENTROID_SCALE}) AS l1_drift
+    FROM bp JOIN gp ON gp.pos = bp.pos
+    GROUP BY bp.batch
+    ORDER BY bp.batch
+    """,
+)
+def embed_drift_by_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift per ingest batch: the L1 distance between each
+    batch's centroid and the corpus centroid (batches = the same
+    deterministic md5-nibble 16-way split the incremental ingest ops
+    use) — the monitoring table behind "the new crawl's embeddings moved;
+    re-check the encoder / re-train the IVF centroids before routing with
+    them".
+
+    Determinism without float drift: per-(batch, dim) sums are integer
+    micro-units (order-independent), the deviation |sq·N − gsq·n_b| stays
+    an exact DECIMAL integer cross-multiplication (no per-dim division),
+    the per-batch L1 numerator is an exact decimal SUM over dims, and
+    exactly ONE double division happens per output row. Plan: posexplode
+    map-side → (batch, pos) census (|batches|·dim groups, map-side
+    partials — the only corpus-sized exchange) → global census derived
+    from the batch census (1024 rows), pos-keyed join and final 16-row
+    aggregate all census-sized."""
+    from .pipeline import _b16_spark
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.floor(F.col("x").cast("double") * F.lit(_CENTROID_SCALE)).cast(
+        "decimal(38,0)"
+    )
+    bp = (
+        e.select(
+            _b16_spark("vec_id").alias("batch"),
+            F.posexplode("embedding").alias("pos", "x"),
+        )
+        .select("batch", "pos", q.alias("q"))
+        .groupBy("batch", "pos")
+        .agg(F.sum("q").alias("sq"), F.count(F.lit(1)).alias("nb"))
+    )
+    gp = bp.groupBy("pos").agg(
+        F.sum("sq").alias("gsq"), F.sum("nb").alias("gn")
+    )
+    dev = F.abs(F.col("sq") * F.col("gn") - F.col("gsq") * F.col("nb"))
+    return (
+        bp.join(gp, "pos")
+        .groupBy("batch")
+        .agg(
+            F.max("nb").alias("n_vecs"),
+            (
+                F.sum(dev).cast("double")
+                / (
+                    F.max("nb").cast("double")
+                    * F.max("gn").cast("double")
+                    * F.lit(_CENTROID_SCALE)
+                )
+            ).alias("l1_drift"),
+        )
+        .orderBy("batch")
+    )

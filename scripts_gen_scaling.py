@@ -66,6 +66,7 @@ DOC_BOUND = [
     "lang_confusion_matrix",
     "seq_len_histogram",
     "collocation_lift_topk",
+    "dedup_minhash_calibration",
 ]
 # The embedding-reading ops (r5): the adaptive-planes claim on
 # dedup_embedding_cosine ("EMBED_BUCKET_CAP only ever trims degenerate
@@ -82,6 +83,7 @@ EMB_BOUND = [
     "embed_norm_quantize",
     "embed_label_centroids",
     "knn_label_purity",
+    "embed_drift_by_batch",
 ]
 # The fact-bound ops (r5): the TPC-H flagships' 100 TB story was argued
 # from plan shape but only measured to sf0.1; a true sf1-equivalent

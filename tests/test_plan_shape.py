@@ -788,3 +788,24 @@ def test_market_basket_collects_baskets_and_topk(spark):
     assert "SortMergeJoin" not in plan  # no corpus self-join anywhere
     assert "TakeOrderedAndProject" in plan
     assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>" in plan
+
+
+def test_minhash_calibration_capped_buckets(spark):
+    # Candidate generation must be the same capped banded-bucket pattern
+    # as dedup_minhash: pairs explode from collect_list'ed bucket arrays,
+    # never an uncapped signature self-join.
+    plan = _plan(spark, "dedup_minhash_calibration")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "collect_list" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_embed_drift_single_corpus_exchange(spark):
+    # The only corpus-sized exchange is the (batch, pos) census; the
+    # global census, pos join, and 16-row final agg are census-sized.
+    plan = _plan(spark, "embed_drift_by_batch")
+    assert "Join" in plan  # pos-keyed census join
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # map-side posexplode
+    assert plan.count("HashAggregate") >= 4
