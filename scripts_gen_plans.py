@@ -135,6 +135,10 @@ SHOWCASE = [
         "embed_label_centroids",
         "Centroids without float drift: map-side posexplode + integer micro-unit quantization, then a single (label, pos) exchange with map-side partials — |labels|·dim rows per task regardless of corpus size.",
     ),
+    (
+        "dedup_minhash_calibration",
+        "Estimator audit on the live candidate set: the same capped banded-bucket candidate generation as dedup_minhash, then signature-agreement estimate vs exact hashed-shingle Jaccard in one pass over the pair joins.",
+    ),
 ]
 
 

@@ -809,3 +809,13 @@ def test_embed_drift_single_corpus_exchange(spark):
     assert "CartesianProduct" not in plan
     assert "Generate" in plan  # map-side posexplode
     assert plan.count("HashAggregate") >= 4
+
+
+def test_tfidf_single_tf_materialization(spark):
+    # df must be a token-partitioned window over the ONE tf relation —
+    # never a groupBy+join-back that re-executes the corpus explode for
+    # the df side; n_docs comes from a plain documents count, so the
+    # explode (Generate) appears exactly once in the plan.
+    plan = _plan(spark, "tfidf_topk_terms")
+    assert plan.count("Generate") == 1
+    assert plan.count("Window") >= 2  # token df window + doc rank window
