@@ -30,7 +30,16 @@ from .oracle_diff import compare
 
 registry.load_all()
 
-SUSPECTS = ("q12_late_priority", "sessionize_events", "funnel_conversion")
+SUSPECTS = (
+    "q12_late_priority",
+    "sessionize_events",
+    "funnel_conversion",
+    # r6 timestamp-heavy additions: date_trunc('week'/'hour') over the NTZ
+    # ts plus decimal-windowed sums — the same sensitivity classes, killed
+    # by the same measurement before any driver round can sample them.
+    "funnel_latency_stats",
+    "events_hourly_cusum",
+)
 
 
 @pytest.mark.parametrize("name", SUSPECTS)
