@@ -114,6 +114,7 @@ HEADLINE = [
     "orders_market_basket",
     "dedup_minhash_calibration",
     "embed_drift_by_batch",
+    "orders_cohort_ltv",
 ]
 
 

@@ -1403,3 +1403,100 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("lift").desc(), "part_a", "part_b").limit(50)
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_custkey, o_totalprice,
+             DATE_TRUNC('month', o_orderdate) AS order_m,
+             DATE_TRUNC('month', MIN(o_orderdate)
+               OVER (PARTITION BY o_custkey)) AS cohort_m
+      FROM orders),
+    aged AS (
+      SELECT o_custkey, o_totalprice, cohort_m,
+             (YEAR(order_m) - YEAR(cohort_m)) * 12
+               + (MONTH(order_m) - MONTH(cohort_m)) AS age_months
+      FROM base),
+    census AS (
+      SELECT cohort_m, age_months,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             {sql_dsum('o_totalprice')} AS revenue
+      FROM aged GROUP BY cohort_m, age_months),
+    actives AS (
+      SELECT cohort_m, age_months, CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM (SELECT DISTINCT cohort_m, age_months, o_custkey FROM aged)
+      GROUP BY cohort_m, age_months)
+    SELECT c.cohort_m, c.age_months, c.n_orders, a.n_active, c.revenue,
+           c.revenue / CAST(a.n_active AS DOUBLE) AS revenue_per_active
+    FROM census c JOIN actives a
+      ON a.cohort_m = c.cohort_m AND a.age_months = c.age_months
+    ORDER BY c.cohort_m, c.age_months
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value triangle: orders bucketed by the
+    customer's first-order month (the acquisition cohort) × months since
+    that first order, with order counts, distinct active customers, and
+    decimal-exact revenue per cell — the transactional twin of
+    `retention_cohorts` and the table every LTV / payback-period model
+    reads.
+
+    Plan: ONE customer-keyed window shuffle assigns the cohort month
+    (the window MIN needs no ordering — it is the partition MIN, so the
+    window state is one date per customer); month age is integer
+    year/month arithmetic (no interval semantics to diverge
+    cross-engine). The per-customer-cell aggregate then groups by
+    (cohort, age, custkey) WITHOUT a new exchange — custkey partitioning
+    already co-locates every such group (clustering on a superset of the
+    partitioning keys) — and the final (cohort, age) census folds order
+    counts, DECIMAL revenue, and the distinct-active count (each
+    customer-cell row IS one active customer — the two-level
+    dedup-then-count with no Expand and no join) in one more exchange.
+    Two exchanges, one scan, zero joins. Revenue is DECIMAL-accumulated
+    (operators/exact.py) so cells are bit-stable under AQE
+    re-partitioning; the only double division is revenue/n_active."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey")
+    aged = o.select(
+        "o_custkey",
+        "o_totalprice",
+        F.trunc(F.col("o_orderdate"), "month").alias("order_m"),
+        F.trunc(F.min("o_orderdate").over(w), "month").alias("cohort_m"),
+    ).select(
+        "o_custkey",
+        "o_totalprice",
+        "cohort_m",
+        (
+            (F.year("order_m") - F.year("cohort_m")) * 12
+            + (F.month("order_m") - F.month("cohort_m"))
+        ).alias("age_months"),
+    )
+    per_cust_cell = aged.groupBy("cohort_m", "age_months", "o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"),
+    )
+    return (
+        per_cust_cell.groupBy("cohort_m", "age_months")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum("rev_dec").cast("double").alias("revenue"),
+        )
+        .select(
+            "cohort_m",
+            "age_months",
+            "n_orders",
+            "n_active",
+            "revenue",
+            (F.col("revenue") / F.col("n_active").cast("double")).alias(
+                "revenue_per_active"
+            ),
+        )
+        .orderBy("cohort_m", "age_months")
+    )

@@ -120,9 +120,11 @@ FACT_BOUND = [
     "agg_histogram",
     # r6 addition (events-bound; shares funnel_conversion's window spec)
     "funnel_latency_stats",
-    # r6 additions (events-bound dense-grid CUSUM; lineitem basket mining)
+    # r6 additions (events-bound dense-grid CUSUM; lineitem basket mining;
+    # orders-bound LTV triangle)
     "events_hourly_cusum",
     "orders_market_basket",
+    "orders_cohort_ltv",
 ]
 
 

@@ -819,3 +819,14 @@ def test_tfidf_single_tf_materialization(spark):
     plan = _plan(spark, "tfidf_topk_terms")
     assert plan.count("Generate") == 1
     assert plan.count("Window") >= 2  # token df window + doc rank window
+
+
+def test_cohort_ltv_one_customer_shuffle_no_expand(spark):
+    # Cohort assignment is a partition-MIN window (one customer shuffle);
+    # both censuses and the final join are (cohort, age)-sized; distinct
+    # active customers use the two-level pattern, never Expand.
+    plan = _plan(spark, "orders_cohort_ltv")
+    assert "Expand" not in plan
+    assert plan.count("Exchange hashpartitioning(o_custkey") == 1
+    assert "Window" in plan
+    assert plan.count("HashAggregate") >= 4

@@ -119,6 +119,7 @@ def test_green_demotion_lists_are_sound():
         "funnel_latency_stats", "knn_label_purity",
         "events_hourly_cusum", "orders_market_basket",
         "dedup_minhash_calibration", "embed_drift_by_batch",
+        "orders_cohort_ltv",
     }
     assert changed_in_r6 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
