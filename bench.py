@@ -115,6 +115,8 @@ HEADLINE = [
     "dedup_minhash_calibration",
     "embed_drift_by_batch",
     "orders_cohort_ltv",
+    "events_user_concentration",
+    "embed_recall_at_k",
 ]
 
 

@@ -577,3 +577,90 @@ def events_hourly_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "hour", "n_events", "cusum")
         .orderBy("event_type", "hour")
     )
+
+
+@register(
+    "events_user_concentration",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id),
+    census AS (
+      SELECT cnt, CAST(COUNT(*) AS BIGINT) AS n_users FROM pu GROUP BY cnt),
+    c2 AS (
+      SELECT cnt, n_users, CAST(cnt * n_users AS BIGINT) AS n_events
+      FROM census)
+    SELECT cnt AS events_per_user, n_users, n_events,
+           CAST(CAST(SUM(n_users) OVER (
+                  ORDER BY cnt DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS DOUBLE)
+             / CAST(CAST(SUM(n_users) OVER (
+                  ORDER BY cnt DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND UNBOUNDED FOLLOWING) AS BIGINT) AS DOUBLE)
+             AS cum_users_share,
+           CAST(CAST(SUM(n_events) OVER (
+                  ORDER BY cnt DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS DOUBLE)
+             / CAST(CAST(SUM(n_events) OVER (
+                  ORDER BY cnt DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND UNBOUNDED FOLLOWING) AS BIGINT) AS DOUBLE)
+             AS cum_events_share
+    FROM c2
+    ORDER BY events_per_user DESC
+    """,
+)
+def events_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration (Lorenz) census: how much of the event volume
+    the most-active users account for. For every distinct events-per-user
+    value, the number of users at that activity level and the CUMULATIVE
+    share of users/events at-or-above it — the "top 1% of users generate
+    X% of traffic" power curve that sizes per-user state stores, salting
+    thresholds, and rate limits.
+
+    The naive spelling (NTILE over all users ordered by activity) needs a
+    GLOBAL sort of the per-user aggregate — a single-task bottleneck at
+    10^9 users. This is its scalable spelling: the user census collapses
+    to an ACTIVITY-VALUE census first (bounded by the most active user's
+    count, ~hundreds of distinct values regardless of corpus size), and
+    the Lorenz cumulative runs over that tiny census. Plan: one
+    corpus-sized shuffle on user_id with map-side partials, one user-sized
+    census shuffle on cnt, then ONE single-partition Window operator
+    (bounded, deliberate) that computes both the running and the
+    full-frame totals — same partition/order spec, so Spark fuses all
+    four window expressions and the census is scanned once, no total-row
+    join anywhere.
+
+    Determinism: every count and cumulative is exact integer arithmetic;
+    the only doubles are the two final divisions per output row (exact
+    int→double conversions below 2^53, IEEE division — bit-identical in
+    DuckDB). Ties are impossible: ``cnt`` is the census key.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    census = (
+        per_user.groupBy("cnt")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .withColumn("n_events", F.col("cnt") * F.col("n_users"))
+    )
+    w_run = Window.orderBy(F.col("cnt").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.orderBy(F.col("cnt").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        census.select(
+            F.col("cnt").alias("events_per_user"),
+            "n_users",
+            "n_events",
+            (
+                F.sum("n_users").over(w_run).cast("double")
+                / F.sum("n_users").over(w_all).cast("double")
+            ).alias("cum_users_share"),
+            (
+                F.sum("n_events").over(w_run).cast("double")
+                / F.sum("n_events").over(w_all).cast("double")
+            ).alias("cum_events_share"),
+        )
+        .orderBy(F.col("events_per_user").desc())
+    )

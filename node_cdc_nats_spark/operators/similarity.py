@@ -1073,3 +1073,88 @@ def embed_drift_by_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch")
     )
+
+
+@register(
+    "embed_recall_at_k",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {sql_lsh_bucket('embedding')} AS bucket,
+             {sql_norm('embedding')} AS nrm
+      FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qe, bucket, nrm AS qn
+          FROM b WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cid, embedding AS ce, bucket, nrm AS cn
+          FROM b WHERE vec_id >= 5),
+    exact_ranked AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {sql_cosine_pre('q.qe', 'c.ce', 'q.qn', 'c.cn')} DESC,
+                          c.cid) AS rn
+        FROM q CROSS JOIN c) WHERE rn <= {TOP_K}),
+    ann_ranked AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {sql_cosine_pre('q.qe', 'c.ce', 'q.qn', 'c.cn')} DESC,
+                          c.cid) AS rn
+        FROM q JOIN c ON q.bucket = c.bucket) WHERE rn <= {TOP_K}),
+    base AS (
+      SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM exact_ranked GROUP BY qid),
+    hits AS (
+      SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM exact_ranked e JOIN ann_ranked a
+        ON a.qid = e.qid AND a.cid = e.cid
+      GROUP BY e.qid)
+    SELECT base.qid, base.n_exact,
+           CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(hits.n_hits, 0) AS DOUBLE)
+             / CAST(base.n_exact AS DOUBLE) AS recall_at_k
+    FROM base LEFT JOIN hits ON hits.qid = base.qid
+    ORDER BY base.qid
+    """,
+)
+def embed_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality audit: recall@k of the LSH-bucketed search
+    (`ann_lsh_topk`) against the exact brute-force baseline (`sim_topk`),
+    per query. This is the evaluation gate every approximate index ships
+    behind — "the cheap path returns X% of the true neighbors" — and it
+    composes the two registered operators directly, so the number audited
+    is the number served.
+
+    Scale: the exact side costs one candidate scan per PROBE (the probe
+    set is a bounded sample — 5 here, a few thousand in production —
+    never the corpus), the ANN side is bucket-bounded, and everything
+    downstream of the two top-k results is k·|probes|-sized. Recall
+    audits at 100 TB run exactly this shape: sampled probes, full-scan
+    truth for the sample only.
+
+    Determinism: set membership only — both sides rank bit-identical
+    left-fold cosines with a unique ``cid`` tie-break (the same ranking
+    the two source operators' oracles verify), and recall is an exact
+    integer count divided once."""
+    exact = sim_topk(spark, sf_dir).select("qid", "cid")
+    ann = ann_lsh_topk(spark, sf_dir).select("qid", "cid")
+    base = exact.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = (
+        exact.join(ann, ["qid", "cid"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        base.join(hits, "qid", "left")
+        .select(
+            "qid",
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall_at_k"),
+        )
+        .orderBy("qid")
+    )

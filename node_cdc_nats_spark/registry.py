@@ -87,6 +87,8 @@ _VERIFY_HEAD = (
     "dedup_minhash_calibration", # est-vs-true Jaccard audit on candidates
     "embed_drift_by_batch",      # per-ingest-batch centroid L1 drift
     "orders_cohort_ltv",         # acquisition-cohort LTV revenue triangle
+    "events_user_concentration", # Lorenz activity-concentration census
+    "embed_recall_at_k",         # ANN recall@k audit vs brute-force truth
 )
 
 
@@ -94,7 +96,7 @@ _VERIFY_HEAD = (
 # evidence first. After r5 the freshest rows are the r5 sample (its
 # 41-op head + the first 9 r1-era aggregates); the oldest remaining
 # evidence is r1 (23 ops), then r2 (9), then r3 (30). Round 6's 50 slots
-# cover head 37 + unlisted 0 + the first 13 of r1; the r1 tail, r2, r3,
+# cover head 39 + unlisted 0 + the first 11 of r1; the r1 tail, r2, r3,
 # and the r4/r5 blocks carry fresher evidence and wait for r7.
 _R1_GREEN_SAFE = (
     "date_ops", "filter_predicate", "join_cross",

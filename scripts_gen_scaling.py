@@ -84,6 +84,7 @@ EMB_BOUND = [
     "embed_label_centroids",
     "knn_label_purity",
     "embed_drift_by_batch",
+    "embed_recall_at_k",
 ]
 # The fact-bound ops (r5): the TPC-H flagships' 100 TB story was argued
 # from plan shape but only measured to sf0.1; a true sf1-equivalent
@@ -125,6 +126,8 @@ FACT_BOUND = [
     "events_hourly_cusum",
     "orders_market_basket",
     "orders_cohort_ltv",
+    # r6 addition (events-bound; activity-value census + Lorenz window)
+    "events_user_concentration",
 ]
 
 

@@ -516,6 +516,9 @@ _CARTESIAN_OK = {
     # calendar-bounded types×hours grid (both sides tiny; hours grow with
     # TIME, not data volume)
     "events_hourly_cusum",
+    # composes sim_topk's bounded-probe cross join (5 probes × corpus —
+    # the exact-truth side of the recall audit, probe-budget bounded)
+    "embed_recall_at_k",
 }
 
 
@@ -830,3 +833,27 @@ def test_cohort_ltv_one_customer_shuffle_no_expand(spark):
     assert plan.count("Exchange hashpartitioning(o_custkey") == 1
     assert "Window" in plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_user_concentration_census_collapse_no_global_user_sort(spark):
+    # The Lorenz cumulative must run over the ACTIVITY-VALUE census, never
+    # a global sort of per-user rows: exactly two hash exchanges (user_id
+    # census, cnt census) feed the single-partition window, and the only
+    # range partitioning is the final census-sized ORDER BY.
+    plan = _plan(spark, "events_user_concentration")
+    assert "Expand" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert plan.count("Exchange hashpartitioning(cnt") == 1
+    assert "Window" in plan
+    assert "NTILE" not in plan.upper()
+
+
+def test_recall_audit_composes_exact_and_lsh_sides(spark):
+    # The truth side is the bounded-probe cross join (5 probes broadcast),
+    # the ANN side a bucket equi-join; the recall reduction downstream is
+    # k-by-probes sized. No Python in the final plan beyond the signature
+    # pandas_udf the ANN operator already carries.
+    plan = _plan(spark, "embed_recall_at_k")
+    assert "BroadcastNestedLoopJoin" in plan  # bounded probe cross join
+    assert "BroadcastHashJoin" in plan  # LSH bucket equi-join (ann side)
+    assert "BatchEvalPython" not in plan

@@ -120,6 +120,10 @@ def test_green_demotion_lists_are_sound():
         "events_hourly_cusum", "orders_market_basket",
         "dedup_minhash_calibration", "embed_drift_by_batch",
         "orders_cohort_ltv",
+        # Lorenz activity-concentration census (no global user sort)
+        "events_user_concentration",
+        # ANN recall@k audit: LSH top-k vs brute-force truth
+        "embed_recall_at_k",
     }
     assert changed_in_r6 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
