@@ -139,6 +139,18 @@ SHOWCASE = [
         "dedup_minhash_calibration",
         "Estimator audit on the live candidate set: the same capped banded-bucket candidate generation as dedup_minhash, then signature-agreement estimate vs exact hashed-shingle Jaccard in one pass over the pair joins.",
     ),
+    (
+        "orders_cohort_ltv",
+        "LTV triangle with zero joins: cohort assignment is a partition-MIN inside the one o_custkey exchange, the (cohort, age) census reduces from it, and distinct active customers use the two-level pattern — no Expand anywhere.",
+    ),
+    (
+        "events_user_concentration",
+        "Lorenz power curve without a global user sort: the per-user census collapses to an activity-VALUE census (bounded by max activity, not user count), and ONE fused single-partition Window computes running + full-frame totals over census-sized input.",
+    ),
+    (
+        "embed_recall_at_k",
+        "ANN recall audit: the exact-truth side is a bounded-probe BroadcastNestedLoopJoin (5 probes × candidates), the ANN side the LSH bucket equi-join; everything downstream of the two top-k windows is k·|probes|-sized.",
+    ),
 ]
 
 

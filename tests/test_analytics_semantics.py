@@ -222,3 +222,22 @@ def test_rolling_active_users_window_edges(spark, tmp_path):
     # events (once); day7 window [day1, day7] sees both users' day-7
     # events but NOT user 1's day-0 activity (6-day trailing bound).
     assert got == {"2024-01-01": 1, "2024-01-08": 2}
+
+
+def test_user_concentration_lorenz_shares(spark, tmp_path):
+    """Hand-built skew: user 1 fires 3 events, users 2 and 3 one each.
+    Census rows descend by activity; cumulative shares are exact
+    integer ratios (top user = 1/3 of users, 3/5 of events)."""
+    def ev(i, uid):
+        return (i, T0 + dt.timedelta(seconds=i), uid, "click", 0.0)
+
+    d = _write_events(tmp_path, [ev(1, 1), ev(2, 1), ev(3, 1), ev(4, 2), ev(5, 3)])
+    rows = [
+        (r["events_per_user"], r["n_users"], r["n_events"],
+         r["cum_users_share"], r["cum_events_share"])
+        for r in registry.QUERIES["events_user_concentration"](spark, d).collect()
+    ]
+    assert rows == [
+        (3, 1, 3, 1.0 / 3.0, 3.0 / 5.0),
+        (1, 2, 2, 1.0, 1.0),
+    ]
