@@ -21,6 +21,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict[str, int]:
     from node_cdc_nats_spark.operators.analytics import (
         events_hourly_cusum,
         events_transition_matrix,
+        events_user_concentration,
         funnel_conversion,
         funnel_latency_stats,
         retention_cohorts,
@@ -44,6 +45,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict[str, int]:
     latency = funnel_latency_stats(spark, sf_dir)
     # CUSUM drift over the dense hourly type-rate grid (r6).
     cusum = events_hourly_cusum(spark, sf_dir)
+    # Lorenz activity-concentration census — the power curve that sizes
+    # per-user state and salting thresholds (r6).
+    concentration = events_user_concentration(spark, sf_dir)
     return {
         "sessions": sessions.count(),
         "n_signup": funnel.n_signup,
@@ -54,6 +58,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict[str, int]:
         "active_days": actives.count(),
         "latency_cohorts": latency.count(),
         "cusum_rows": cusum.count(),
+        "activity_levels": concentration.count(),
     }
 
 

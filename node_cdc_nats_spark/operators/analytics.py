@@ -664,3 +664,66 @@ def events_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("events_per_user").desc())
     )
+
+
+CHURN_DAYS = 14  # inactivity horizon: no event in the trailing 14 days
+
+
+@register(
+    "events_inactivity_churn",
+    oracle=f"""
+    WITH lastev AS (
+      SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY user_id),
+    horizon AS (SELECT MAX(last_ts) AS max_ts FROM lastev),
+    census AS (
+      SELECT CAST(DATE_TRUNC('week', last_ts) AS DATE) AS last_week,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(CASE WHEN last_ts < max_ts - INTERVAL {CHURN_DAYS} DAY
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+      FROM lastev CROSS JOIN horizon
+      GROUP BY 1)
+    SELECT last_week, n_users, n_churned,
+           CAST(n_churned AS DOUBLE) / CAST(n_users AS DOUBLE) AS churn_rate
+    FROM census ORDER BY last_week
+    """,
+)
+def events_inactivity_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity churn census: a user is churned when their LAST event
+    is more than 14 days before the corpus's latest activity (the
+    observation horizon — never wall-clock now(), which would make the
+    result nondeterministic). Users are bucketed by the Monday-anchored
+    week they were last seen, with the churned count and rate per bucket
+    — the weekly at-risk report behind re-engagement campaigns.
+
+    Plan: the corpus collapses to one per-user MAX in a single user_id
+    shuffle with map-side partials; the horizon is a 1-row aggregate of
+    the user-level relation broadcast back (same pattern as q15's max
+    and the Bloom bitmap); the week census groups user-sized input into
+    calendar-bounded buckets. Determinism: timestamp comparisons are
+    NTZ wall-clock in both engines, counts are exact integers, and
+    ``churn_rate`` is one int→double division per output row."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    lastev = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    horizon = lastev.agg(F.max("last_ts").alias("max_ts"))
+    churned = (
+        F.col("last_ts")
+        < F.col("max_ts") - F.expr(f"INTERVAL {CHURN_DAYS} DAYS")
+    ).cast("long")
+    census = (
+        lastev.crossJoin(F.broadcast(horizon))
+        .groupBy(
+            F.date_trunc("week", F.col("last_ts")).cast("date").alias("last_week")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(churned).alias("n_churned"),
+        )
+    )
+    return census.select(
+        "last_week",
+        "n_users",
+        "n_churned",
+        (
+            F.col("n_churned").cast("double") / F.col("n_users").cast("double")
+        ).alias("churn_rate"),
+    ).orderBy("last_week")

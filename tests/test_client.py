@@ -300,6 +300,7 @@ def test_event_analytics_example_runs(spark):
         "transition_pairs": 25,
         "latency_cohorts": 1,
         "cusum_rows": 3600,
+        "activity_levels": 13,
     }
 
 
