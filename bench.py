@@ -117,6 +117,7 @@ HEADLINE = [
     "orders_cohort_ltv",
     "events_user_concentration",
     "embed_recall_at_k",
+    "events_inactivity_churn",
 ]
 
 

@@ -37,72 +37,33 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# Absolute head of round 6's verification order: the three r5 CORRECTNESS
-# hash-fails whose oracles were redefined this round (root cause: DuckDB
-# SUM(int) → HUGEINT → pandas float64 vs Spark int64 under the driver's
-# dtype-sensitive hash; fixed with CAST(... AS BIGINT)), plus every op
-# whose code or oracle changed in r6, so the driver re-earns those greens
-# against current definitions.
+# Absolute head of round 7's verification order: every op whose code or
+# oracle changed in r7 (perf reworks keep their oracles but must re-earn
+# greens against the new plans), plus any brand-new r7 ops. Kept small on
+# purpose this round so the 50-slot budget reaches deep into the stale
+# r1/r2/r3 evidence (VERDICT r6 item 4).
 _VERIFY_HEAD = (
-    # r6: the r5 hash-fails, oracle sums cast to BIGINT
-    "q12_late_priority",
-    "sessionize_events",
-    "funnel_conversion",
-    # r6: oracle redefined — zero-variance NULLIF/GREATEST guard (ADVICE)
-    "agg_corr",
-    # r6: impl changed — SF-proportional broadcast pins removed
-    "join_range",
-    "q5_local_supplier_volume",
-    # r6: impl changed — kept-bucket list now an unhinted semi-join
-    "dedup_embedding_cosine",
-    # r6: impl changed — bucketed-table names digest the full sf_dir path
-    "join_bucketed",
-    # r6: impl changed — per-token surprisal hoisted to the vocab table
-    "perplexity_bucket",
-    # r6: new ops, first verification
-    "events_anomaly_zscore",     # per-type 3-sigma outlier flags
-    "tfidf_topk_terms",          # integer TF-IDF top-3 terms per doc
-    "quality_classifier_linear", # fixed-weight linear quality gate
-    "dedup_incremental",         # new-batch vs kept-corpus ingest dedup
-    "doc_chunk_overlap",         # sliding-window chunking for embedding prep
-    "layout_zorder",             # Morton-curve layout key for 2-D pruning
-    "agg_weighted_avg",          # decimal-exact weighted mean
-    "agg_string_agg",            # ordered LISTAGG (sorted-array join)
-    "orders_rfm_segments",       # RFM tercile segmentation census
-    "events_transition_matrix",  # Markov next-event census + row probs
-    "rolling_active_users",      # trailing-7-day distinct actives per day
-    "dedup_bloom_prefilter",     # broadcast-Bloom incremental-ingest screen
-    "agg_histogram",             # fixed-width profiling histogram
-    "source_dup_rate",           # per-source exact-dup telemetry
-    "ngram_novelty_curve",       # per-ingest-batch trigram novelty decay
-    "source_overlap_matrix",     # pairwise source content-overlap census
-    "lang_confusion_matrix",     # metadata-vs-heuristic language agreement
-    "seq_len_histogram",         # log2 token-length census + packing waste
-    "collocation_lift_topk",     # libm-free PMI-family collocation mining
-    "embed_label_centroids",     # order-independent per-label centroids
-    "funnel_latency_stats",      # signup->purchase latency per week cohort
-    "knn_label_purity",          # embedding label-coherence QA via LSH-kNN
-    "events_hourly_cusum",       # CUSUM drift over dense hourly rate grid
-    "orders_market_basket",      # part-pair lift mining over order baskets
-    "dedup_minhash_calibration", # est-vs-true Jaccard audit on candidates
-    "embed_drift_by_batch",      # per-ingest-batch centroid L1 drift
-    "orders_cohort_ltv",         # acquisition-cohort LTV revenue triangle
-    "events_user_concentration", # Lorenz activity-concentration census
-    "embed_recall_at_k",         # ANN recall@k audit vs brute-force truth
+    # r7: impl changed — bigram census collapsed map-side before the
+    # exchange (the 8.38×/10× SCALING fix)
+    "collocation_lift_topk",
+    # r7: impl changed — Bloom bitmap now built by a Spark aggregate
+    # (driver-side 65k-iteration Python loop removed)
+    "dedup_bloom_prefilter",
+    # r7: impl changed — staging .collect() replaced by executor-side
+    # foreachPartition writes
+    "scan_binary",
 )
 
 
 # The budgeted walk (50 driver slots per round) then refreshes the OLDEST
-# evidence first. After r5 the freshest rows are the r5 sample (its
-# 41-op head + the first 9 r1-era aggregates); the oldest remaining
-# evidence is r1 (23 ops), then r2 (9), then r3 (30). Round 6's 50 slots
-# cover head 39 + unlisted 0 + the first 11 of r1; the r1 tail, r2, r3,
-# and the r4/r5 blocks carry fresher evidence and wait for r7.
+# evidence first. Round 6's 50 slots covered its 38-op head + 1 unlisted
+# (events_inactivity_churn, caught by the safety net) + the first 11 of
+# r1. The oldest remaining evidence is r1 (12 ops), then r2 (9), then r3
+# (30). Round 7's 50 slots cover head 3 + r1 12 + r2 9 + the first 26 of
+# r3; the last 4 r3 ops and the r4/r5/r6 blocks carry the freshest
+# evidence and wait for r8.
 _R1_GREEN_SAFE = (
-    "date_ops", "filter_predicate", "join_cross",
-    "join_full", "join_inner", "join_left", "join_right",
-    "join_semi", "join_skew_salted", "join_theta",
-    "json_schema_projection", "limit", "math_ops", "project",
+    "limit", "math_ops", "project",
     "q1_pricing_summary", "q3_shipping_priority", "sort", "str_ops",
     "topk", "topk_per_group", "win_frame_sliding", "win_percent",
     "win_rank",
@@ -152,18 +113,41 @@ _R5_GREEN = (
     "q21_waiting_supplier", "q22_sales_opportunity", "q2_min_cost_supplier",
     "q11_important_stock", "q16_supplier_count", "q20_excess_stock",
     "retention_cohorts", "decontaminate_containment",
-    "bpe_pair_stats", "scan_binary", "stream_scd2", "win_range_frame",
+    "bpe_pair_stats", "stream_scd2", "win_range_frame",
     "unpivot_melt", "agg_mode", "downsample_ohlc", "dedup_span",
     "agg_count", "agg_cube", "agg_distinct", "agg_grouping_sets",
     "agg_multi", "agg_pivot", "agg_rollup", "agg_stats", "agg_sum",
+)
+# r6 greens — the r6-verified head (minus the ops redefined in r7), the
+# safety-net-caught events_inactivity_churn, and the 11 r1-era ops the r6
+# budget refreshed. Freshest evidence, verified last.
+_R6_GREEN = (
+    "q12_late_priority", "sessionize_events", "funnel_conversion",
+    "agg_corr", "join_range", "q5_local_supplier_volume",
+    "dedup_embedding_cosine", "join_bucketed", "perplexity_bucket",
+    "events_anomaly_zscore", "tfidf_topk_terms",
+    "quality_classifier_linear", "dedup_incremental", "doc_chunk_overlap",
+    "layout_zorder", "agg_weighted_avg", "agg_string_agg",
+    "orders_rfm_segments", "events_transition_matrix",
+    "rolling_active_users", "agg_histogram", "source_dup_rate",
+    "ngram_novelty_curve", "source_overlap_matrix",
+    "lang_confusion_matrix", "seq_len_histogram", "embed_label_centroids",
+    "funnel_latency_stats", "knn_label_purity", "events_hourly_cusum",
+    "orders_market_basket", "dedup_minhash_calibration",
+    "embed_drift_by_batch", "orders_cohort_ltv",
+    "events_user_concentration", "embed_recall_at_k",
+    "events_inactivity_churn",
+    "date_ops", "filter_predicate", "join_cross", "join_full",
+    "join_inner", "join_left", "join_right", "join_semi",
+    "join_skew_salted", "join_theta", "json_schema_projection",
 )
 
 
 def load_all() -> None:
     """Import every operator module so registrations run, then order the
     registry for the driver's budgeted walk (50 verification slots per
-    round, head first): round-6-redefined ops, then any unlisted op, then
-    proven greens oldest-evidence-first (r1 → r2 → r3 → r4 → r5)."""
+    round, head first): round-7-redefined ops, then any unlisted op, then
+    proven greens oldest-evidence-first (r1 → r2 → r3 → r4 → r5 → r6)."""
     from .operators import (  # noqa: F401
         dedup,
         similarity,
@@ -191,6 +175,7 @@ def load_all() -> None:
         | set(_R3_GREEN)
         | set(_R4_GREEN)
         | set(_R5_GREEN)
+        | set(_R6_GREEN)
     )
     blocks = (
         _VERIFY_HEAD,
@@ -204,6 +189,7 @@ def load_all() -> None:
         _R3_GREEN,
         _R4_GREEN,
         _R5_GREEN,
+        _R6_GREEN,
     )
     ordered: list[str] = []
     for block in blocks:

@@ -151,6 +151,10 @@ SHOWCASE = [
         "embed_recall_at_k",
         "ANN recall audit: the exact-truth side is a bounded-probe BroadcastNestedLoopJoin (5 probes × candidates), the ANN side the LSH bucket equi-join; everything downstream of the two top-k windows is k·|probes|-sized.",
     ),
+    (
+        "events_inactivity_churn",
+        "Weekly churn census: ONE user_id exchange computes per-user MAX(ts) with map-side partials; the 14-day horizon is a 1-row aggregate broadcast back (BroadcastNestedLoopJoin over one row), and the last-seen-week census groups user-sized input into calendar-bounded buckets.",
+    ),
 ]
 
 

@@ -128,6 +128,8 @@ FACT_BOUND = [
     "orders_cohort_ltv",
     # r6 addition (events-bound; activity-value census + Lorenz window)
     "events_user_concentration",
+    # r6 addition (events-bound; per-user MAX + broadcast horizon census)
+    "events_inactivity_churn",
 ]
 
 

@@ -519,6 +519,8 @@ _CARTESIAN_OK = {
     # composes sim_topk's bounded-probe cross join (5 probes × corpus —
     # the exact-truth side of the recall audit, probe-budget bounded)
     "embed_recall_at_k",
+    # 1-row horizon timestamp broadcast (the churn cutoff scalar)
+    "events_inactivity_churn",
 }
 
 

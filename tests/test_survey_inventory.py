@@ -59,7 +59,7 @@ def test_inventory_is_substantial():
 
 def test_green_demotion_lists_are_sound():
     # Every listed name must actually exist (a typo would silently waste a
-    # head slot), ops whose definition changed in round 6 must sit in the
+    # head slot), ops whose definition changed in round 7 must sit in the
     # head (their prior green rows verified old definitions), and the
     # per-round evidence lists must be mutually disjoint and cover the
     # whole registry.
@@ -69,6 +69,7 @@ def test_green_demotion_lists_are_sound():
         _R3_GREEN,
         _R4_GREEN,
         _R5_GREEN,
+        _R6_GREEN,
         _VERIFY_HEAD,
     )
 
@@ -79,13 +80,17 @@ def test_green_demotion_lists_are_sound():
         (_R3_GREEN, "_R3_GREEN"),
         (_R4_GREEN, "_R4_GREEN"),
         (_R5_GREEN, "_R5_GREEN"),
+        (_R6_GREEN, "_R6_GREEN"),
     )
     for lst, label in lists:
         unknown = [n for n in lst if n not in registry.QUERIES]
         assert not unknown, f"{label} names not registered: {unknown}"
         assert len(set(lst)) == len(lst), f"{label} has duplicates"
     seen: set[str] = set()
-    for lst in (_R1_GREEN_SAFE, _R2_GREEN_SAFE, _R3_GREEN, _R4_GREEN, _R5_GREEN):
+    for lst in (
+        _R1_GREEN_SAFE, _R2_GREEN_SAFE, _R3_GREEN, _R4_GREEN, _R5_GREEN,
+        _R6_GREEN,
+    ):
         dup = seen & set(lst)
         assert not dup, f"evidence lists overlap: {dup}"
         seen |= set(lst)
@@ -97,35 +102,14 @@ def test_green_demotion_lists_are_sound():
     assert not unlisted, (
         f"ops with no verification status (add to _VERIFY_HEAD): {unlisted}"
     )
-    changed_in_r6 = {
-        # the r5 CORRECTNESS hash-fails — oracle integer SUMs cast to
-        # BIGINT (DuckDB HUGEINT → pandas float64 root cause)
-        "q12_late_priority", "sessionize_events", "funnel_conversion",
-        "agg_corr",  # zero-variance NULLIF/GREATEST guard (ADVICE r5)
-        # SF-proportional broadcast pins removed (r5 verdict)
-        "join_range", "q5_local_supplier_volume", "dedup_embedding_cosine",
-        "join_bucketed",  # table names digest the full sf_dir (ADVICE r5)
-        "perplexity_bucket",  # surprisal digit-counts hoisted to vocab table
-        # new in r6 — no prior green:
-        "events_anomaly_zscore", "tfidf_topk_terms",
-        "quality_classifier_linear", "dedup_incremental",
-        "doc_chunk_overlap", "layout_zorder",
-        "agg_weighted_avg", "agg_string_agg", "orders_rfm_segments",
-        "events_transition_matrix", "rolling_active_users",
-        "dedup_bloom_prefilter", "agg_histogram", "source_dup_rate",
-        "ngram_novelty_curve", "source_overlap_matrix",
-        "lang_confusion_matrix", "seq_len_histogram",
-        "collocation_lift_topk", "embed_label_centroids",
-        "funnel_latency_stats", "knn_label_purity",
-        "events_hourly_cusum", "orders_market_basket",
-        "dedup_minhash_calibration", "embed_drift_by_batch",
-        "orders_cohort_ltv",
-        # Lorenz activity-concentration census (no global user sort)
-        "events_user_concentration",
-        # ANN recall@k audit: LSH top-k vs brute-force truth
-        "embed_recall_at_k",
+    changed_in_r7 = {
+        # perf reworks (oracles unchanged, plans changed — greens must be
+        # re-earned against the new plans):
+        "collocation_lift_topk",   # map-side bigram census collapse
+        "dedup_bloom_prefilter",   # Bloom bitmap built by a Spark aggregate
+        "scan_binary",             # executor-side staging writes
     }
-    assert changed_in_r6 == set(_VERIFY_HEAD)
+    assert changed_in_r7 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
     names = list(registry.QUERIES)
     assert names[: len(_VERIFY_HEAD)] == list(_VERIFY_HEAD)
@@ -133,24 +117,30 @@ def test_green_demotion_lists_are_sound():
 
 def test_oldest_evidence_fills_the_driver_budget():
     # The point of the per-round reorder: the driver's 50 verification
-    # slots go to the round-6-redefined head and then the OLDEST evidence
-    # (the remaining r1 and r2 greens), refreshing stale rows before
-    # fresh r4/r5 rows burn slots.
+    # slots go to the round-7-redefined head and then the OLDEST evidence
+    # (the remaining r1 and r2 greens, then r3), refreshing stale rows
+    # before fresh r4/r5/r6 rows burn slots.
     from node_cdc_nats_spark.registry import (
         _R1_GREEN_SAFE,
         _R2_GREEN_SAFE,
+        _R3_GREEN,
         _VERIFY_HEAD,
     )
 
     names = list(registry.QUERIES)
-    priority = list(_VERIFY_HEAD) + list(_R1_GREEN_SAFE) + list(_R2_GREEN_SAFE)
+    priority = (
+        list(_VERIFY_HEAD)
+        + list(_R1_GREEN_SAFE)
+        + list(_R2_GREEN_SAFE)
+        + list(_R3_GREEN)
+    )
     assert names[: len(priority)] == priority
     # The 50-slot budget must at least cover the head (never-verified or
     # redefined ops — those have NO valid green and cannot wait). The
-    # oldest-evidence (r1/r2) blocks queue right behind it and may spill
-    # past slot 50 into the next round's budget — that is the correct
-    # degradation order (ops with a valid-if-stale green wait, freshest
-    # evidence waits longest).
+    # oldest-evidence (r1/r2/r3) blocks queue right behind it and may
+    # spill past slot 50 into the next round's budget — that is the
+    # correct degradation order (ops with a valid-if-stale green wait,
+    # freshest evidence waits longest).
     assert len(_VERIFY_HEAD) <= 50, (
         "head alone exceeds the 50-slot budget — a never-verified op "
         "would miss this round's verification"
