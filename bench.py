@@ -208,7 +208,30 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # Per-query detail goes to a file (and an intermediate stdout line);
+    # the FINAL stdout line is a compact summary with no per-query map —
+    # the driver's tail capture is bounded (~2 kB) and the full map
+    # outgrew it in r6 (BENCH_r06.json "parsed": null).
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL", "BENCH_local_latest.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass  # read-only cwd must not kill the bench
     print(json.dumps(out))
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "load": out["load"],
+        "detail": detail_path,
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 

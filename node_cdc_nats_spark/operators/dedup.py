@@ -960,9 +960,14 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bloom projection is FIXED-SIZE, so the negative verdicts — the vast
     majority of a mostly-novel batch — are decided map-side with zero
     shuffle, and the exact join's build side shrinks to the hit rate.
-    The driver-side materialization here is the distinct POSITION list
-    (bounded by m=65536 ints, independent of corpus size), not the
-    hashes. False positives are resolved by the exact join (output pins
+    The bitmap itself is BUILT BY AN AGGREGATE (r7): collect_set folds
+    the k·|corpus| position stream into the ≤m distinct set positions
+    with map-side partial dedup, and ONE row-local expression renders
+    the 65536-char bitmap from the sorted set (a run-length fill —
+    O(m) output, no per-position string rebuild). Nothing touches the
+    driver: the r6 shape collected the position list and looped 65k
+    times in Python, serializing an aggregate Spark does in one stage.
+    False positives are resolved by the exact join (output pins
     `confirmed_dup => bloom_hit`, and a Bloom false NEGATIVE is
     impossible by construction — the test suite asserts both); verdicts
     per doc are returned so the oracle checks the FP behavior too, not
@@ -977,9 +982,13 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = d.filter(F.col("b") < 12).select("content_hash").distinct()
     incoming = d.filter(F.col("b") >= 12).select("doc_id", "content_hash")
 
-    # Build the filter: 3 positions per kept hash, distinct, collected —
-    # a driver transfer bounded by m (65536 ints), NOT by corpus size.
-    pos_rows = (
+    # Build the filter executor-side: 3 positions per kept hash fold
+    # into ONE sorted distinct-position array (collect_set dedups in the
+    # partial aggregate, so the final row sees ≤m ints regardless of
+    # corpus size), then a single row-local run-length expression
+    # renders the m-char bitmap — set bit at each position, zero-fill
+    # the gaps and the tail. No collect, no driver loop.
+    bloom_df = (
         existing.select(
             F.explode(
                 F.array(
@@ -989,17 +998,22 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("p")
         )
-        .distinct()
-        .collect()
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+        .select(
+            F.expr(
+                f"CASE WHEN size(ps) = 0 THEN repeat('0', {BLOOM_M}) "
+                "ELSE concat("
+                "  concat_ws('', transform(ps, (p, i) -> concat("
+                "    repeat('0', p - IF(i = 0, -1, element_at(ps, i)) - 1),"
+                "    '1'))), "
+                f"  repeat('0', {BLOOM_M} - 1 - element_at(ps, -1))"
+                ") END"
+            ).alias("bloom")
+        )
     )
-    bits = ["0"] * BLOOM_M
-    for r in pos_rows:
-        bits[r["p"]] = "1"
-    bitmap = "".join(bits)
 
     # One-row scalar broadcast carries the bitmap; the membership test is
     # three JVM-side substring probes — whole-stage-codegen, no Python.
-    bloom_df = spark.createDataFrame([(bitmap,)], ["bloom"])
     probe = lambda off: (  # noqa: E731
         F.substring(F.col("bloom"), _spark_hex16("content_hash", off) + 1, F.lit(1))
         == "1"

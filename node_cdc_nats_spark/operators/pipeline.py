@@ -1712,39 +1712,52 @@ def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     log ever runs (exact integer counts; ONE double expression per
     surviving bigram, identical shape in both engines).
 
-    Plan: two corpus-sized explodes that each collapse immediately via
-    partial+final hash aggregation (bigram census, unigram census); the
-    HAVING count >= 5 floor prunes the bigram table to frequent pairs
-    BEFORE any join, so both unigram-count joins are vocabulary-sized
-    and unhinted (AQE broadcasts the small side at fixture scale); the
-    1-row token total is a scalar broadcast, and the top-50 is
-    TakeOrderedAndProject with an alphabetical tiebreak — never a global
-    sort. At 100 TB the bigram census shuffle dominates and is linear in
-    corpus volume with map-side collapse; everything after it is
-    vocabulary-sized."""
+    Plan (r7 rework — the 8.38×/10× SCALING fix): ONE corpus pass. The
+    unigram and bigram occurrences explode from the same tokenized row
+    as tagged terms (tag 0 = token, tag 1 = bigram), so the corpus is
+    scanned + regex-normalized + split exactly once and ONE (tag, term)
+    exchange with map-side partials builds both censuses together. The
+    r6 shape re-derived the unigram census from the corpus for each of
+    its three consumers (token total, left join, right join) — four
+    corpus explodes in all, which is exactly what the sf1-equivalent
+    measurement billed. The combined census is filtered to unigrams plus
+    count>=5 bigrams BEFORE a spill-safe persist, so the cached relation
+    is vocabulary-sized, both unigram-count joins read it (AQE
+    broadcasts the small sides), the 1-row token total is a scalar
+    broadcast, and the top-50 is TakeOrderedAndProject with an
+    alphabetical tiebreak — never a global sort. At 100 TB the single
+    tagged census shuffle dominates and is linear in corpus volume;
+    everything after it is vocabulary-sized."""
+    from pyspark import StorageLevel
+
     d = load_table(spark, sf_dir, "documents")
     t = d.select(F.split(F.expr(_NORM_SPARK), " ").alias("toks"))
-    uni = (
-        t.select(F.explode("toks").alias("token"))
-        .filter(F.col("token") != "")
-        .groupBy("token")
+    tagged = t.select(
+        F.explode(
+            F.expr(
+                "concat("
+                "transform(filter(toks, x -> x != ''), "
+                "x -> named_struct('tag', 0, 'term', x)), "
+                "case when size(toks) >= 2 then "
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> named_struct('tag', 1, 'term', "
+                "concat(element_at(toks, i), ' ', element_at(toks, i + 1)))) "
+                "else array() end)"
+            )
+        ).alias("occ")
+    ).select(F.col("occ.tag").alias("tag"), F.col("occ.term").alias("term"))
+    census = (
+        tagged.groupBy("tag", "term")
         .agg(F.count(F.lit(1)).alias("c"))
+        .filter((F.col("tag") == 0) | (F.col("c") >= _COLLOC_MIN_COUNT))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    uni = census.filter(F.col("tag") == 0).select(
+        F.col("term").alias("token"), "c"
     )
     n = uni.agg(F.sum("c").alias("n_tokens"))
-    bi = (
-        t.select(
-            F.explode(
-                F.expr(
-                    "case when size(toks) >= 2 then "
-                    "transform(sequence(1, size(toks) - 1), "
-                    "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) "
-                    "else array() end"
-                )
-            ).alias("bigram")
-        )
-        .groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("c_xy"))
-        .filter(F.col("c_xy") >= _COLLOC_MIN_COUNT)
+    bi = census.filter(F.col("tag") == 1).select(
+        F.col("term").alias("bigram"), F.col("c").alias("c_xy")
     )
     ua = uni.select(F.col("token").alias("tok_a"), F.col("c").alias("c_x"))
     ub = uni.select(F.col("token").alias("tok_b"), F.col("c").alias("c_y"))

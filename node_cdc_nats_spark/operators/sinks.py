@@ -288,23 +288,30 @@ def scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: binaryFile lists and reads files in parallel across executors
     (maxPartitionBytes applies), and the projection is map-side; nothing
-    shuffles. The staging loop is fixture scaffolding, not the operator —
-    a production bucket is written by the upstream asset store. The
+    shuffles. The staging is fixture scaffolding, not the operator — a
+    production bucket is written by the upstream asset store — and it
+    too is executor-side (r7): `foreachPartition` writes each task's
+    files in parallel where the data sits, so no SF-proportional rows
+    ever cross to the driver (on a real cluster the write target is the
+    shared object store; on local[32] the shared tmpdir stands in). The
     content column is dropped before return (the driver canonicalizer
     requires hashable scalar cells; md5 carries the content identity)."""
-    import os
-
     if sf_dir not in _BINARY_STAGED:
         out = tempfile.mkdtemp(prefix="scan_binary_")
-        rows = (
+
+        def _write_partition(rows) -> None:
+            import os as _os
+
+            for r in rows:
+                with open(_os.path.join(out, f"{r.doc_id}.bin"), "wb") as fh:
+                    fh.write(r.text.encode("utf-8"))
+
+        (
             load_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") % 10 == 0)
             .select("doc_id", "text")
-            .collect()
+            .foreachPartition(_write_partition)
         )
-        for r in rows:
-            with open(os.path.join(out, f"{r.doc_id}.bin"), "wb") as fh:
-                fh.write(r.text.encode("utf-8"))
         _BINARY_STAGED[sf_dir] = out
     df = spark.read.format("binaryFile").load(_BINARY_STAGED[sf_dir])
     doc_id = F.regexp_extract(

@@ -672,9 +672,16 @@ def test_agg_histogram_partial_agg_and_pruned_scan(spark):
 def test_bloom_prefilter_scan_and_broadcasts(spark):
     # The bitmap rides a broadcast; the exact-verify join hashes on
     # content_hash; the documents scan reads only (doc_id, text).
+    # r7: the bitmap is BUILT by an aggregate (collect_set of positions
+    # folds map-side into one sorted array, the bitmap rendered by a
+    # row-local expression) — it must appear in the plan as an
+    # aggregate, not arrive as a driver-computed literal (LocalTableScan
+    # under the broadcast was the r6 collect-and-loop signature).
     plan = _plan(spark, "dedup_bloom_prefilter")
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
     assert "BroadcastExchange" in plan
+    assert "collect_set" in plan
+    assert "LocalTableScan" not in plan
 
 
 def test_source_dup_rate_two_level_agg(spark):
@@ -732,12 +739,22 @@ def test_seq_len_histogram_census_only(spark):
 def test_collocation_topk_never_global_sorts(spark):
     # Top-50 must be TakeOrderedAndProject; the two unigram joins are
     # vocab-sized equi-joins; the only nested loop is the 1-row token
-    # total broadcast.
+    # total broadcast. r7: the corpus is scanned ONCE — unigram and
+    # bigram occurrences share one tagged explode + one exchange, and
+    # every downstream consumer reads the persisted vocab-sized census
+    # (InMemoryTableScan), never the corpus.
     plan = _plan(spark, "collocation_lift_topk")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row N broadcast
-    assert plan.count("HashAggregate") >= 4  # bigram + unigram censuses
+    # Census persisted and read by all four consumers (token total, the
+    # two unigram joins, the bigram side) — the corpus explode runs once
+    # and is never replayed. (executedPlan().toString() inlines the
+    # SAME InMemoryRelation under each of its scans, so the parquet path
+    # appears once per consumer; the relation itself computes once.)
+    assert plan.count("InMemoryTableScan") >= 4
+    # every corpus access goes through the cache — no raw corpus branch
+    assert plan.count("documents.parquet") == plan.count("InMemoryRelation")
 
 
 def test_embed_centroids_single_census_no_join(spark):
