@@ -116,10 +116,14 @@ class EventEmitter:
         return self.on(event, wrapper)
 
     def off(self, event: str, listener: Callable) -> "EventEmitter":
+        # Node's removeListener removes at most ONE entry — the most
+        # recently added match (events.js scans backwards) — so a
+        # double-registered listener needs two off() calls, mirrored here.
         handlers = self._listeners.get(event, [])
-        for h in list(handlers):
+        for h in reversed(handlers):
             if h is listener or getattr(h, "_once_of", None) is listener:
                 handlers.remove(h)
+                break
         return self
 
     removeListener = off  # Node alias
@@ -169,12 +173,16 @@ class CdcNats(EventEmitter):
 
     # -- lifecycle -------------------------------------------------------------
     def close(self) -> None:
-        """Drop connection + registry + listeners (`lib/nats.js:68-74`)."""
+        """Drop connection + registry + listeners (`lib/nats.js:67-74`):
+        unconditionally reset, exactly as the reference does (close is
+        not guarded there either — a second close is a no-op because
+        every step is idempotent)."""
         if not self._closed:
             self._broker.unsubscribe(self.topic, self._process_msg)
-            self.subs = {}
             self._closed = True
             self.removeAllListeners()      # lib/nats.js:71
+        self.ssid = -1                     # lib/nats.js:72
+        self.subs = None                   # lib/nats.js:73
 
     def process_err(self, error: Exception | str) -> None:
         """Transport-error hook (`lib/nats.js:82-84`): wrap and emit as an

@@ -417,6 +417,36 @@ def test_once_and_off():
     assert seen == [0]
 
 
+def test_off_removes_only_last_matching_registration():
+    # Node's removeListener removes at most ONE entry per call — the most
+    # recently added match — so a double-registered listener fires once
+    # after one off() and needs a second off() to go quiet (r6 ADVICE
+    # parity item).
+    c = connect()
+    seen = []
+    cb = lambda sid, subject, opts: seen.append(sid)  # noqa: E731
+    c.on("subscribe", cb)
+    c.on("subscribe", cb)
+    c.off("subscribe", cb)
+    c.subscribe("a")
+    assert seen == [0]
+    c.off("subscribe", cb)
+    c.subscribe("b")
+    assert seen == [0]
+
+
+def test_close_resets_sid_counter_and_subs_like_node():
+    # lib/nats.js:72-73 — close() sets ssid = -1 and subs = null; the
+    # reset is unconditional, so a second close() is a harmless no-op.
+    c = connect()
+    c.subscribe("a")
+    c.close()
+    assert c.ssid == -1
+    assert c.subs is None
+    c.close()
+    assert c.ssid == -1 and c.subs is None
+
+
 def test_ingest_layout_example_runs(spark):
     # The r6 ingest/layout walkthrough stays runnable with pinned fixture
     # counts (sf0.001): all 129 docs of the incoming batch survive
