@@ -118,6 +118,8 @@ HEADLINE = [
     "events_user_concentration",
     "embed_recall_at_k",
     "events_inactivity_churn",
+    "dsir_importance_weights",
+    "events_weekly_stickiness",
 ]
 
 

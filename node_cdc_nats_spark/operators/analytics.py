@@ -727,3 +727,85 @@ def events_inactivity_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_churned").cast("double") / F.col("n_users").cast("double")
         ).alias("churn_rate"),
     ).orderBy("last_week")
+
+
+@register(
+    "events_weekly_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS day
+      FROM events),
+    daily AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+    uw AS (
+      SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', day) AS DATE) AS week
+      FROM ud),
+    weekly AS (
+      SELECT week, CAST(COUNT(*) AS BIGINT) AS wau FROM uw GROUP BY week)
+    SELECT w.week, w.wau,
+           CAST(SUM(d.dau) AS BIGINT) AS active_user_days,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(d.dau) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * CAST(w.wau AS DOUBLE))
+             AS stickiness
+    FROM daily d
+    JOIN weekly w ON CAST(DATE_TRUNC('week', d.day) AS DATE) = w.week
+    GROUP BY w.week, w.wau
+    ORDER BY w.week
+    """,
+)
+def events_weekly_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly stickiness (the DAU/WAU engagement ratio): for each
+    Monday-anchored week, the weekly active users, the sum and count of
+    daily-active figures, and stickiness = avg-DAU / WAU — 1.0 means
+    every weekly user shows up every day, 1/7 means each appears once.
+    The standard product-engagement census next to `retention_cohorts`
+    and `events_inactivity_churn`.
+
+    Plan: ONE corpus-sized exchange — the (user_id, day) dedup (two-level
+    pattern: distinct first, then both censuses count pre-deduped rows,
+    never COUNT(DISTINCT) with Expand). The user-day table is PERSISTED:
+    it feeds both the daily census and the week-level dedup, and without
+    the persist each branch replays the corpus scan + dedup exchange
+    (exchange reuse does not fire across the differing parents). The
+    (user_id, week) dedup re-keys user-day-sized input (strictly smaller
+    than the corpus); the day-census × week-census join is
+    calendar-sized and AQE-broadcast. Determinism: integer counts, one
+    double expression per output week; `date_trunc('week')` is
+    Monday-anchored in both engines."""
+    from pyspark import StorageLevel
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    )
+    ud = ev.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    daily = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    uw = ud.select(
+        "user_id", F.date_trunc("week", F.col("day")).cast("date").alias("week")
+    ).distinct()
+    weekly = uw.groupBy("week").agg(F.count(F.lit(1)).alias("wau"))
+    return (
+        daily.withColumn(
+            "week", F.date_trunc("week", F.col("day")).cast("date")
+        )
+        .join(weekly, "week")
+        .groupBy("week", "wau")
+        .agg(
+            F.sum("dau").cast("long").alias("active_user_days"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select(
+            "week",
+            "wau",
+            "active_user_days",
+            "n_days",
+            (
+                F.col("active_user_days").cast("double")
+                / (
+                    F.col("n_days").cast("double")
+                    * F.col("wau").cast("double")
+                )
+            ).alias("stickiness"),
+        )
+        .orderBy("week")
+    )

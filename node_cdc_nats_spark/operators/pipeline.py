@@ -1779,3 +1779,157 @@ def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("lift").desc(), "bigram").limit(50)
+
+
+# --- DSIR-style importance weighting ----------------------------------------
+
+# Hashed-unigram bucket count for the importance model (DSIR, Xie et al.
+# 2023, uses ~10k hashed n-gram buckets; 4096 = 3 md5 nibbles keeps the
+# census broadcastable and the hash portable across both engines).
+DSIR_B = 4096
+# The target domain the importance model scores against. The fixture has
+# no quality labels, so the reference-language slice stands in for
+# "looks like the reference corpus" (production points this at the real
+# target domain, e.g. Wikipedia-crawl docs).
+_DSIR_TARGET_DUCK = "lang = 'en'"
+
+
+def _dsir_hex12_duck(col: str) -> str:
+    """DuckDB: first 3 hex chars of MD5(col) as an int in [0, 4095]
+    (nibble arithmetic — same portable spelling as `_sql_hex16`)."""
+    terms = [
+        f"(STRPOS('{_HEX}', SUBSTR(MD5({col}), {1 + i}, 1)) - 1) * {16 ** (2 - i)}"
+        for i in range(3)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, u.tok AS tok
+      FROM (SELECT doc_id, lang, STRING_SPLIT({_NORM_DUCK}, ' ') AS t
+            FROM documents) s, UNNEST(t) AS u(tok)
+      WHERE u.tok <> ''),
+    db AS (
+      SELECT doc_id, lang, {_dsir_hex12_duck('tok')} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM toks GROUP BY 1, 2, 3),
+    census AS (
+      SELECT bucket,
+             CAST(SUM(k) AS BIGINT) AS c_raw,
+             CAST(SUM(CASE WHEN {_DSIR_TARGET_DUCK} THEN k ELSE 0 END)
+                  AS BIGINT) AS c_tgt
+      FROM db GROUP BY bucket),
+    tot AS (
+      SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw,
+             CAST(SUM(c_tgt) AS BIGINT) AS n_tgt
+      FROM census),
+    scored AS (
+      SELECT db.doc_id, db.lang,
+             CAST(SUM(db.k) AS BIGINT) AS n_tokens,
+             CAST(SUM(db.k * ((LENGTH(PRINTF('%b', c.c_tgt + 1)) - 1)
+                            - (LENGTH(PRINTF('%b', c.c_raw + 1)) - 1)))
+                  AS BIGINT) AS s
+      FROM db JOIN census c USING (bucket)
+      GROUP BY 1, 2),
+    w AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(s + n_tokens * ((LENGTH(PRINTF('%b', t.n_raw + {DSIR_B})) - 1)
+                                - (LENGTH(PRINTF('%b', t.n_tgt + {DSIR_B})) - 1))
+                  AS BIGINT) AS log2_weight
+      FROM scored CROSS JOIN tot t)
+    SELECT doc_id, lang, n_tokens, log2_weight,
+           CAST(log2_weight AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             AS mean_log2_ratio,
+           log2_weight > 0 AS keep
+    FROM w
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023 —
+    the hashed-n-gram importance model behind domain-targeted pretraining
+    curation): every document is scored by how much more likely its
+    tokens are under the TARGET domain's hashed-unigram model than under
+    the raw-corpus model, sum over tokens of
+    log p_target(bucket) - log p_raw(bucket) with +1-smoothed bucket
+    counts. A positive weight means "more target-like than the average
+    raw doc"; production samples with these weights, here the
+    deterministic `keep = weight > 0` flag carries the decision.
+
+    Engine-exact arithmetic: every log2 is the binary-digit-count
+    floor-log2 (`length(conv(x, 10, 2)) - 1` / `LENGTH(PRINTF('%b', x))
+    - 1` — the same libm-free spelling as `perplexity_bucket`), so the
+    per-doc weight is an exact BIGINT in both engines; the only float is
+    the final per-doc division.
+
+    Plan: one corpus explode collapses immediately to the unique
+    (doc, bucket) count table (persisted — it feeds the census AND the
+    per-doc scorer, the `doc_rarity_score` lesson); the bucket census is
+    4096 rows with both the raw and target counts folded in ONE pass
+    (no second corpus scan for the target slice — a CASE inside the
+    aggregate), explicitly broadcast into the scoring join; the 1-row
+    token totals ride a scalar broadcast. At 100 TB the explode + pair
+    shuffle dominates and is linear; everything downstream of the pair
+    table is bucket- or doc-sized."""
+    from pyspark import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.expr(_NORM_SPARK), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            "lang",
+            F.conv(F.substring(F.md5("tok"), 1, 3), 16, 10)
+            .cast("int")
+            .alias("bucket"),
+        )
+    )
+    db = (
+        pairs.groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    is_tgt = F.col("lang") == "en"
+    census = db.groupBy("bucket").agg(
+        F.sum("k").alias("c_raw"),
+        F.sum(F.when(is_tgt, F.col("k")).otherwise(F.lit(0))).alias("c_tgt"),
+    )
+
+    def zlog2(c: F.Column) -> F.Column:
+        return F.length(F.conv(c.cast("string"), 10, 2)) - 1
+
+    tot = census.agg(
+        zlog2(F.sum("c_raw") + F.lit(DSIR_B)).alias("z_raw"),
+        zlog2(F.sum("c_tgt") + F.lit(DSIR_B)).alias("z_tgt"),
+    )
+    per_bucket = zlog2(F.col("c_tgt") + 1) - zlog2(F.col("c_raw") + 1)
+    scored = (
+        db.join(F.broadcast(census), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.sum(F.col("k") * per_bucket).cast("long").alias("s"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    w = (
+        F.col("s")
+        + F.col("n_tokens") * (F.col("z_raw") - F.col("z_tgt"))
+    ).cast("long")
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        w.alias("log2_weight"),
+        (w.cast("double") / F.col("n_tokens").cast("double")).alias(
+            "mean_log2_ratio"
+        ),
+        (w > 0).alias("keep"),
+    )

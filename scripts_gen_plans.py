@@ -155,6 +155,14 @@ SHOWCASE = [
         "events_inactivity_churn",
         "Weekly churn census: ONE user_id exchange computes per-user MAX(ts) with map-side partials; the 14-day horizon is a 1-row aggregate broadcast back (BroadcastNestedLoopJoin over one row), and the last-seen-week census groups user-sized input into calendar-bounded buckets.",
     ),
+    (
+        "dsir_importance_weights",
+        "DSIR importance model: one corpus explode collapses to the persisted (doc, bucket) count table; the 4096-row bucket census folds raw AND target counts in one pass and broadcasts into the scoring join; the 1-row token totals ride a scalar broadcast. Integer digit-count log2 end to end.",
+    ),
+    (
+        "events_weekly_stickiness",
+        "DAU/WAU stickiness: the (user_id, day) dedup is the ONLY corpus-sized exchange; the week-level dedup re-keys user-day rows, and the day-census x week-census join is calendar-sized and AQE-broadcast.",
+    ),
 ]
 
 

@@ -67,6 +67,8 @@ DOC_BOUND = [
     "seq_len_histogram",
     "collocation_lift_topk",
     "dedup_minhash_calibration",
+    # r7 addition (documents-bound; hashed-unigram importance model)
+    "dsir_importance_weights",
 ]
 # The embedding-reading ops (r5): the adaptive-planes claim on
 # dedup_embedding_cosine ("EMBED_BUCKET_CAP only ever trims degenerate
@@ -130,6 +132,8 @@ FACT_BOUND = [
     "events_user_concentration",
     # r6 addition (events-bound; per-user MAX + broadcast horizon census)
     "events_inactivity_churn",
+    # r7 addition (events-bound; user-day dedup + calendar censuses)
+    "events_weekly_stickiness",
 ]
 
 

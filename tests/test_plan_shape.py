@@ -521,6 +521,8 @@ _CARTESIAN_OK = {
     "embed_recall_at_k",
     # 1-row horizon timestamp broadcast (the churn cutoff scalar)
     "events_inactivity_churn",
+    # 1-row token-totals scalar broadcast (the DSIR normalizer)
+    "dsir_importance_weights",
 }
 
 
@@ -876,3 +878,34 @@ def test_recall_audit_composes_exact_and_lsh_sides(spark):
     assert "BroadcastNestedLoopJoin" in plan  # bounded probe cross join
     assert "BroadcastHashJoin" in plan  # LSH bucket equi-join (ann side)
     assert "BatchEvalPython" not in plan
+
+
+def test_dsir_single_corpus_explode_broadcast_census(spark):
+    # ONE corpus explode feeds the persisted (doc, bucket) pair table;
+    # the 4096-row census (raw + target counts in one pass) broadcasts
+    # into the scoring join; the 1-row totals ride the only nested loop.
+    # No second corpus scan for the target slice, no Python anywhere.
+    plan = _plan(spark, "dsir_importance_weights")
+    assert plan.count("InMemoryTableScan") >= 2  # pair table reused
+    assert "BroadcastHashJoin" in plan  # census join
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row totals
+    assert "BatchEvalPython" not in plan
+    assert "Expand" not in plan
+
+
+def test_weekly_stickiness_one_corpus_exchange_no_expand(spark):
+    # The (user_id, day) dedup is the ONLY corpus-sized exchange; the
+    # week dedup re-keys user-day rows; both censuses count pre-deduped
+    # rows (no COUNT(DISTINCT) Expand); the day x week census join is
+    # calendar-sized.
+    plan = _plan(spark, "events_weekly_stickiness")
+    assert "Expand" not in plan
+    # The (user_id, day) dedup feeds a persisted user-day table read by
+    # both censuses — every corpus access goes through the cache (the
+    # toString inlines the SAME InMemoryRelation under each consumer, so
+    # the scan string appears once per consumer; the relation computes
+    # once). The only other user_id exchange is the user-day-sized
+    # (user_id, week) re-key.
+    assert plan.count("InMemoryTableScan") >= 2
+    assert plan.count("events.parquet") == plan.count("InMemoryRelation")
+    assert "NTILE" not in plan.upper()

@@ -108,6 +108,9 @@ def test_green_demotion_lists_are_sound():
         "collocation_lift_topk",   # map-side bigram census collapse
         "dedup_bloom_prefilter",   # Bloom bitmap built by a Spark aggregate
         "scan_binary",             # executor-side staging writes
+        # new in r7 — no prior green:
+        "dsir_importance_weights",   # DSIR hashed-unigram importance model
+        "events_weekly_stickiness",  # DAU/WAU engagement ratio per week
     }
     assert changed_in_r7 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
