@@ -120,6 +120,7 @@ HEADLINE = [
     "events_inactivity_churn",
     "dsir_importance_weights",
     "events_weekly_stickiness",
+    "parts_pareto_abc",
 ]
 
 

@@ -1500,3 +1500,107 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_m", "age_months")
     )
+
+
+@register(
+    "parts_pareto_abc",
+    oracle="""
+    WITH pp AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,6))) AS rev_dec
+      FROM lineitem GROUP BY l_partkey),
+    b AS (
+      SELECT (LENGTH(PRINTF('%b',
+                GREATEST(1, CAST(FLOOR(rev_dec) AS BIGINT)))) - 1) AS bucket,
+             rev_dec
+      FROM pp),
+    census AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(SUM(rev_dec) AS DECIMAL(38,6)) AS brev
+      FROM b GROUP BY bucket),
+    w AS (
+      SELECT bucket, n_parts, brev,
+             CAST(SUM(brev) OVER (ORDER BY bucket DESC
+                                  ROWS UNBOUNDED PRECEDING)
+                  AS DECIMAL(38,6)) AS cum,
+             CAST(SUM(brev) OVER () AS DECIMAL(38,6)) AS tot
+      FROM census)
+    SELECT bucket, n_parts,
+           CAST(brev AS DOUBLE) AS bucket_revenue,
+           CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share,
+           CASE WHEN CAST(cum - brev AS DOUBLE) / CAST(tot AS DOUBLE) < 0.80
+                  THEN 'A'
+                WHEN CAST(cum - brev AS DOUBLE) / CAST(tot AS DOUBLE) < 0.95
+                  THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM w ORDER BY bucket DESC
+    """,
+)
+def parts_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC revenue-concentration census over parts: per-part
+    discounted revenue, bucketed by floor(log2(revenue)), with the
+    cumulative revenue share from the top bucket down and the standard
+    warehouse ABC split (A = buckets starting inside the top 80% of
+    revenue, B = 80-95%, C = tail) — "which slice of the catalog earns
+    the money" for inventory/curation decisions.
+
+    Scale (the part a per-part NTILE/cumsum gets wrong): parts are
+    SF-proportional, so ranking every part in one ordered window is a
+    global-sort bottleneck at 100 TB. Like `events_user_concentration`,
+    the census collapses to log2 REVENUE buckets first (~40 rows at any
+    SF — revenue range grows with volume, not row count), and the
+    cumulative window runs single-partition over census-sized input,
+    computing the running and full-frame totals in one pass. ABC class
+    is assigned at bucket granularity — the honest scalable definition
+    (a bucket straddling a boundary takes the class of its START share).
+
+    Determinism: per-part revenue is a decimal-exact sum
+    (`operators/exact.py`), bucket ids are integer digit-count log2,
+    cumulative sums stay DECIMAL inside the window, and each output row
+    pays exactly two double divisions."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pp = li.groupBy("l_partkey").agg(F.sum(rev.cast(DEC)).alias("rev_dec"))
+    bucket = (
+        F.length(
+            F.conv(
+                F.greatest(
+                    F.lit(1).cast("bigint"),
+                    F.floor("rev_dec").cast("bigint"),
+                ).cast("string"),
+                10,
+                2,
+            )
+        )
+        - 1
+    ).alias("bucket")
+    census = pp.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev_dec").cast("decimal(38,6)").alias("brev"),
+    )
+    w_run = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = F.sum("brev").over(w_run).cast("decimal(38,6)")
+    tot = F.sum("brev").over(w_all).cast("decimal(38,6)")
+    prev_share = (cum - F.col("brev")).cast("double") / tot.cast("double")
+    return (
+        census.select(
+            "bucket",
+            "n_parts",
+            F.col("brev").cast("double").alias("bucket_revenue"),
+            (cum.cast("double") / tot.cast("double")).alias("cum_share"),
+            F.when(prev_share < 0.80, "A")
+            .when(prev_share < 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+        .orderBy(F.col("bucket").desc())
+    )

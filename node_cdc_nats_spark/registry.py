@@ -55,6 +55,7 @@ _VERIFY_HEAD = (
     # r7: new ops, first verification
     "dsir_importance_weights",   # DSIR hashed-unigram importance weights
     "events_weekly_stickiness",  # DAU/WAU engagement ratio per week
+    "parts_pareto_abc",          # log2-bucketed ABC revenue concentration
 )
 
 
@@ -62,8 +63,8 @@ _VERIFY_HEAD = (
 # evidence first. Round 6's 50 slots covered its 38-op head + 1 unlisted
 # (events_inactivity_churn, caught by the safety net) + the first 11 of
 # r1. The oldest remaining evidence is r1 (12 ops), then r2 (9), then r3
-# (30). Round 7's 50 slots cover head 5 + r1 12 + r2 9 + the first 24 of
-# r3; the last 6 r3 ops and the r4/r5/r6 blocks carry the freshest
+# (30). Round 7's 50 slots cover head 6 + r1 12 + r2 9 + the first 23 of
+# r3; the last 7 r3 ops and the r4/r5/r6 blocks carry the freshest
 # evidence and wait for r8.
 _R1_GREEN_SAFE = (
     "limit", "math_ops", "project",

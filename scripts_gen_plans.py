@@ -160,6 +160,10 @@ SHOWCASE = [
         "DSIR importance model: one corpus explode collapses to the persisted (doc, bucket) count table; the 4096-row bucket census folds raw AND target counts in one pass and broadcasts into the scoring join; the 1-row token totals ride a scalar broadcast. Integer digit-count log2 end to end.",
     ),
     (
+        "parts_pareto_abc",
+        "ABC split without a part sort: per-part decimal revenue collapses to a log2-bucket census (~40 rows at any SF); ONE single-partition window computes running + full-frame revenue totals; the only corpus-sized exchange is the l_partkey aggregate.",
+    ),
+    (
         "events_weekly_stickiness",
         "DAU/WAU stickiness: the (user_id, day) dedup is the ONLY corpus-sized exchange; the week-level dedup re-keys user-day rows, and the day-census x week-census join is calendar-sized and AQE-broadcast.",
     ),

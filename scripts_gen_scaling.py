@@ -134,6 +134,8 @@ FACT_BOUND = [
     "events_inactivity_churn",
     # r7 addition (events-bound; user-day dedup + calendar censuses)
     "events_weekly_stickiness",
+    # r7 addition (lineitem-bound; log2-bucket census + tiny window)
+    "parts_pareto_abc",
 ]
 
 

@@ -111,6 +111,7 @@ def test_green_demotion_lists_are_sound():
         # new in r7 — no prior green:
         "dsir_importance_weights",   # DSIR hashed-unigram importance model
         "events_weekly_stickiness",  # DAU/WAU engagement ratio per week
+        "parts_pareto_abc",          # log2-bucketed ABC revenue census
     }
     assert changed_in_r7 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
