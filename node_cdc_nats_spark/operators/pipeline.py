@@ -1826,53 +1826,60 @@ def _dsir_hex12_duck(col: str) -> str:
       SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw,
              CAST(SUM(c_tgt) AS BIGINT) AS n_tgt
       FROM census),
-    scored AS (
-      SELECT db.doc_id, db.lang,
-             CAST(SUM(db.k) AS BIGINT) AS n_tokens,
-             CAST(SUM(db.k * ((LENGTH(PRINTF('%b', c.c_tgt + 1)) - 1)
-                            - (LENGTH(PRINTF('%b', c.c_raw + 1)) - 1)))
-                  AS BIGINT) AS s
-      FROM db JOIN census c USING (bucket)
-      GROUP BY 1, 2),
-    w AS (
-      SELECT doc_id, lang, n_tokens,
-             CAST(s + n_tokens * ((LENGTH(PRINTF('%b', t.n_raw + {DSIR_B})) - 1)
-                                - (LENGTH(PRINTF('%b', t.n_tgt + {DSIR_B})) - 1))
-                  AS BIGINT) AS log2_weight
-      FROM scored CROSS JOIN tot t)
-    SELECT doc_id, lang, n_tokens, log2_weight,
-           CAST(log2_weight AS DOUBLE) / CAST(n_tokens AS DOUBLE)
-             AS mean_log2_ratio,
-           log2_weight > 0 AS keep
-    FROM w
+    leans AS (
+      SELECT bucket,
+             CASE WHEN CAST(c_tgt + 1 AS HUGEINT) * t.n_raw
+                     > CAST(c_raw + 1 AS HUGEINT) * t.n_tgt
+                    THEN 1
+                  WHEN CAST(c_tgt + 1 AS HUGEINT) * t.n_raw
+                     < CAST(c_raw + 1 AS HUGEINT) * t.n_tgt
+                    THEN -1
+                  ELSE 0 END AS lean
+      FROM census CROSS JOIN tot t)
+    SELECT db.doc_id, db.lang,
+           CAST(SUM(db.k) AS BIGINT) AS n_tokens,
+           CAST(SUM(db.k * l.lean) AS BIGINT) AS vote_score,
+           CAST(SUM(db.k * l.lean) AS DOUBLE) / CAST(SUM(db.k) AS DOUBLE)
+             AS mean_vote,
+           SUM(db.k * l.lean) > 0 AS keep
+    FROM db JOIN leans l USING (bucket)
+    GROUP BY 1, 2
     """,
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data Selection via Importance Resampling (DSIR, Xie et al. 2023 —
     the hashed-n-gram importance model behind domain-targeted pretraining
-    curation): every document is scored by how much more likely its
-    tokens are under the TARGET domain's hashed-unigram model than under
-    the raw-corpus model, sum over tokens of
-    log p_target(bucket) - log p_raw(bucket) with +1-smoothed bucket
-    counts. A positive weight means "more target-like than the average
-    raw doc"; production samples with these weights, here the
-    deterministic `keep = weight > 0` flag carries the decision.
-
-    Engine-exact arithmetic: every log2 is the binary-digit-count
-    floor-log2 (`length(conv(x, 10, 2)) - 1` / `LENGTH(PRINTF('%b', x))
-    - 1` — the same libm-free spelling as `perplexity_bucket`), so the
-    per-doc weight is an exact BIGINT in both engines; the only float is
-    the final per-doc division.
+    curation), in its sign-quantized engine-exact form: each hashed
+    unigram bucket LEANS target (+1), raw (-1), or neither (0) by the
+    exact integer cross-multiplication
+    (c_tgt+1)·N_raw vs (c_raw+1)·N_tgt — the sign of the DSIR log-ratio
+    log p_target(b) - log p_raw(b) with +1 smoothing on the bucket
+    counts (a zero-count bucket leans away, never divides by zero) and
+    UNSMOOTHED totals, so the decision boundary is the unbiased
+    frequency ratio (Laplace's +B on two different-sized totals shifts
+    the boundary by O(B/N) — at fixture scale that bias is larger than
+    the signal and votes degenerate to one side). Decided with NO
+    logarithm, NO float, and NO overflow (the cross products ride
+    128-bit/decimal arithmetic; exact at 100 TB token counts). A document's vote_score sums k·lean over its tokens:
+    positive means its vocabulary leans toward the target domain's
+    distribution. Production DSIR samples by the real-valued log-ratio;
+    the sign projection keeps the decision boundary identical for every
+    bucket while staying bit-reproducible across engines and
+    partitionings (a float log-sum would be neither). The fixture's
+    target slice is the reference-language documents (lang='en' — the
+    synthetic corpus has no quality labels); production points the
+    target filter at the real domain sample, e.g. Wikipedia.
 
     Plan: one corpus explode collapses immediately to the unique
     (doc, bucket) count table (persisted — it feeds the census AND the
     per-doc scorer, the `doc_rarity_score` lesson); the bucket census is
     4096 rows with both the raw and target counts folded in ONE pass
     (no second corpus scan for the target slice — a CASE inside the
-    aggregate), explicitly broadcast into the scoring join; the 1-row
-    token totals ride a scalar broadcast. At 100 TB the explode + pair
-    shuffle dominates and is linear; everything downstream of the pair
-    table is bucket- or doc-sized."""
+    aggregate); the per-bucket lean is decided on the census joined with
+    the 1-row totals broadcast, and the scoring join broadcasts the
+    4096-row lean table. At 100 TB the explode + pair shuffle dominates
+    and is linear; everything downstream of the pair table is bucket- or
+    doc-sized."""
     from pyspark import StorageLevel
 
     d = load_table(spark, sf_dir, "documents")
@@ -1901,35 +1908,35 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").alias("c_raw"),
         F.sum(F.when(is_tgt, F.col("k")).otherwise(F.lit(0))).alias("c_tgt"),
     )
-
-    def zlog2(c: F.Column) -> F.Column:
-        return F.length(F.conv(c.cast("string"), 10, 2)) - 1
-
     tot = census.agg(
-        zlog2(F.sum("c_raw") + F.lit(DSIR_B)).alias("z_raw"),
-        zlog2(F.sum("c_tgt") + F.lit(DSIR_B)).alias("z_tgt"),
+        F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
     )
-    per_bucket = zlog2(F.col("c_tgt") + 1) - zlog2(F.col("c_raw") + 1)
-    scored = (
-        db.join(F.broadcast(census), "bucket")
+    # Exact 128-bit-wide cross products: bigint*bigint would overflow at
+    # production token counts, DECIMAL(38,0) cannot (10^13-scale counts
+    # square to 10^26 << 10^38).
+    dec = "decimal(38,0)"
+    lhs = (F.col("c_tgt") + 1).cast(dec) * F.col("n_raw").cast(dec)
+    rhs = (F.col("c_raw") + 1).cast(dec) * F.col("n_tgt").cast(dec)
+    leans = (
+        census.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.when(lhs > rhs, F.lit(1))
+            .when(lhs < rhs, F.lit(-1))
+            .otherwise(F.lit(0))
+            .alias("lean"),
+        )
+    )
+    score = F.sum(F.col("k") * F.col("lean"))
+    return (
+        db.join(F.broadcast(leans), "bucket")
         .groupBy("doc_id", "lang")
         .agg(
             F.sum("k").cast("long").alias("n_tokens"),
-            F.sum(F.col("k") * per_bucket).cast("long").alias("s"),
+            score.cast("long").alias("vote_score"),
+            (score.cast("double") / F.sum("k").cast("double")).alias(
+                "mean_vote"
+            ),
+            (score > 0).alias("keep"),
         )
-        .crossJoin(F.broadcast(tot))
-    )
-    w = (
-        F.col("s")
-        + F.col("n_tokens") * (F.col("z_raw") - F.col("z_tgt"))
-    ).cast("long")
-    return scored.select(
-        "doc_id",
-        "lang",
-        "n_tokens",
-        w.alias("log2_weight"),
-        (w.cast("double") / F.col("n_tokens").cast("double")).alias(
-            "mean_log2_ratio"
-        ),
-        (w > 0).alias("keep"),
     )
