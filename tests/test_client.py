@@ -447,6 +447,25 @@ def test_close_resets_sid_counter_and_subs_like_node():
     assert c.ssid == -1 and c.subs is None
 
 
+def test_curation_report_example_runs(spark):
+    # The r7 curation walkthrough stays runnable with pinned fixture
+    # counts (sf0.001, expected values computed independently in DuckDB):
+    # 170 docs lean target under the DSIR vote (87 non-en + 83 en — the
+    # fixture has no language-token signal, so the split is sampling
+    # noise around zero, which is the honest answer), the catalog spans
+    # 3 log2 revenue buckets with 187 parts in the A slice, and the 5
+    # observed weeks peak at 0.942 avg-DAU/WAU.
+    import examples.curation_report as cr
+
+    assert cr.main("/root/testdata/sf0.001") == {
+        "dsir_keep": 170,
+        "abc_buckets": 3,
+        "abc_a_parts": 187,
+        "weeks": 5,
+        "peak_stickiness_permille": 942,
+    }
+
+
 def test_ingest_layout_example_runs(spark):
     # The r6 ingest/layout walkthrough stays runnable with pinned fixture
     # counts (sf0.001): all 129 docs of the incoming batch survive
