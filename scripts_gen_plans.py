@@ -156,6 +156,10 @@ SHOWCASE = [
         "Weekly churn census: ONE user_id exchange computes per-user MAX(ts) with map-side partials; the 14-day horizon is a 1-row aggregate broadcast back (BroadcastNestedLoopJoin over one row), and the last-seen-week census groups user-sized input into calendar-bounded buckets.",
     ),
     (
+        "collocation_lift_topk",
+        "Collocation mining in ONE corpus pass (r7): unigram and bigram occurrences explode tagged from the same tokenized row into a single (tag, term) exchange with map-side partials; the vocab-sized census persists and feeds the token total, both unigram joins, and the frequent-bigram side; top-50 via TakeOrderedAndProject.",
+    ),
+    (
         "dsir_importance_weights",
         "DSIR importance model: one corpus explode collapses to the persisted (doc, bucket) count table; the 4096-row bucket census folds raw AND target counts in one pass and broadcasts into the scoring join; the 1-row token totals ride a scalar broadcast. Integer digit-count log2 end to end.",
     ),
