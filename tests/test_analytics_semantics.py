@@ -241,3 +241,21 @@ def test_user_concentration_lorenz_shares(spark, tmp_path):
         (3, 1, 3, 1.0 / 3.0, 3.0 / 5.0),
         (1, 2, 2, 1.0, 1.0),
     ]
+
+
+def test_weekly_stickiness_ratio(spark, tmp_path):
+    """Hand-built week (2024-01-01 is a Monday): user 1 active all 7
+    days (two events on Monday — dedups to one active day), user 2
+    active Monday only. WAU = 2, active user-days = 8 over 7 observed
+    days, stickiness = (8/7)/2 = 4/7."""
+    def ev(i, day, uid):
+        return (i, T0 + dt.timedelta(days=day, seconds=i), uid, "click", 0.0)
+
+    rows = [ev(i, i, 1) for i in range(7)] + [ev(7, 0, 1), ev(8, 0, 2)]
+    d = _write_events(tmp_path, rows)
+    got = [
+        (r["week"].isoformat(), r["wau"], r["active_user_days"],
+         r["n_days"], r["stickiness"])
+        for r in registry.QUERIES["events_weekly_stickiness"](spark, d).collect()
+    ]
+    assert got == [("2024-01-01", 2, 8, 7, (8.0 / 7.0) / 2.0)]
