@@ -479,13 +479,24 @@ def doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     key), corpus counts are a vocabulary-sized second agg over those
     pairs, the count join shuffles unique pairs only, and the per-doc
     stats weight by `k` (integer-exact, so values are identical to the
-    per-occurrence formulation the oracle states)."""
+    per-occurrence formulation the oracle states). The pair table is
+    PERSISTED (r7): it feeds the corpus-count branch AND the scoring
+    join, and without the persist the corpus explode + pair shuffle
+    replays for each — the same fix that took sibling
+    `perplexity_bucket` from a 7.0 to a 1.1 sf1 ratio while this op,
+    structurally identical, sat at 7.0."""
+    from pyspark import StorageLevel
+
     d = load_table(spark, sf_dir, "documents")
     t2 = (
         d.select("doc_id", F.explode(F.split(F.expr(_NORM_SPARK), " ")).alias("token"))
         .filter(F.col("token") != "")
     )
-    dt = t2.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("k"))
+    dt = (
+        t2.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cnts = dt.groupBy("token").agg(F.sum("k").alias("cnt"))
     j = dt.join(cnts, "token").select("doc_id", "k", "cnt")
     zipf = F.length(F.conv(F.col("cnt").cast("string"), 10, 2)) - 1

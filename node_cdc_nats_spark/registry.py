@@ -56,6 +56,9 @@ _VERIFY_HEAD = (
     "dsir_importance_weights",   # DSIR hashed-unigram importance weights
     "events_weekly_stickiness",  # DAU/WAU engagement ratio per week
     "parts_pareto_abc",          # log2-bucketed ABC revenue concentration
+    # r7: impl changed — pair table persisted (the perplexity_bucket
+    # lesson applied to its structurally identical sibling)
+    "doc_rarity_score",
 )
 
 
@@ -63,8 +66,8 @@ _VERIFY_HEAD = (
 # evidence first. Round 6's 50 slots covered its 38-op head + 1 unlisted
 # (events_inactivity_churn, caught by the safety net) + the first 11 of
 # r1. The oldest remaining evidence is r1 (12 ops), then r2 (9), then r3
-# (30). Round 7's 50 slots cover head 6 + r1 12 + r2 9 + the first 23 of
-# r3; the last 7 r3 ops and the r4/r5/r6 blocks carry the freshest
+# (30). Round 7's 50 slots cover head 7 + r1 12 + r2 9 + the first 22 of
+# r3; the last 8 r3 ops and the r4/r5/r6 blocks carry the freshest
 # evidence and wait for r8.
 _R1_GREEN_SAFE = (
     "limit", "math_ops", "project",
@@ -109,7 +112,7 @@ _R4_GREEN = (
 # r1-era aggregates r5 refreshed) — freshest evidence, verified last.
 _R5_GREEN = (
     "dedup_simhash", "ann_lsh_topk", "scan_orc", "dedup_embedding_banded",
-    "doc_rarity_score", "udtf_tokens", "dedup_substring",
+    "udtf_tokens", "dedup_substring",
     "split_leakage_report", "q6_forecast_revenue", "q9_nation_revenue",
     "q14_promo_effect", "q18_large_volume", "q4_order_priority",
     "q7_volume_shipping", "q8_market_share", "q13_customer_distribution",

@@ -108,6 +108,7 @@ def test_green_demotion_lists_are_sound():
         "collocation_lift_topk",   # map-side bigram census collapse
         "dedup_bloom_prefilter",   # Bloom bitmap built by a Spark aggregate
         "scan_binary",             # executor-side staging writes
+        "doc_rarity_score",        # pair table persisted (7.0 sf1 ratio fix)
         # new in r7 — no prior green:
         "dsir_importance_weights",   # DSIR hashed-unigram importance model
         "events_weekly_stickiness",  # DAU/WAU engagement ratio per week
