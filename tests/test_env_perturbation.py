@@ -39,6 +39,12 @@ SUSPECTS = (
     # by the same measurement before any driver round can sample them.
     "funnel_latency_stats",
     "events_hourly_cusum",
+    # r6/r7 additions in the same sensitivity classes: date_trunc
+    # week/day over the NTZ ts (churn horizon arithmetic, user-day
+    # dedup), and the decimal cumulative-share window.
+    "events_inactivity_churn",
+    "events_weekly_stickiness",
+    "parts_pareto_abc",
 )
 
 
