@@ -311,6 +311,15 @@ Notes:
 - Streaming ops (`stream_tumble`, `stream_rpc_state`) are flat across
   scale factors: micro-batch + state-store fixed costs dominate at
   fixture volume; state size is watermark/horizon-bounded by design.
+- r7: the multi-consumer pair/census relations are persisted
+  (`collocation_lift_topk` 8.38 -> ~1.1, `doc_rarity_score` 7.00 ->
+  ~1.3 at sf1) — exchange reuse does not fire across differing
+  parents, so without the persist each consumer replayed the corpus
+  explode. The remaining high doc-op ratio (`corpus_vocab_stats`) is
+  genuine data growth, not a plan defect: its plan is a single
+  explode + token census, and the sf1 inflation grows the VOCABULARY
+  10x by construction (token-suffixed replicas), so the census itself
+  is 10x the groups.
 """
 
 
