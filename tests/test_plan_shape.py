@@ -745,6 +745,11 @@ def test_collocation_topk_never_global_sorts(spark):
     # bigram occurrences share one tagged explode + one exchange, and
     # every downstream consumer reads the persisted vocab-sized census
     # (InMemoryTableScan), never the corpus.
+    # Hermetic cache state: other suite files run ops that persist
+    # relations in the same JVM, and CacheManager substitution into a
+    # pre-existing entry changes how the inlined cached plan prints
+    # (the path-count arithmetic below assumes only THIS op's cache).
+    spark.catalog.clearCache()
     plan = _plan(spark, "collocation_lift_topk")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
@@ -885,6 +890,7 @@ def test_dsir_single_corpus_explode_broadcast_census(spark):
     # the 4096-row census (raw + target counts in one pass) broadcasts
     # into the scoring join; the 1-row totals ride the only nested loop.
     # No second corpus scan for the target slice, no Python anywhere.
+    spark.catalog.clearCache()  # hermetic vs other tests' cache entries
     plan = _plan(spark, "dsir_importance_weights")
     assert plan.count("InMemoryTableScan") >= 2  # pair table reused
     assert "BroadcastHashJoin" in plan  # census join
@@ -898,6 +904,7 @@ def test_weekly_stickiness_one_corpus_exchange_no_expand(spark):
     # week dedup re-keys user-day rows; both censuses count pre-deduped
     # rows (no COUNT(DISTINCT) Expand); the day x week census join is
     # calendar-sized.
+    spark.catalog.clearCache()  # hermetic vs other tests' cache entries
     plan = _plan(spark, "events_weekly_stickiness")
     assert "Expand" not in plan
     # The (user_id, day) dedup feeds a persisted user-day table read by
