@@ -121,6 +121,8 @@ HEADLINE = [
     "dsir_importance_weights",
     "events_weekly_stickiness",
     "parts_pareto_abc",
+    "join_asof_nearest",
+    "cdc_column_diff",
 ]
 
 

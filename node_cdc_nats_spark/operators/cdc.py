@@ -430,3 +430,83 @@ def downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("vsum"),
     )
+
+
+@register(
+    "cdc_column_diff",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, user_id, event_type, value, props,
+             LAG(event_id) OVER w AS p_id,
+             LAG(event_type) OVER w AS p_type,
+             LAG(value) OVER w AS p_value,
+             LAG(props) OVER w AS p_props
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_id, user_id,
+           CASE WHEN p_id IS NULL THEN 'I' ELSE 'U' END AS op,
+           CASE WHEN p_id IS NULL THEN NULL ELSE CONCAT_WS(',',
+             CASE WHEN p_type IS DISTINCT FROM event_type
+                  THEN 'event_type' END,
+             CASE WHEN p_value IS DISTINCT FROM value THEN 'value' END,
+             CASE WHEN p_props IS DISTINCT FROM props THEN 'props' END)
+           END AS changed_cols,
+           CAST(CASE WHEN p_id IS NULL THEN 0 ELSE
+             (CASE WHEN p_type IS DISTINCT FROM event_type
+                   THEN 1 ELSE 0 END)
+             + (CASE WHEN p_value IS DISTINCT FROM value THEN 1 ELSE 0 END)
+             + (CASE WHEN p_props IS DISTINCT FROM props THEN 1 ELSE 0 END)
+           END AS INT) AS n_changed,
+           CASE WHEN p_id IS NULL THEN NULL
+                ELSE value - p_value END AS value_delta
+    FROM v
+    """,
+)
+def cdc_column_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level change report over the per-key version history — the
+    Debezium-style "which fields did this update touch" view downstream
+    column-routing / audit consumers build from a CDC feed (the
+    reference transports the envelopes, lib/nats.js:86-113; this is the
+    queryable diff of what they carried). First row per key is the
+    insert ('I'); each later version ('U') reports the null-safe set of
+    changed payload columns as a fixed-order CSV string, the changed
+    count, and the numeric delta for the measure column.
+
+    Plan: ONE user_id window shuffle carries all four LAGs (same
+    exchange as `cdc_changelog` — the diff is a map-side projection on
+    top); no joins, no second pass. Determinism: the (ts, event_id)
+    ordering is total, comparisons are null-safe (`IS DISTINCT FROM` /
+    `eqNullSafe`), and the column list renders in a fixed order."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    p_id = F.lag("event_id").over(w)
+    p_type = F.lag("event_type").over(w)
+    p_value = F.lag("value").over(w)
+    p_props = F.lag("props").over(w)
+    changed_type = ~p_type.eqNullSafe(F.col("event_type"))
+    changed_value = ~p_value.eqNullSafe(F.col("value"))
+    changed_props = ~p_props.eqNullSafe(F.col("props"))
+    is_insert = p_id.isNull()
+    changed_cols = F.concat_ws(
+        ",",
+        F.when(changed_type, "event_type"),
+        F.when(changed_value, "value"),
+        F.when(changed_props, "props"),
+    )
+    n_changed = (
+        changed_type.cast("int")
+        + changed_value.cast("int")
+        + changed_props.cast("int")
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.when(is_insert, "I").otherwise("U").alias("op"),
+        F.when(is_insert, F.lit(None).cast("string"))
+        .otherwise(changed_cols)
+        .alias("changed_cols"),
+        F.when(is_insert, F.lit(0)).otherwise(n_changed).cast("int").alias("n_changed"),
+        F.when(is_insert, F.lit(None).cast("double"))
+        .otherwise(F.col("value") - p_value)
+        .alias("value_delta"),
+    )

@@ -168,6 +168,14 @@ SHOWCASE = [
         "ABC split without a part sort: per-part decimal revenue collapses to a log2-bucket census (~40 rows at any SF); ONE single-partition window computes running + full-frame revenue totals; the only corpus-sized exchange is the l_partkey aggregate.",
     ),
     (
+        "join_asof_nearest",
+        "Nearest as-of in ONE shuffle: the tagged union sorts once per user and carries BOTH candidates (backward = last-ignorenulls over the preceding frame, forward = first-ignorenulls over the following frame); the pick is a map-side CASE on integer epoch-us gaps.",
+    ),
+    (
+        "cdc_column_diff",
+        "Column-level CDC diff: one user_id window exchange carries all four LAGs; the changed-column set, count, and numeric delta are map-side projections — no joins, no second pass.",
+    ),
+    (
         "events_weekly_stickiness",
         "DAU/WAU stickiness: the (user_id, day) dedup is the ONLY corpus-sized exchange; the week-level dedup re-keys user-day rows, and the day-census x week-census join is calendar-sized and AQE-broadcast.",
     ),

@@ -136,6 +136,9 @@ FACT_BOUND = [
     "events_weekly_stickiness",
     # r7 addition (lineitem-bound; log2-bucket census + tiny window)
     "parts_pareto_abc",
+    # r7 additions (events-bound single-window ops)
+    "join_asof_nearest",
+    "cdc_column_diff",
 ]
 
 

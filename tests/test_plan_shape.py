@@ -916,3 +916,23 @@ def test_weekly_stickiness_one_corpus_exchange_no_expand(spark):
     assert plan.count("InMemoryTableScan") >= 2
     assert plan.count("events.parquet") == plan.count("InMemoryRelation")
     assert "NTILE" not in plan.upper()
+
+
+def test_asof_nearest_single_shuffle_both_directions(spark):
+    # Backward and forward candidates ride the SAME tagged-union window
+    # sort: one full-width user_id exchange plus the purchase-side
+    # (user_id, ts) pre-reduce — and nothing else; no join of any kind,
+    # and the direction pick is a projection.
+    plan = _plan(spark, "join_asof_nearest")
+    assert plan.count("Exchange hashpartitioning(user_id#") == 2
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_column_diff_shares_changelog_shape(spark):
+    # One user_id window exchange carries all four LAGs; the diff is a
+    # map-side projection — no joins, no aggregation pass.
+    plan = _plan(spark, "cdc_column_diff")
+    assert plan.count("Exchange hashpartitioning(user_id#") == 1
+    assert "Join" not in plan
+    assert plan.count("Window") == 1

@@ -113,6 +113,8 @@ def test_green_demotion_lists_are_sound():
         "dsir_importance_weights",   # DSIR hashed-unigram importance model
         "events_weekly_stickiness",  # DAU/WAU engagement ratio per week
         "parts_pareto_abc",          # log2-bucketed ABC revenue census
+        "join_asof_nearest",         # nearest-direction as-of join
+        "cdc_column_diff",           # column-level CDC change report
     }
     assert changed_in_r7 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
