@@ -259,3 +259,57 @@ def test_weekly_stickiness_ratio(spark, tmp_path):
         for r in registry.QUERIES["events_weekly_stickiness"](spark, d).collect()
     ]
     assert got == [("2024-01-01", 2, 8, 7, (8.0 / 7.0) / 2.0)]
+
+
+def test_asof_nearest_direction_and_ties(spark, tmp_path):
+    """Hand-built timeline, user 1: purchases at t=100s and t=200s,
+    clicks at t=90 (forward only→200? no: 100 is nearer), t=150
+    (EQUAL 50s gaps → backward tie rule → 100s purchase), t=160
+    (nearer forward → 200s), t=100 (coincident → backward at distance
+    zero). User 2 has a click and no purchases → null match."""
+    def ev(i, sec, uid, typ):
+        return (i, T0 + dt.timedelta(seconds=sec), uid, typ, 0.0)
+
+    rows = [
+        ev(1, 100, 1, "purchase"), ev(2, 200, 1, "purchase"),
+        ev(3, 90, 1, "click"), ev(4, 150, 1, "click"),
+        ev(5, 160, 1, "click"), ev(6, 100, 1, "click"),
+        ev(7, 50, 2, "click"),
+    ]
+    d = _write_events(tmp_path, rows)
+    got = {
+        r["event_id"]: (r["nearest_purchase_id"], r["direction"])
+        for r in registry.QUERIES["join_asof_nearest"](spark, d).collect()
+    }
+    assert got == {
+        3: (1, "forward"),    # only forward candidates exist before t=100
+        4: (1, "backward"),   # 50s vs 50s tie -> earlier (backward) wins
+        5: (2, "forward"),    # 60s back vs 40s forward
+        6: (1, "backward"),   # coincident purchase counts as backward
+        7: (None, None),      # no purchases for user 2
+    }
+
+
+def test_cdc_column_diff_transitions(spark, tmp_path):
+    """Hand-built version chain for one key: insert, an update changing
+    only value, an update changing type+props but not value, and an
+    exact-repeat update changing nothing (n_changed = 0)."""
+    rows = [
+        (1, T0, 9, "signup", 1.0),
+        (2, T0 + dt.timedelta(seconds=1), 9, "signup", 2.5),
+        (3, T0 + dt.timedelta(seconds=2), 9, "click", 2.5),
+        (4, T0 + dt.timedelta(seconds=3), 9, "click", 2.5),
+    ]
+    d = _write_events(tmp_path, rows)
+    got = {
+        r["event_id"]: (r["op"], r["changed_cols"], r["n_changed"], r["value_delta"])
+        for r in registry.QUERIES["cdc_column_diff"](spark, d).collect()
+    }
+    # props is the constant "{}" in the fixture writer, so only
+    # event_type/value transitions appear.
+    assert got == {
+        1: ("I", None, 0, None),
+        2: ("U", "value", 1, 1.5),
+        3: ("U", "event_type", 1, 0.0),
+        4: ("U", "", 0, 0.0),
+    }
