@@ -20,15 +20,20 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main(sf_dir: str = "/root/testdata/sf0.001") -> dict[str, int]:
     from node_cdc_nats_spark.operators.analytics import (
         events_hourly_cusum,
+        events_inactivity_churn,
         events_transition_matrix,
         events_user_concentration,
+        events_weekly_stickiness,
         funnel_conversion,
         funnel_latency_stats,
         retention_cohorts,
         rolling_active_users,
         sessionize_events,
     )
+    from node_cdc_nats_spark.operators.asof import join_asof_nearest
+    from node_cdc_nats_spark.operators.cdc import cdc_column_diff
     from node_cdc_nats_spark.session import get_spark
+    from pyspark.sql import functions as F
 
     spark = get_spark(app_name="event_analytics_example", shuffle_partitions=8)
     # 30-min-gap sessions per user: one user_id shuffle end-to-end.
@@ -48,6 +53,16 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict[str, int]:
     # Lorenz activity-concentration census — the power curve that sizes
     # per-user state and salting thresholds (r6).
     concentration = events_user_concentration(spark, sf_dir)
+    # Weekly inactivity-churn census against the observation horizon (r6).
+    churn = events_inactivity_churn(spark, sf_dir)
+    # DAU/WAU engagement stickiness per Monday-anchored week (r7).
+    stickiness = events_weekly_stickiness(spark, sf_dir)
+    # Nearest purchase around each click, either direction, ties backward
+    # (r7) — the attribution join behind "which purchase did this click
+    # relate to".
+    nearest = join_asof_nearest(spark, sf_dir)
+    # Debezium-style column-level change report per update (r7).
+    diffs = cdc_column_diff(spark, sf_dir)
     return {
         "sessions": sessions.count(),
         "n_signup": funnel.n_signup,
@@ -59,6 +74,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict[str, int]:
         "latency_cohorts": latency.count(),
         "cusum_rows": cusum.count(),
         "activity_levels": concentration.count(),
+        "churn_weeks": churn.count(),
+        "stickiness_weeks": stickiness.count(),
+        "nearest_forward": nearest.filter(
+            F.col("direction") == "forward"
+        ).count(),
+        "type_change_updates": diffs.filter(
+            (F.col("op") == "U")
+            & F.col("changed_cols").contains("event_type")
+        ).count(),
     }
 
 

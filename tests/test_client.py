@@ -301,6 +301,15 @@ def test_event_analytics_example_runs(spark):
         "latency_cohorts": 1,
         "cusum_rows": 3600,
         "activity_levels": 13,
+        # r7 stages (expected values computed independently in DuckDB):
+        # every user's last activity sits inside one horizon week (zero
+        # churned at this window size — the honest 30-day-fixture answer),
+        # 5 stickiness weeks, 117 clicks resolve to a FORWARD nearest
+        # purchase, and 787 updates change the event_type column.
+        "churn_weeks": 1,
+        "stickiness_weeks": 5,
+        "nearest_forward": 117,
+        "type_change_updates": 787,
     }
 
 
