@@ -123,6 +123,8 @@ HEADLINE = [
     "parts_pareto_abc",
     "join_asof_nearest",
     "cdc_column_diff",
+    "dedup_edit_distance",
+    "events_session_paths_topk",
 ]
 
 

@@ -809,3 +809,105 @@ def events_weekly_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# Path-analysis bounds: first PATH_LEN events of a session define its
+# path signature; the report keeps the PATH_TOPK most frequent paths.
+PATH_LEN = 8
+PATH_TOPK = 20
+
+
+@register(
+    "events_session_paths_topk",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM g
+    ),
+    sr AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                   ORDER BY ts, event_id) AS rn
+      FROM s
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sr WHERE rn <= {PATH_LEN}
+      GROUP BY user_id, session_id)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT {PATH_TOPK}
+    """,
+)
+def events_session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top navigation paths: the {PATH_TOPK} most frequent session event
+    sequences (first {PATH_LEN} event types of each 30-min-gap session,
+    joined with '>') — the path-analysis report behind "how do users
+    actually move through the product". Shares `sessionize_events`'
+    exact session definition, so a path census row corresponds 1:1 to
+    that operator's sessions.
+
+    Plan: ONE user_id exchange carries the session assignment (lag +
+    running sum), the in-session ROW_NUMBER truncation, and the ordered
+    per-session path collect (sort_array over per-session structs —
+    state bounded by PATH_LEN after the rn filter, not session length);
+    the path census is a partial+final hash agg on path strings
+    (bounded by |event_types|^PATH_LEN but in practice census-sized),
+    and the top-k is TakeOrderedAndProject with the count-then-path
+    tiebreak — never a global sort. Determinism: the (ts, event_id)
+    ordering is total, the path string render order is pinned by
+    sort_array, and counts are exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    ts_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    sessioned = (
+        ev.select("user_id", "ts", "event_id", "event_type", ts_us.alias("ts_us"))
+        .withColumn("session_id", F.sum(is_new).over(w_run))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "session_id").orderBy(
+                    "ts", "event_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") <= PATH_LEN)
+    )
+    paths = (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("ts_us", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(PATH_TOPK)
+    )

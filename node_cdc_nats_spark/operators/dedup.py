@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions 
 
 from ..io import load_table
 from ..registry import register
-from .text import NORM_SPARK_SQL
+from .text import NORM_DUCK_SQL as _SQL_NORM_DUCK, NORM_SPARK_SQL
 
 SHINGLE_N = 3
 # 24 minhashes in 12 bands of r=2 rows: P[candidate | jaccard j] =
@@ -1156,5 +1156,119 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             est_j.alias("est_jaccard"),
             true_j.alias("true_jaccard"),
             F.abs(est_j - true_j).alias("abs_err"),
+        )
+    )
+
+
+# Edit-distance verify stage: bound the DP cost per candidate pair by
+# truncating the normalized text (production tunes this to its doc-length
+# profile; the distance on the first EDIT_PREFIX chars is the standard
+# screening statistic before a full-document pass on survivors).
+EDIT_PREFIX = 500
+EDIT_DUP_SIM = 0.8
+
+
+@register(
+    "dedup_edit_distance",
+    oracle=f"""
+    WITH sh_docs AS ({_SQL_HASHED_SHINGLED_DOCS}),
+    sigs AS (SELECT doc_id, {_sql_minhash_sig()} AS sig FROM sh_docs),
+    bands AS ({_sql_minhash_band_union()}),
+    kept AS (SELECT band, mh FROM bands GROUP BY band, mh
+             HAVING COUNT(*) BETWEEN 2 AND {MINHASH_BUCKET_CAP}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN kept k ON a.band = k.band AND a.mh = k.mh
+      JOIN bands b ON a.band = b.band AND a.mh = b.mh
+                  AND a.doc_id < b.doc_id),
+    nt AS (
+      SELECT doc_id, SUBSTR({_SQL_NORM_DUCK}, 1, {EDIT_PREFIX}) AS nt
+      FROM documents),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(LENGTH(na.nt) AS BIGINT) AS len_a,
+             CAST(LENGTH(nb.nt) AS BIGINT) AS len_b,
+             CAST(LEVENSHTEIN(na.nt, nb.nt) AS BIGINT) AS edit_dist
+      FROM cand c
+      JOIN nt na ON na.doc_id = c.doc_a
+      JOIN nt nb ON nb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, len_a, len_b, edit_dist,
+           1.0 - CAST(edit_dist AS DOUBLE)
+                 / CAST(GREATEST(len_a, len_b, 1) AS DOUBLE) AS edit_sim,
+           (1.0 - CAST(edit_dist AS DOUBLE)
+                  / CAST(GREATEST(len_a, len_b, 1) AS DOUBLE))
+             >= {EDIT_DUP_SIM} AS is_dup
+    FROM scored
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verify stage over the live MinHash-LSH candidate
+    set: exact Levenshtein on the (truncated) normalized text of every
+    banded-bucket candidate pair, with the normalized similarity
+    1 - dist/max(len) and the >= 0.8 duplicate verdict — the
+    character-level complement to `dedup_minhash_calibration`'s
+    set-level Jaccard audit (reordered shingles can keep Jaccard high
+    while edit distance exposes the rewrite, and vice versa).
+
+    Plan: IDENTICAL candidate generation to `dedup_minhash` (banded
+    buckets, MINHASH_BUCKET_CAP, pair explode from capped bucket
+    arrays — candidate count linear in corpus size by construction),
+    then two broadcast-eligible joins against the doc-id-keyed
+    truncated-text table and ONE JVM-side `levenshtein` per pair.
+    Cost control at 100 TB: the DP is O(EDIT_PREFIX^2) per pair
+    regardless of document length, and pairs are cap-bounded — the
+    whole verify stage is candidate-sized, never corpus-quadratic.
+    Determinism: Levenshtein is an exact integer in both engines
+    (unit-tested parity incl. empty strings), lengths are integers,
+    and the similarity is one division."""
+    hashed = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", hashed_shingles_udf().alias("hs"))
+        .select("doc_id", F.col("hs.sig").alias("sig"))
+    )
+    bands = hashed.select(
+        "doc_id", F.posexplode(band_values(F.col("sig"))).alias("band", "mh")
+    )
+    buckets = (
+        bands.groupBy("band", "mh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= MINHASH_BUCKET_CAP))
+    )
+    cand = (
+        buckets.select(F.explode(bucket_pairs(F.col("ds"))).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
+    )
+    nt = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(F.expr(NORM_SPARK_SQL), 1, EDIT_PREFIX).alias("nt"),
+    )
+    na = nt.select(F.col("doc_id").alias("doc_a"), F.col("nt").alias("nt_a"))
+    nb = nt.select(F.col("doc_id").alias("doc_b"), F.col("nt").alias("nt_b"))
+    edit_dist = F.levenshtein("nt_a", "nt_b").cast("long")
+    len_a = F.length("nt_a").cast("long")
+    len_b = F.length("nt_b").cast("long")
+    sim = 1.0 - F.col("edit_dist").cast("double") / F.greatest(
+        F.col("len_a"), F.col("len_b"), F.lit(1)
+    ).cast("double")
+    return (
+        cand.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            len_a.alias("len_a"),
+            len_b.alias("len_b"),
+            edit_dist.alias("edit_dist"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "len_a",
+            "len_b",
+            "edit_dist",
+            sim.alias("edit_sim"),
+            (sim >= EDIT_DUP_SIM).alias("is_dup"),
         )
     )

@@ -61,6 +61,8 @@ _VERIFY_HEAD = (
     "doc_rarity_score",
     "join_asof_nearest",         # nearest-direction as-of (one shuffle)
     "cdc_column_diff",           # Debezium-style column-level diff
+    "dedup_edit_distance",       # Levenshtein verify over LSH candidates
+    "events_session_paths_topk", # top session event-sequence census
 )
 
 
@@ -68,8 +70,8 @@ _VERIFY_HEAD = (
 # evidence first. Round 6's 50 slots covered its 38-op head + 1 unlisted
 # (events_inactivity_churn, caught by the safety net) + the first 11 of
 # r1. The oldest remaining evidence is r1 (12 ops), then r2 (9), then r3
-# (30). Round 7's 50 slots cover head 9 + r1 12 + r2 9 + the first 20 of
-# r3; the last 10 r3 ops and the r4/r5/r6 blocks carry the freshest
+# (30). Round 7's 50 slots cover head 11 + r1 12 + r2 9 + the first 18 of
+# r3; the last 12 r3 ops and the r4/r5/r6 blocks carry the freshest
 # evidence and wait for r8.
 _R1_GREEN_SAFE = (
     "limit", "math_ops", "project",

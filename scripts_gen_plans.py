@@ -176,6 +176,14 @@ SHOWCASE = [
         "Column-level CDC diff: one user_id window exchange carries all four LAGs; the changed-column set, count, and numeric delta are map-side projections — no joins, no second pass.",
     ),
     (
+        "dedup_edit_distance",
+        "Edit-distance verify: identical capped banded-bucket candidate generation as dedup_minhash, then two doc-id joins against the truncated normalized-text table and ONE JVM-side levenshtein per pair — candidate-sized, O(PREFIX^2) DP regardless of document length.",
+    ),
+    (
+        "events_session_paths_topk",
+        "Path census: ONE user_id exchange carries session assignment, the in-session ROW_NUMBER truncation, and the ordered per-session path collect (state bounded by PATH_LEN); the path census partial-aggregates and the top-20 is TakeOrderedAndProject.",
+    ),
+    (
         "events_weekly_stickiness",
         "DAU/WAU stickiness: the (user_id, day) dedup is the ONLY corpus-sized exchange; the week-level dedup re-keys user-day rows, and the day-census x week-census join is calendar-sized and AQE-broadcast.",
     ),

@@ -69,6 +69,8 @@ DOC_BOUND = [
     "dedup_minhash_calibration",
     # r7 addition (documents-bound; hashed-unigram importance model)
     "dsir_importance_weights",
+    # r7 addition (documents-bound; DP cost per candidate, cap-bounded)
+    "dedup_edit_distance",
 ]
 # The embedding-reading ops (r5): the adaptive-planes claim on
 # dedup_embedding_cosine ("EMBED_BUCKET_CAP only ever trims degenerate
@@ -139,6 +141,8 @@ FACT_BOUND = [
     # r7 additions (events-bound single-window ops)
     "join_asof_nearest",
     "cdc_column_diff",
+    # r7 addition (events-bound; session window + path census)
+    "events_session_paths_topk",
 ]
 
 

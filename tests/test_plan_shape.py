@@ -936,3 +936,26 @@ def test_cdc_column_diff_shares_changelog_shape(spark):
     assert plan.count("Exchange hashpartitioning(user_id#") == 1
     assert "Join" not in plan
     assert plan.count("Window") == 1
+
+
+def test_edit_distance_candidate_sized_no_python_rowwise(spark):
+    # Identical candidate generation to dedup_minhash (one (band, mh)
+    # exchange, capped buckets); the verify adds two doc-id joins and a
+    # JVM-side levenshtein — no cartesian, no row-at-a-time Python (the
+    # shingle signature stage is the Arrow pandas_udf the family shares).
+    plan = _plan(spark, "dedup_edit_distance")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan  # shared shingle/signature udf
+    assert "levenshtein" in plan
+
+
+def test_session_paths_one_user_exchange_then_census(spark):
+    # Session assignment, in-session truncation, and the ordered path
+    # collect all ride ONE user_id exchange; the path census is hash-agg
+    # partial+final; top-20 is TakeOrderedAndProject, never a global sort.
+    plan = _plan(spark, "events_session_paths_topk")
+    assert plan.count("Exchange hashpartitioning(user_id#") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan

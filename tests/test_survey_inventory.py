@@ -115,6 +115,8 @@ def test_green_demotion_lists_are_sound():
         "parts_pareto_abc",          # log2-bucketed ABC revenue census
         "join_asof_nearest",         # nearest-direction as-of join
         "cdc_column_diff",           # column-level CDC change report
+        "dedup_edit_distance",       # Levenshtein verify over candidates
+        "events_session_paths_topk", # top session-path census
     }
     assert changed_in_r7 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
