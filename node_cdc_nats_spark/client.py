@@ -120,9 +120,13 @@ class EventEmitter:
         # recently added match (events.js scans backwards) — so a
         # double-registered listener needs two off() calls, mirrored here.
         handlers = self._listeners.get(event, [])
-        for h in reversed(handlers):
+        for i in range(len(handlers) - 1, -1, -1):
+            h = handlers[i]
             if h is listener or getattr(h, "_once_of", None) is listener:
-                handlers.remove(h)
+                # del at the matched index, NOT list.remove(h): remove()
+                # deletes the FIRST equal entry, so [cb, other, cb] would
+                # keep [other, cb] while Node keeps [cb, other].
+                del handlers[i]
                 break
         return self
 

@@ -851,8 +851,8 @@ PATH_TOPK = 20
     """,
 )
 def events_session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top navigation paths: the {PATH_TOPK} most frequent session event
-    sequences (first {PATH_LEN} event types of each 30-min-gap session,
+    """Top navigation paths: the PATH_TOPK=20 most frequent session event
+    sequences (first PATH_LEN=8 event types of each 30-min-gap session,
     joined with '>') — the path-analysis report behind "how do users
     actually move through the product". Shares `sessionize_events`'
     exact session definition, so a path census row corresponds 1:1 to

@@ -297,6 +297,17 @@ def scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     content column is dropped before return (the driver canonicalizer
     requires hashable scalar cells; md5 carries the content identity)."""
     if sf_dir not in _BINARY_STAGED:
+        # Local-mode-only staging: executors must share the driver
+        # filesystem for the binaryFile read below to see these writes.
+        # A non-local master needs a shared-storage staging path instead
+        # (or, in production, no staging at all — the bucket exists).
+        master = spark.sparkContext.master
+        if not master.startswith("local"):
+            raise RuntimeError(
+                "scan_binary fixture staging requires a local[*] master "
+                f"(got {master!r}); point the staging path at shared "
+                "storage to run this fixture on a cluster"
+            )
         out = tempfile.mkdtemp(prefix="scan_binary_")
 
         def _write_partition(rows) -> None:

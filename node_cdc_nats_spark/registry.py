@@ -37,60 +37,31 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# Absolute head of round 7's verification order: every op whose code or
-# oracle changed in r7 (perf reworks keep their oracles but must re-earn
-# greens against the new plans), plus any brand-new r7 ops. Kept small on
-# purpose this round so the 50-slot budget reaches deep into the stale
-# r1/r2/r3 evidence (VERDICT r6 item 4).
+# Absolute head of round 8's verification order: every op whose code or
+# oracle changed in r8 (perf reworks keep their oracles but must re-earn
+# greens against the new plans), plus any brand-new r8 ops. Kept minimal
+# on purpose (VERDICT r7 item 1): the 50-slot budget must clear the last
+# 12 r3-era greens and reach ≥30 of the 45 r4-era greens. Cache-lifecycle
+# changes (persist() → cache.managed_persist(), same storage level, same
+# plan — VERDICT r7 item 2) are deliberately NOT re-headed: they cannot
+# change query output, and each affected op was re-verified driver-style
+# locally (scratch_verify_driver in a vanilla session) in r8 instead of
+# burning a driver slot.
 _VERIFY_HEAD = (
-    # r7: impl changed — bigram census collapsed map-side before the
-    # exchange (the 8.38×/10× SCALING fix)
-    "collocation_lift_topk",
-    # r7: impl changed — Bloom bitmap now built by a Spark aggregate
-    # (driver-side 65k-iteration Python loop removed)
-    "dedup_bloom_prefilter",
-    # r7: impl changed — staging .collect() replaced by executor-side
-    # foreachPartition writes
+    # r8: impl changed — non-local-master guard on fixture staging
+    # (output unchanged on local[*]; guard is the only new code path)
     "scan_binary",
-    # r7: new ops, first verification
-    "dsir_importance_weights",   # DSIR hashed-unigram importance weights
-    "events_weekly_stickiness",  # DAU/WAU engagement ratio per week
-    "parts_pareto_abc",          # log2-bucketed ABC revenue concentration
-    # r7: impl changed — pair table persisted (the perplexity_bucket
-    # lesson applied to its structurally identical sibling)
-    "doc_rarity_score",
-    "join_asof_nearest",         # nearest-direction as-of (one shuffle)
-    "cdc_column_diff",           # Debezium-style column-level diff
-    "dedup_edit_distance",       # Levenshtein verify over LSH candidates
-    "events_session_paths_topk", # top session event-sequence census
 )
 
 
 # The budgeted walk (50 driver slots per round) then refreshes the OLDEST
-# evidence first. Round 6's 50 slots covered its 38-op head + 1 unlisted
-# (events_inactivity_churn, caught by the safety net) + the first 11 of
-# r1. The oldest remaining evidence is r1 (12 ops), then r2 (9), then r3
-# (30). Round 7's 50 slots cover head 11 + r1 12 + r2 9 + the first 18 of
-# r3; the last 12 r3 ops and the r4/r5/r6 blocks carry the freshest
-# evidence and wait for r8.
-_R1_GREEN_SAFE = (
-    "limit", "math_ops", "project",
-    "q1_pricing_summary", "q3_shipping_priority", "sort", "str_ops",
-    "topk", "topk_per_group", "win_frame_sliding", "win_percent",
-    "win_rank",
-)
-_R2_GREEN_SAFE = (
-    "multimodal_meta", "multimodal_frame_sample", "multimodal_features",
-    "multimodal_resize", "udf_scalar", "udf_grouped", "udf_grouped_agg",
-    "scan_parquet", "scan_csv",
-)
+# evidence first. Round 7's 50 slots covered its 11-op head + the 12
+# remaining r1 greens + the 9 remaining r2 greens + the first 18 of r3;
+# those 50 now carry r7-fresh evidence (_R7_GREEN). The oldest remaining
+# evidence is r3 (12 ops), then r4 (45). Round 8's 50 slots cover the
+# head + all 12 r3 ops + the first (50 - head - 12) of r4; the r5/r6/r7
+# blocks carry the freshest evidence and wait for later rounds.
 _R3_GREEN = (
-    "agg_approx_distinct", "scan_json",
-    "train_val_split", "sample_stratified", "quality_filter_gopher",
-    "topk_ngrams", "decontaminate_ngram", "repetition_ratio", "pii_redact",
-    "corpus_vocab_stats", "sample_temperature",
-    "corpus_mix_report", "corpus_shuffle", "pack_sequences",
-    "embed_norm_quantize", "q10_returned_items", "win_ntile", "array_ops",
     "join_anti", "dedup_exact",
     "dedup_ngram_jaccard", "sim_topk",
     "embed_knn", "text_stats", "lang_id", "token_count", "quality_score",
@@ -152,13 +123,36 @@ _R6_GREEN = (
     "join_inner", "join_left", "join_right", "join_semi",
     "join_skew_salted", "join_theta", "json_schema_projection",
 )
+# r7 greens — the full 50-op CORRECTNESS_r07 key set (r7's 11-op head,
+# the 12 r1-era and 9 r2-era greens it refreshed, and the first 18 r3
+# ops), minus scan_binary which is redefined in r8's head. Freshest
+# evidence, verified last.
+_R7_GREEN = (
+    "collocation_lift_topk", "dedup_bloom_prefilter",
+    "dsir_importance_weights", "events_weekly_stickiness",
+    "parts_pareto_abc", "doc_rarity_score", "join_asof_nearest",
+    "cdc_column_diff", "dedup_edit_distance", "events_session_paths_topk",
+    "limit", "math_ops", "project",
+    "q1_pricing_summary", "q3_shipping_priority", "sort", "str_ops",
+    "topk", "topk_per_group", "win_frame_sliding", "win_percent",
+    "win_rank",
+    "multimodal_meta", "multimodal_frame_sample", "multimodal_features",
+    "multimodal_resize", "udf_scalar", "udf_grouped", "udf_grouped_agg",
+    "scan_parquet", "scan_csv",
+    "agg_approx_distinct", "scan_json",
+    "train_val_split", "sample_stratified", "quality_filter_gopher",
+    "topk_ngrams", "decontaminate_ngram", "repetition_ratio", "pii_redact",
+    "corpus_vocab_stats", "sample_temperature",
+    "corpus_mix_report", "corpus_shuffle", "pack_sequences",
+    "embed_norm_quantize", "q10_returned_items", "win_ntile", "array_ops",
+)
 
 
 def load_all() -> None:
     """Import every operator module so registrations run, then order the
     registry for the driver's budgeted walk (50 verification slots per
-    round, head first): round-7-redefined ops, then any unlisted op, then
-    proven greens oldest-evidence-first (r1 → r2 → r3 → r4 → r5 → r6)."""
+    round, head first): round-8-redefined ops, then any unlisted op, then
+    proven greens oldest-evidence-first (r3 → r4 → r5 → r6 → r7)."""
     from .operators import (  # noqa: F401
         dedup,
         similarity,
@@ -181,12 +175,11 @@ def load_all() -> None:
     )
     listed = (
         set(_VERIFY_HEAD)
-        | set(_R1_GREEN_SAFE)
-        | set(_R2_GREEN_SAFE)
         | set(_R3_GREEN)
         | set(_R4_GREEN)
         | set(_R5_GREEN)
         | set(_R6_GREEN)
+        | set(_R7_GREEN)
     )
     blocks = (
         _VERIFY_HEAD,
@@ -195,12 +188,11 @@ def load_all() -> None:
         # a future round that registers an op but forgets the head list
         # still gets it verified (and test_survey_inventory flags it).
         tuple(n for n in QUERIES if n not in listed),
-        _R1_GREEN_SAFE,
-        _R2_GREEN_SAFE,
         _R3_GREEN,
         _R4_GREEN,
         _R5_GREEN,
         _R6_GREEN,
+        _R7_GREEN,
     )
     ordered: list[str] = []
     for block in blocks:

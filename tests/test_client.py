@@ -444,6 +444,23 @@ def test_off_removes_only_last_matching_registration():
     assert seen == [0]
 
 
+def test_off_deletes_the_last_added_position_not_the_first_equal():
+    # With [cb, other, cb] registered, Node's backwards scan removes the
+    # TRAILING cb, leaving [cb, other] — so cb still fires BEFORE other.
+    # list.remove(cb) would delete the leading entry and flip the
+    # emission order to [other, cb] (r7 ADVICE item).
+    c = connect()
+    order = []
+    cb = lambda sid, subject, opts: order.append("cb")  # noqa: E731
+    other = lambda sid, subject, opts: order.append("other")  # noqa: E731
+    c.on("subscribe", cb)
+    c.on("subscribe", other)
+    c.on("subscribe", cb)
+    c.off("subscribe", cb)
+    c.subscribe("a")
+    assert order == ["cb", "other"]
+
+
 def test_close_resets_sid_counter_and_subs_like_node():
     # lib/nats.js:72-73 — close() sets ssid = -1 and subs = null; the
     # reset is unconditional, so a second close() is a harmless no-op.

@@ -59,28 +59,26 @@ def test_inventory_is_substantial():
 
 def test_green_demotion_lists_are_sound():
     # Every listed name must actually exist (a typo would silently waste a
-    # head slot), ops whose definition changed in round 7 must sit in the
+    # head slot), ops whose definition changed in round 8 must sit in the
     # head (their prior green rows verified old definitions), and the
     # per-round evidence lists must be mutually disjoint and cover the
     # whole registry.
     from node_cdc_nats_spark.registry import (
-        _R1_GREEN_SAFE,
-        _R2_GREEN_SAFE,
         _R3_GREEN,
         _R4_GREEN,
         _R5_GREEN,
         _R6_GREEN,
+        _R7_GREEN,
         _VERIFY_HEAD,
     )
 
     lists = (
         (_VERIFY_HEAD, "_VERIFY_HEAD"),
-        (_R1_GREEN_SAFE, "_R1_GREEN_SAFE"),
-        (_R2_GREEN_SAFE, "_R2_GREEN_SAFE"),
         (_R3_GREEN, "_R3_GREEN"),
         (_R4_GREEN, "_R4_GREEN"),
         (_R5_GREEN, "_R5_GREEN"),
         (_R6_GREEN, "_R6_GREEN"),
+        (_R7_GREEN, "_R7_GREEN"),
     )
     for lst, label in lists:
         unknown = [n for n in lst if n not in registry.QUERIES]
@@ -88,8 +86,7 @@ def test_green_demotion_lists_are_sound():
         assert len(set(lst)) == len(lst), f"{label} has duplicates"
     seen: set[str] = set()
     for lst in (
-        _R1_GREEN_SAFE, _R2_GREEN_SAFE, _R3_GREEN, _R4_GREEN, _R5_GREEN,
-        _R6_GREEN,
+        _R3_GREEN, _R4_GREEN, _R5_GREEN, _R6_GREEN, _R7_GREEN,
     ):
         dup = seen & set(lst)
         assert not dup, f"evidence lists overlap: {dup}"
@@ -102,23 +99,12 @@ def test_green_demotion_lists_are_sound():
     assert not unlisted, (
         f"ops with no verification status (add to _VERIFY_HEAD): {unlisted}"
     )
-    changed_in_r7 = {
-        # perf reworks (oracles unchanged, plans changed — greens must be
-        # re-earned against the new plans):
-        "collocation_lift_topk",   # map-side bigram census collapse
-        "dedup_bloom_prefilter",   # Bloom bitmap built by a Spark aggregate
-        "scan_binary",             # executor-side staging writes
-        "doc_rarity_score",        # pair table persisted (7.0 sf1 ratio fix)
-        # new in r7 — no prior green:
-        "dsir_importance_weights",   # DSIR hashed-unigram importance model
-        "events_weekly_stickiness",  # DAU/WAU engagement ratio per week
-        "parts_pareto_abc",          # log2-bucketed ABC revenue census
-        "join_asof_nearest",         # nearest-direction as-of join
-        "cdc_column_diff",           # column-level CDC change report
-        "dedup_edit_distance",       # Levenshtein verify over candidates
-        "events_session_paths_topk", # top session-path census
+    changed_in_r8 = {
+        # impl changed — non-local-master guard on fixture staging
+        # (local[*] output unchanged; the guard is the only new path):
+        "scan_binary",
     }
-    assert changed_in_r7 == set(_VERIFY_HEAD)
+    assert changed_in_r8 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
     names = list(registry.QUERIES)
     assert names[: len(_VERIFY_HEAD)] == list(_VERIFY_HEAD)
@@ -126,24 +112,24 @@ def test_green_demotion_lists_are_sound():
 
 def test_oldest_evidence_fills_the_driver_budget():
     # The point of the per-round reorder: the driver's 50 verification
-    # slots go to the round-7-redefined head and then the OLDEST evidence
-    # (the remaining r1 and r2 greens, then r3), refreshing stale rows
-    # before fresh r4/r5/r6 rows burn slots.
+    # slots go to the round-8-redefined head and then the OLDEST evidence
+    # (the remaining r3 greens, then r4), refreshing stale rows before
+    # fresh r5/r6/r7 rows burn slots.
     from node_cdc_nats_spark.registry import (
-        _R1_GREEN_SAFE,
-        _R2_GREEN_SAFE,
         _R3_GREEN,
+        _R4_GREEN,
         _VERIFY_HEAD,
     )
 
     names = list(registry.QUERIES)
-    priority = (
-        list(_VERIFY_HEAD)
-        + list(_R1_GREEN_SAFE)
-        + list(_R2_GREEN_SAFE)
-        + list(_R3_GREEN)
-    )
+    priority = list(_VERIFY_HEAD) + list(_R3_GREEN) + list(_R4_GREEN)
     assert names[: len(priority)] == priority
+    # The walk must reach ≥30 of the 45 r4-era greens this round
+    # (VERDICT r7 item 1's Done bar): head + 12 r3 + 30 ≤ 50.
+    assert len(_VERIFY_HEAD) + len(_R3_GREEN) + 30 <= 50, (
+        "head too large — the 50-slot walk would refresh fewer than 30 "
+        "r4-era greens"
+    )
     # The 50-slot budget must at least cover the head (never-verified or
     # redefined ops — those have NO valid green and cannot wait). The
     # oldest-evidence (r1/r2/r3) blocks queue right behind it and may
