@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from ..io import load_table
+from ..cache import managed_persist
 from ..registry import register
 from .exact import DEC, dsum, sql_dsum
 
@@ -773,12 +774,10 @@ def events_weekly_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar-sized and AQE-broadcast. Determinism: integer counts, one
     double expression per output week; `date_trunc('week')` is
     Monday-anchored in both engines."""
-    from pyspark import StorageLevel
-
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
     )
-    ud = ev.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    ud = managed_persist(ev.distinct())
     daily = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     uw = ud.select(
         "user_id", F.date_trunc("week", F.col("day")).cast("date").alias("week")

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from ..io import load_table
+from ..cache import managed_persist
 from ..registry import register
 from .text import NORM_DUCK_SQL as _SQL_NORM_DUCK, NORM_SPARK_SQL
 
@@ -251,10 +252,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     document frequency exceeds NGRAM_DF_CAP are dropped (stop-phrase
     shingles would otherwise make one bucket quadratic), with the identical
     cap in the oracle's HAVING clause."""
-    hashed = (
+    hashed = managed_persist(
         load_table(spark, sf_dir, "documents")
         .select("doc_id", hashed_shingles_udf()["hl"].alias("hl"))
-        .persist()
     )
     ex = hashed.select("doc_id", F.explode("hl").alias("h"))
     buckets = (
@@ -444,11 +444,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the job's duration — it feeds candidate generation once and the verify
     join twice, and at 100 TB it is the standard signature-table materialization
     every LSH pipeline does rather than recomputing the corpus scan."""
-    hashed = (
+    hashed = managed_persist(
         load_table(spark, sf_dir, "documents")
         .select("doc_id", hashed_shingles_udf().alias("hs"))
         .select("doc_id", F.col("hs.hl").alias("hl"), F.col("hs.sig").alias("sig"))
-        .persist()
     )
     bands = hashed.select(
         "doc_id", F.posexplode(band_values(F.col("sig"))).alias("band", "mh")
@@ -1112,11 +1111,10 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     few ns per pair. Determinism: n_agree is an integer, both ratios are
     single divisions, and the error is one subtraction of two such
     doubles — identical expression shape in both engines."""
-    hashed = (
+    hashed = managed_persist(
         load_table(spark, sf_dir, "documents")
         .select("doc_id", hashed_shingles_udf().alias("hs"))
         .select("doc_id", F.col("hs.hl").alias("hl"), F.col("hs.sig").alias("sig"))
-        .persist()
     )
     bands = hashed.select(
         "doc_id", F.posexplode(band_values(F.col("sig"))).alias("band", "mh")

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io import load_table
+from ..cache import managed_persist
 from ..registry import register
 
 _HEX = "0123456789abcdef"
@@ -485,17 +486,13 @@ def doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays for each — the same fix that took sibling
     `perplexity_bucket` from a 7.0 to a 1.1 sf1 ratio while this op,
     structurally identical, sat at 7.0."""
-    from pyspark import StorageLevel
-
     d = load_table(spark, sf_dir, "documents")
     t2 = (
         d.select("doc_id", F.explode(F.split(F.expr(_NORM_SPARK), " ")).alias("token"))
         .filter(F.col("token") != "")
     )
-    dt = (
-        t2.groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("k"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    dt = managed_persist(
+        t2.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("k"))
     )
     cnts = dt.groupBy("token").agg(F.sum("k").alias("cnt"))
     j = dt.join(cnts, "token").select("doc_id", "k", "cnt")
@@ -954,17 +951,13 @@ def perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     t2 = d.select(
         "doc_id", "lang", F.explode(F.split(F.expr(_NORM_SPARK), " ")).alias("token")
     ).filter(F.col("token") != "")
-    from pyspark import StorageLevel
-
     # The unique-(doc,token) pair table feeds the corpus unigram model
     # AND (twice) the per-doc scorer — the cutoff branch needs the FULL
     # corpus counts, so without a persist the explode + pair shuffle
     # replays over the whole corpus for it. Persisting dt halves the
     # sf1-equivalent cost (measured r6: 7.0 s → ~4.4 s); spill-safe.
-    dt = (
-        t2.groupBy("doc_id", "lang", "token")
-        .agg(F.count(F.lit(1)).alias("k"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    dt = managed_persist(
+        t2.groupBy("doc_id", "lang", "token").agg(F.count(F.lit(1)).alias("k"))
     )
 
     def zipf(c: F.Column) -> F.Column:
@@ -1739,8 +1732,6 @@ def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     alphabetical tiebreak — never a global sort. At 100 TB the single
     tagged census shuffle dominates and is linear in corpus volume;
     everything after it is vocabulary-sized."""
-    from pyspark import StorageLevel
-
     d = load_table(spark, sf_dir, "documents")
     t = d.select(F.split(F.expr(_NORM_SPARK), " ").alias("toks"))
     tagged = t.select(
@@ -1757,11 +1748,10 @@ def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("occ")
     ).select(F.col("occ.tag").alias("tag"), F.col("occ.term").alias("term"))
-    census = (
+    census = managed_persist(
         tagged.groupBy("tag", "term")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter((F.col("tag") == 0) | (F.col("c") >= _COLLOC_MIN_COUNT))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     uni = census.filter(F.col("tag") == 0).select(
         F.col("term").alias("token"), "c"
@@ -1891,8 +1881,6 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     4096-row lean table. At 100 TB the explode + pair shuffle dominates
     and is linear; everything downstream of the pair table is bucket- or
     doc-sized."""
-    from pyspark import StorageLevel
-
     d = load_table(spark, sf_dir, "documents")
     pairs = (
         d.select(
@@ -1909,10 +1897,8 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bucket"),
         )
     )
-    db = (
-        pairs.groupBy("doc_id", "lang", "bucket")
-        .agg(F.count(F.lit(1)).alias("k"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    db = managed_persist(
+        pairs.groupBy("doc_id", "lang", "bucket").agg(F.count(F.lit(1)).alias("k"))
     )
     is_tgt = F.col("lang") == "en"
     census = db.groupBy("bucket").agg(

@@ -27,6 +27,7 @@ import random
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
+from ..cache import managed_persist
 from ..io import load_table
 from ..registry import register
 
@@ -323,10 +324,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
     # Signature-table materialization (one Arrow pass feeds both join
     # sides) — the same pattern as dedup_minhash's hashed-shingle persist.
-    b = em.select("vec_id", "embedding", bucket_norm_udf().alias("bn")).select(
+    b = managed_persist(em.select(
+        "vec_id", "embedding", bucket_norm_udf().alias("bn")
+    ).select(
         "vec_id", "embedding",
         F.col("bn.bucket").alias("bucket"), F.col("bn.nrm").alias("nrm"),
-    ).persist()
+    ))
     q = b.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "bucket",
         F.col("nrm").alias("qn"),
@@ -506,12 +509,12 @@ def dedup_embedding_cosine(
     # Signature-table materialization (one Arrow pass computes ALL bands'
     # buckets and feeds both join sides) — the same pattern as
     # dedup_minhash's hashed-shingle persist.
-    sig = em.select(
+    sig = managed_persist(em.select(
         "vec_id", "embedding", multiband_bucket_norm_udf(bands).alias("bn")
     ).select(
         "vec_id", "embedding",
         F.col("bn.buckets").alias("buckets"), F.col("bn.nrm").alias("nrm"),
-    ).persist()
+    ))
     per_band = []
     for bi in range(n_bands):
         b = sig.select(
@@ -939,12 +942,15 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end; purity is ONE double division per output row."""
     em = load_table(spark, sf_dir, "embeddings")
     b = (
-        em.select("vec_id", "label", "embedding", bucket_norm_udf().alias("bn"))
-        .select(
-            "vec_id", "label", "embedding",
-            F.col("bn.bucket").alias("bucket"), F.col("bn.nrm").alias("nrm"),
+        managed_persist(
+            em.select(
+                "vec_id", "label", "embedding", bucket_norm_udf().alias("bn")
+            ).select(
+                "vec_id", "label", "embedding",
+                F.col("bn.bucket").alias("bucket"),
+                F.col("bn.nrm").alias("nrm"),
+            )
         )
-        .persist()
     )
     a = b.select(
         F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"),

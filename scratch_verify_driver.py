@@ -69,6 +69,14 @@ for name in names:
         failed.append(name)
         msg = str(e).splitlines()[0][:160]
         print(f"ERR {name}: {msg}", flush=True)
+    finally:
+        # Cache-lifecycle contract (node_cdc_nats_spark/cache.py): the
+        # harness owning the consuming action releases each query's
+        # persisted intermediates so a full-registry walk in one session
+        # doesn't accumulate cached relations.
+        from node_cdc_nats_spark.cache import release_persisted
+
+        release_persisted()
 
 print(f"\n{len(names) - len(failed)}/{len(names)} ok; failed: {failed}")
 sys.exit(1 if failed else 0)
