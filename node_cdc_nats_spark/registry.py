@@ -51,6 +51,9 @@ _VERIFY_HEAD = (
     # r8: impl changed — non-local-master guard on fixture staging
     # (output unchanged on local[*]; guard is the only new code path)
     "scan_binary",
+    # r8: impl changed — bounded run ingests 2 staged files per trigger
+    # (the r7 profile item: per-trigger machinery was 85% of the cost)
+    "stream_rpc_state",
 )
 
 
@@ -79,7 +82,7 @@ _R4_GREEN = (
     "agg_min_max", "win_lag_lead", "win_running", "union_all",
     "union_distinct", "intersect", "json_extract", "stream_watermark",
     "stream_tumble", "stream_slide", "stream_session", "stream_dedup",
-    "stream_rpc_state", "stream_bounded_subscription", "stream_upsert",
+    "stream_bounded_subscription", "stream_upsert",
     "stream_stream_join", "cdc_upsert_latest", "cdc_changelog", "cdc_scd2",
     "fanout_dispatch", "bounded_subscription",
 )

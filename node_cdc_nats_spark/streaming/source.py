@@ -113,17 +113,31 @@ def stage_events(spark: SparkSession, sf_dir: str, order: str = "time") -> str:
 
 
 def read_events_stream(
-    spark: SparkSession, sf_dir: str, order: str = "time", single_batch: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    order: str = "time",
+    single_batch: bool = False,
+    files_per_trigger: int = 1,
 ) -> DataFrame:
     """The events fixture as a streaming DataFrame, one staged file per
-    micro-batch (``single_batch=True`` ingests all files in one trigger —
-    for ops that need a streaming source but not batch-by-batch
-    semantics)."""
+    micro-batch by default (``single_batch=True`` ingests all files in one
+    trigger — for ops that need a streaming source but not batch-by-batch
+    semantics).
+
+    ``files_per_trigger`` trades trigger count against per-trigger volume:
+    every micro-batch pays a fixed machinery cost (offset/commit WAL,
+    state-store open+snapshot per partition, an Arrow round-trip per state
+    group — measured ~0.66 s/trigger for the RPC op's 2-partition bounded
+    runs, r8 profile in streaming/rpc.py), so a stateful op whose
+    semantics need SOME cross-batch carry but not one-file-per-batch
+    granularity halves its fixed cost with ``files_per_trigger=2``. A
+    production trigger interval is exactly this dial: sized to throughput,
+    not to the source's file layout."""
     stage = stage_events(spark, sf_dir, order)
     schema = spark.read.parquet(stage).schema
     reader = spark.readStream.schema(schema)
     if not single_batch:
-        reader = reader.option("maxFilesPerTrigger", "1")
+        reader = reader.option("maxFilesPerTrigger", str(files_per_trigger))
     return reader.parquet(stage)
 
 

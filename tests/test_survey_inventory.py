@@ -103,6 +103,9 @@ def test_green_demotion_lists_are_sound():
         # impl changed — non-local-master guard on fixture staging
         # (local[*] output unchanged; the guard is the only new path):
         "scan_binary",
+        # impl changed — 2 staged files per trigger (r7 verdict item 3);
+        # decisions and oracle unchanged, trigger count halved:
+        "stream_rpc_state",
     }
     assert changed_in_r8 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
