@@ -457,6 +457,40 @@ def main() -> None:
         "their worst): banding/caps keep candidate generation linear in "
         "corpus size, which was the point of measuring them here.",
     ]
+    # Data-bound vs plan-defect check for the census op (r7 verdict item
+    # 4). Important fixture subtlety discovered doing this: the `~k`
+    # replica suffix is NOT alphanumeric, so the ops' shared normalizer
+    # splits it off — `token~3` tokenizes as `token`,`3`. The inflation
+    # therefore grows TOTAL token volume ~19x (each replica token yields
+    # two) while the vocabulary only gains the 9 digit tokens. The op's
+    # dominant stage (explode + map-side partial agg) is linear in TOTAL
+    # tokens, so that is the honest normalizer; both ratios are printed,
+    # COMPUTED from the same run, never asserted.
+    vox = {}
+    for sf_dir, label in ((SFS[-1], "sf0.1"), (SF1_DIR, "sf1")):
+        row = registry.QUERIES["corpus_vocab_stats"](spark, sf_dir).first()
+        vox[label] = (row["vocab_size"], row["total_tokens"])
+    vs_t = next(r for r in sf1_rows if r[0] == "corpus_vocab_stats")
+    token_ratio = vox["sf1"][1] / vox["sf0.1"][1]
+    vocab_ratio = vox["sf1"][0] / vox["sf0.1"][0]
+    norm = vs_t[3] / token_ratio
+    out += [
+        "",
+        f"`corpus_vocab_stats` normalized (r7 verdict item 4): the sf1 "
+        f"corpus holds {vox['sf1'][1]:,} tokens vs sf0.1's "
+        f"{vox['sf0.1'][1]:,} — **{token_ratio:.1f}x the token volume** "
+        f"(the `~k` replica suffix splits into its own token under the "
+        f"shared normalizer, so each replica token yields two; vocabulary "
+        f"itself only grows {vox['sf0.1'][0]} → {vox['sf1'][0]}). Wall "
+        f"time grew {vs_t[3]:.2f}x, i.e. **{norm:.2f}x cost per token** — "
+        + (
+            "sub-linear in the explode volume that drives the plan: "
+            "data-bound, not a plan defect. Closed."
+            if norm <= 1.2
+            else "ABOVE ~1.2x per token — the census plan is doing "
+            "super-linear work; apply the census-collapse lesson."
+        ),
+    ]
     # -- sf1 (1000x) on the embedding-bound ops -------------------------------
     build_sf1_embeddings(spark)
     for name in EMB_BOUND:
