@@ -135,6 +135,9 @@ HEADLINE = [
     "cdc_column_diff",
     "dedup_edit_distance",
     "events_session_paths_topk",
+    # r8 additions
+    "stream_cdc_column_diff",
+    "stream_join_asof_nearest",
 ]
 
 

@@ -54,6 +54,10 @@ _VERIFY_HEAD = (
     # r8: impl changed — bounded run ingests 2 staged files per trigger
     # (the r7 profile item: per-trigger machinery was 85% of the cost)
     "stream_rpc_state",
+    # r8: new ops, first verification — the streaming twins of the r7
+    # batch CDC/as-of additions (verdict item 6)
+    "stream_cdc_column_diff",    # continuous column-level CDC diff
+    "stream_join_asof_nearest",  # nearest-direction as-of, ±tolerance
 )
 
 

@@ -11,4 +11,14 @@ micro-batches → memory sink) to completion and returning the sink table, so
 results stay collectable AND oracle-checkable.
 """
 
-from . import bounded, errors, joins, rpc, source, upsert, windows  # noqa: F401
+from . import (  # noqa: F401
+    asof,
+    bounded,
+    cdc_diff,
+    errors,
+    joins,
+    rpc,
+    source,
+    upsert,
+    windows,
+)

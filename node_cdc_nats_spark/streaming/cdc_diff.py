@@ -1,0 +1,296 @@
+"""Streaming column-level CDC diff — the continuous twin of the batch
+``cdc_column_diff`` (operators/cdc.py), r7 verdict item 6.
+
+The reference delivers CDC envelopes continuously (``lib/nats.js:86-113``
+pushes every message to its subscribers the moment it arrives); a
+column-routing / audit consumer therefore wants the "which fields did this
+update touch" report as a STREAM, not a batch recompute. Semantics are
+identical to the batch op: per user_id, the first version is the insert
+('I'); every later version ('U') reports the null-safe set of changed
+payload columns (fixed order), the changed count, and the value delta vs
+its immediate predecessor.
+
+Event-time correctness: a version's diff is final only once no earlier
+version can still arrive, i.e. when the watermark passes its timestamp —
+so rows emit at watermark-crossing time via ``applyInPandasWithState``
+with EventTimeTimeout timers, exactly the harness ``stream_rpc_state``
+proved out. Rows the final watermark never reaches stay pending and emit
+nothing; the oracle applies the same cutoff.
+
+State per shard (sharded keying as in streaming/rpc.py — per-(group,
+batch) fixed costs argue for a few fat groups over thousands of tiny
+ones): pending not-yet-decided versions, plus ONE carry row per user —
+the last decided version, the predecessor of whatever arrives next. The
+pending side is watermark-horizon-bounded like every op here; the carry
+is one row per live key, the same per-key floor any streaming upsert /
+changelog reader holds (Debezium keeps exactly this to render `before`
+images). At 100 TB that is key-cardinality state in RocksDB, not history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..registry import register
+from .source import read_events_stream, run_to_memory
+
+DELAY = "30 minutes"
+N_SHARDS = 4
+
+_LA = ArrayType(LongType())
+_SA = ArrayType(StringType())
+_DA = ArrayType(DoubleType())
+# pending versions + one carry row per user (the decided predecessor).
+_STATE_SCHEMA = StructType(
+    [
+        StructField("p_uid", _LA),
+        StructField("p_eid", _LA),
+        StructField("p_ts", _LA),  # epoch micros
+        StructField("p_type", _SA),
+        StructField("p_value", _DA),
+        StructField("p_props", _SA),
+        StructField("c_uid", _LA),
+        StructField("c_eid", _LA),
+        StructField("c_ts", _LA),
+        StructField("c_type", _SA),
+        StructField("c_value", _DA),
+        StructField("c_props", _SA),
+    ]
+)
+_OUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("op", StringType()),
+        StructField("changed_cols", StringType()),
+        StructField("n_changed", IntegerType()),
+        StructField("value_delta", DoubleType()),
+    ]
+)
+
+
+def _make_diff_state_fn():
+    """Nested so cloudpickle ships it by value (executors don't have the
+    repo on sys.path — the driver contract)."""
+
+    def _diff_state_fn(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        cols = ("uid", "eid", "ts", "typ", "val", "prp")
+
+        def frame(arrays):
+            return pd.DataFrame(dict(zip(cols, arrays)))
+
+        if state.exists:
+            st = list(state.get)
+            pend = frame(st[:6])
+            carry = frame(st[6:])
+        else:
+            pend = frame([[] for _ in cols])
+            carry = frame([[] for _ in cols])
+        pend = pend.astype(
+            {"uid": "int64", "eid": "int64", "ts": "int64", "val": "float64"}
+        )
+        carry = carry.astype(
+            {"uid": "int64", "eid": "int64", "ts": "int64", "val": "float64"}
+        )
+
+        new = [pdf for pdf in pdfs if len(pdf)]
+        if new:
+            pdf = pd.concat(new, ignore_index=True) if len(new) > 1 else new[0]
+            pend = pd.concat(
+                [
+                    pend,
+                    pd.DataFrame(
+                        {
+                            "uid": pdf["user_id"].astype("int64"),
+                            "eid": pdf["event_id"].astype("int64"),
+                            "ts": pdf["ts"].astype("int64") // 1000,  # ns->us
+                            "typ": pdf["event_type"],
+                            "val": pdf["value"].astype("float64"),
+                            "prp": pdf["props"],
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        decide = pend["ts"].to_numpy() <= wm_us
+
+        out = None
+        if decide.any():
+            dec = pend[decide].sort_values(
+                ["uid", "ts", "eid"], kind="mergesort"
+            )
+            # Prepend each user's carry row so the first decided version
+            # diffs against its true predecessor; carry sorts first
+            # because anything older than it would have been late data
+            # (dropped at the watermark).
+            full = pd.concat(
+                [carry.assign(_carry=True), dec.assign(_carry=False)],
+                ignore_index=True,
+            ).sort_values(["uid", "ts", "eid", "_carry"], kind="mergesort")
+            # _carry=False sorts before True only on exact (ts, eid) ties,
+            # which cannot happen (event_id is unique); order is total.
+            g = full.groupby("uid", sort=False)
+            prev_eid = g["eid"].shift(1)
+            prev_typ = g["typ"].shift(1)
+            prev_val = g["val"].shift(1)
+            prev_prp = g["prp"].shift(1)
+
+            def neq(a, b):  # null-safe IS DISTINCT FROM
+                return (a != b) & ~(a.isna() & b.isna())
+
+            ct = neq(full["typ"], prev_typ)
+            cv = neq(full["val"], prev_val)
+            cp = neq(full["prp"], prev_prp)
+            is_ins = prev_eid.isna()
+            changed_cols = np.where(
+                is_ins,
+                None,
+                pd.Series(
+                    [
+                        ",".join(n for n, f in zip(("event_type", "value", "props"), flags) if f)
+                        for flags in zip(ct, cv, cp)
+                    ],
+                    index=full.index,
+                ),
+            )
+            rows = pd.DataFrame(
+                {
+                    "event_id": full["eid"],
+                    "user_id": full["uid"],
+                    "op": np.where(is_ins, "I", "U"),
+                    "changed_cols": changed_cols,
+                    "n_changed": np.where(
+                        is_ins,
+                        0,
+                        ct.astype(int) + cv.astype(int) + cp.astype(int),
+                    ),
+                    "value_delta": np.where(
+                        is_ins, np.nan, full["val"] - prev_val
+                    ),
+                    "_carry": full["_carry"],
+                }
+            )
+            out = (
+                rows[~rows["_carry"]]
+                .drop(columns="_carry")
+                .astype({"event_id": "int64", "user_id": "int64", "n_changed": "int32"})
+            )
+            # New carry: the LAST decided version per user replaces (or
+            # creates) that user's carry; untouched users keep theirs.
+            last = dec.groupby("uid", sort=False).tail(1)
+            carry = (
+                pd.concat([carry, last], ignore_index=True)
+                .sort_values(["uid", "ts", "eid"], kind="mergesort")
+                .groupby("uid", sort=False)
+                .tail(1)
+            )
+            pend = pend[~decide]
+
+        if len(pend) or len(carry):
+            state.update(
+                tuple(
+                    lst.tolist() if hasattr(lst, "tolist") else list(lst)
+                    for df_ in (pend, carry)
+                    for lst in (
+                        df_["uid"].to_numpy(),
+                        df_["eid"].to_numpy(),
+                        df_["ts"].to_numpy(),
+                        df_["typ"].to_numpy(),
+                        df_["val"].to_numpy(),
+                        df_["prp"].to_numpy(),
+                    )
+                )
+            )
+            if len(pend):
+                # Wake this shard when the watermark reaches the oldest
+                # pending version (must exceed the current watermark).
+                state.setTimeoutTimestamp(
+                    max(int(pend["ts"].min()) // 1000, wm_us // 1000) + 1
+                )
+        else:
+            state.remove()
+
+        if out is not None and len(out):
+            yield out
+
+    return _diff_state_fn
+
+
+@register(
+    "stream_cdc_column_diff",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             event_type, value, props,
+             LAG(event_id) OVER w AS p_id,
+             LAG(event_type) OVER w AS p_type,
+             LAG(value) OVER w AS p_value,
+             LAG(props) OVER w AS p_props
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    wmx AS (
+      SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 30 MINUTE AS w
+      FROM events)
+    SELECT event_id, user_id,
+           CASE WHEN p_id IS NULL THEN 'I' ELSE 'U' END AS op,
+           CASE WHEN p_id IS NULL THEN NULL ELSE CONCAT_WS(',',
+             CASE WHEN p_type IS DISTINCT FROM event_type
+                  THEN 'event_type' END,
+             CASE WHEN p_value IS DISTINCT FROM value THEN 'value' END,
+             CASE WHEN p_props IS DISTINCT FROM props THEN 'props' END)
+           END AS changed_cols,
+           CAST(CASE WHEN p_id IS NULL THEN 0 ELSE
+             (CASE WHEN p_type IS DISTINCT FROM event_type
+                   THEN 1 ELSE 0 END)
+             + (CASE WHEN p_value IS DISTINCT FROM value THEN 1 ELSE 0 END)
+             + (CASE WHEN p_props IS DISTINCT FROM props THEN 1 ELSE 0 END)
+           END AS INT) AS n_changed,
+           CASE WHEN p_id IS NULL THEN NULL
+                ELSE value - p_value END AS value_delta
+    FROM v
+    WHERE ts <= (SELECT w FROM wmx)
+    """,
+)
+def stream_cdc_column_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``cdc_column_diff``: per-user column-level change
+    reports emitted exactly once, when the watermark passes each version's
+    timestamp (its predecessor set is then final). The LAG the batch op
+    computes inside one window shuffle becomes one carry row per user in
+    the state store; the oracle is the batch oracle restricted to the
+    versions the final watermark reached.
+
+    Plan: one shard shuffle into ``applyInPandasWithState``; everything
+    per batch is a vectorized pandas pass over that shard's slice. State =
+    watermark-horizon pending + one row per live key (see module
+    docstring)."""
+    src = read_events_stream(spark, sf_dir, files_per_trigger=2)
+    flow = src.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).withColumn("shard", F.pmod(F.hash("user_id"), F.lit(N_SHARDS)))
+    diffs = (
+        flow.withWatermark("ts", DELAY)
+        .groupBy("shard")
+        .applyInPandasWithState(
+            _make_diff_state_fn(),
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return run_to_memory(diffs, "append")

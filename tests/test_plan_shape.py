@@ -22,6 +22,7 @@ _SKIP = {
     "stream_dedup", "stream_rpc_state", "nats_roundtrip", "scan_stream",
     "sink_parquet", "sink_memory", "stream_upsert", "stream_bounded_subscription",
     "stream_stream_join", "stream_stream_left_join", "stream_scd2",
+    "stream_cdc_column_diff", "stream_join_asof_nearest",
 }
 
 

@@ -180,6 +180,65 @@ def test_rpc_timeout_resolves_408(spark):
     assert out.groupBy("req_id").count().filter("count > 1").count() == 0
 
 
+def test_stream_cdc_column_diff_is_batch_restricted_to_watermark(spark):
+    # The streaming diff must agree row-for-row with the batch op on every
+    # version it decides, and decide exactly the versions the final
+    # watermark reached — stream-merged state == batch recompute, the CDC
+    # guarantee stream_upsert pins for the latest-table.
+    from node_cdc_nats_spark.io import load_table
+
+    batch = {
+        r.event_id: (r.user_id, r.op, r.changed_cols, r.n_changed, r.value_delta)
+        for r in registry.QUERIES["cdc_column_diff"](spark, SF_DIR).collect()
+    }
+    stream = {
+        r.event_id: (r.user_id, r.op, r.changed_cols, r.n_changed, r.value_delta)
+        for r in registry.QUERIES["stream_cdc_column_diff"](spark, SF_DIR).collect()
+    }
+    assert stream and set(stream) < set(batch)
+    for eid, row in stream.items():
+        assert row == batch[eid], eid
+    # The undecided remainder is exactly the watermark tail: versions with
+    # ts above (max ts - 30 min).
+    ev = load_table(spark, SF_DIR, "events")
+    mx = ev.agg(F.max("ts")).first()[0]
+    import datetime
+
+    cutoff = mx - datetime.timedelta(minutes=30)
+    n_decided = ev.filter(F.col("ts") <= F.lit(cutoff)).count()
+    assert len(stream) == n_decided
+
+
+def test_stream_asof_nearest_agrees_with_batch_within_tolerance(spark):
+    # Where the batch op's (unbounded) nearest purchase lies within the
+    # streaming contract's ±10 min, the decided streaming row must pick
+    # the SAME purchase with the SAME direction; where it lies outside,
+    # the streaming row must be a no-match. Ties (backward wins) are
+    # covered because both sides implement the same rule over the same
+    # fixture.
+    import datetime
+
+    batch = {
+        r.event_id: r
+        for r in registry.QUERIES["join_asof_nearest"](spark, SF_DIR).collect()
+    }
+    stream = registry.QUERIES["stream_join_asof_nearest"](spark, SF_DIR).collect()
+    assert stream
+    tol = datetime.timedelta(minutes=10)
+    n_matched = n_unmatched = 0
+    for s in stream:
+        b = batch[s.event_id]
+        if b.nearest_purchase_ts is not None and abs(b.nearest_purchase_ts - b.ts) <= tol:
+            assert s.nearest_purchase_id == b.nearest_purchase_id, s.event_id
+            assert s.direction == b.direction, s.event_id
+            n_matched += 1
+        else:
+            assert s.nearest_purchase_id is None and s.direction is None, s.event_id
+            n_unmatched += 1
+    # the fixture exercises both outcomes
+    assert n_matched > 0 and n_unmatched > 0
+
+
 def test_stream_rpc_subset_of_batch(spark):
     # The streaming decision set is the batch result restricted to requests
     # whose deadline the final watermark passed — never contradictory.
