@@ -138,6 +138,8 @@ HEADLINE = [
     # r8 additions
     "stream_cdc_column_diff",
     "stream_join_asof_nearest",
+    "stream_downsample_ohlc",
+    "bm25_topk",
 ]
 
 

@@ -58,6 +58,9 @@ _VERIFY_HEAD = (
     # batch CDC/as-of additions (verdict item 6)
     "stream_cdc_column_diff",    # continuous column-level CDC diff
     "stream_join_asof_nearest",  # nearest-direction as-of, ±tolerance
+    "stream_downsample_ohlc",    # declarative windowed OHLC rollup
+    # r8: new op — Okapi BM25 retrieval top-k, zero corpus shuffles
+    "bm25_topk",
 )
 
 

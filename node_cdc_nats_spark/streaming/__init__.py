@@ -17,6 +17,7 @@ from . import (  # noqa: F401
     cdc_diff,
     errors,
     joins,
+    ohlc,
     rpc,
     source,
     upsert,

@@ -71,6 +71,8 @@ DOC_BOUND = [
     "dsir_importance_weights",
     # r7 addition (documents-bound; DP cost per candidate, cap-bounded)
     "dedup_edit_distance",
+    # r8 addition (documents-bound zero-shuffle retrieval scorer)
+    "bm25_topk",
 ]
 # The embedding-reading ops (r5): the adaptive-planes claim on
 # dedup_embedding_cosine ("EMBED_BUCKET_CAP only ever trims degenerate

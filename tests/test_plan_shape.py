@@ -23,6 +23,7 @@ _SKIP = {
     "sink_parquet", "sink_memory", "stream_upsert", "stream_bounded_subscription",
     "stream_stream_join", "stream_stream_left_join", "stream_scd2",
     "stream_cdc_column_diff", "stream_join_asof_nearest",
+    "stream_downsample_ohlc",
 }
 
 
@@ -157,6 +158,18 @@ def test_split_and_sample_are_map_side(spark):
     for name in ("train_val_split", "sample_stratified"):
         plan = _plan(spark, name)
         assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+
+
+def test_bm25_zero_corpus_shuffle_and_topk(spark):
+    # BM25's only exchanges may serve the 1-row corpus-constant aggregate
+    # (SinglePartition) and its broadcast back — the corpus itself must
+    # never hash-shuffle (per-doc tf/dl are HOF projections, no explode),
+    # and the top-k must be TakeOrderedAndProject, not a global sort.
+    plan = _plan(spark, "bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastExchange" in plan or "Exchange SinglePartition" in plan
+    assert "Generate explode" not in plan
 
 
 def test_topk_ngrams_partial_agg_and_topk(spark):
@@ -502,6 +515,8 @@ _CARTESIAN_OK = {
     "perplexity_bucket",
     # 1-row n_docs broadcast (IDF normalizer)
     "tfidf_topk_terms",
+    # 1-row (N, df, avgdl) corpus-constant broadcast (BM25 normalizers)
+    "bm25_topk",
     # calendar-bounded day grid (non-equi trailing-window join; the grid
     # grows with TIME, not data volume — a decade is ~3.7k rows)
     "rolling_active_users",

@@ -239,6 +239,34 @@ def test_stream_asof_nearest_agrees_with_batch_within_tolerance(spark):
     assert n_matched > 0 and n_unmatched > 0
 
 
+def test_stream_ohlc_is_batch_restricted_to_closed_buckets(spark):
+    # Every emitted bucket must equal the batch rollup's row exactly, and
+    # the emitted set is exactly the buckets whose end the final watermark
+    # passed.
+    batch = {
+        (r.event_type, r.bucket): (r.open, r.high, r.low, r.close, r.n_events, r.vsum)
+        for r in registry.QUERIES["downsample_ohlc"](spark, SF_DIR).collect()
+    }
+    stream = {
+        (r.event_type, r.bucket): (r.open, r.high, r.low, r.close, r.n_events, r.vsum)
+        for r in registry.QUERIES["stream_downsample_ohlc"](spark, SF_DIR).collect()
+    }
+    assert stream and set(stream) < set(batch)
+    for k, v in stream.items():
+        assert v == batch[k], k
+    # the undecided remainder is the watermark tail
+    import datetime
+
+    from node_cdc_nats_spark.io import load_table
+
+    mx = load_table(spark, SF_DIR, "events").agg(F.max("ts")).first()[0]
+    wm = mx - datetime.timedelta(minutes=30)
+    open_buckets = {
+        k for k in batch if k[1] + datetime.timedelta(hours=1) > wm
+    }
+    assert set(batch) - set(stream) == open_buckets
+
+
 def test_stream_rpc_subset_of_batch(spark):
     # The streaming decision set is the batch result restricted to requests
     # whose deadline the final watermark passed — never contradictory.

@@ -106,9 +106,12 @@ def test_green_demotion_lists_are_sound():
         # impl changed — 2 staged files per trigger (r7 verdict item 3);
         # decisions and oracle unchanged, trigger count halved:
         "stream_rpc_state",
-        # new in r8 — no prior green (streaming twins, r7 verdict item 6):
+        # new in r8 — no prior green (streaming twins, r7 verdict item 6,
+        # plus the BM25 retrieval primitive):
         "stream_cdc_column_diff",
         "stream_join_asof_nearest",
+        "stream_downsample_ohlc",
+        "bm25_topk",
     }
     assert changed_in_r8 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
