@@ -187,6 +187,10 @@ SHOWCASE = [
         "events_weekly_stickiness",
         "DAU/WAU stickiness: the (user_id, day) dedup is the ONLY corpus-sized exchange; the week-level dedup re-keys user-day rows, and the day-census x week-census join is calendar-sized and AQE-broadcast.",
     ),
+    (
+        "bm25_topk",
+        "Okapi BM25 retrieval with ZERO corpus shuffles: per-doc tf/dl are higher-order-function projections (no explode), the corpus constants (N, df, avgdl) reduce to ONE row and broadcast back, scoring is a map-side IEEE expression, and the top-50 is TakeOrderedAndProject.",
+    ),
 ]
 
 

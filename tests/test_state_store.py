@@ -51,6 +51,28 @@ def test_stream_dedup_green_under_rocksdb(spark, rocksdb_store):
     assert stream_dedup(spark, SF_DIR).count() > 0
 
 
+def test_stream_cdc_column_diff_identical_under_rocksdb(spark, rocksdb_store):
+    # The r8 stateful twin carries string state (types/props arrays) plus
+    # a per-key carry row — provider-independence must hold for it too,
+    # and on VALUES, not just counts (the carry row is where a
+    # serialization bug would corrupt silently).
+    from node_cdc_nats_spark.streaming.cdc_diff import stream_cdc_column_diff
+
+    under = {tuple(r) for r in stream_cdc_column_diff(spark, SF_DIR).collect()}
+    spark.conf.unset(_PROVIDER_KEY)
+    baseline = {tuple(r) for r in stream_cdc_column_diff(spark, SF_DIR).collect()}
+    use_rocksdb_state_store(spark)
+    assert under == baseline and len(under) > 0
+
+
+def test_stream_asof_nearest_and_ohlc_green_under_rocksdb(spark, rocksdb_store):
+    from node_cdc_nats_spark.streaming.asof import stream_join_asof_nearest
+    from node_cdc_nats_spark.streaming.ohlc import stream_downsample_ohlc
+
+    assert stream_join_asof_nearest(spark, SF_DIR).count() > 0
+    assert stream_downsample_ohlc(spark, SF_DIR).count() > 0
+
+
 def test_unknown_state_store_raises():
     """A typo ('RocksDB', 'rocks') must fail loudly, not silently run the
     in-memory default at a scale that needed disk-backed state."""
