@@ -283,6 +283,25 @@ def test_corpus_pipeline_example_runs(spark):
     }
 
 
+def test_streaming_cdc_example_runs(spark):
+    # The r8 streaming-CDC walkthrough stays runnable with pinned fixture
+    # counts (sf0.001, expected values computed independently in DuckDB
+    # from the ops' own oracles): 15 users in the latest table, 999 of the
+    # 1000 versions decided by the final watermark (15 of them inserts),
+    # 866 closed hourly buckets, and 210 decided clicks of which only 3
+    # find a purchase inside ±10 min — the honest sparse-fixture answer.
+    import examples.streaming_cdc as sc
+
+    assert sc.main("/root/testdata/sf0.001") == {
+        "latest_rows": 15,
+        "diff_decided": 999,
+        "diff_inserts": 15,
+        "ohlc_buckets": 866,
+        "nearest_decided": 210,
+        "nearest_matched": 3,
+    }
+
+
 def test_event_analytics_example_runs(spark):
     # The event-analytics walkthrough must stay runnable with pinned
     # fixture counts (sf0.001): 15 of the fixture's users see all three
