@@ -61,6 +61,11 @@ _VERIFY_HEAD = (
     "stream_downsample_ohlc",    # declarative windowed OHLC rollup
     # r8: new op — Okapi BM25 retrieval top-k, zero corpus shuffles
     "bm25_topk",
+    # r8: impl changed — 2 staged files per trigger (same lever and same
+    # phasing-independence argument as stream_rpc_state; joins.py module
+    # docstring carries the reasoning)
+    "stream_stream_join",
+    "stream_stream_left_join",
 )
 
 
@@ -81,7 +86,7 @@ _R3_GREEN = (
 _R4_GREEN = (
     "agg_quantiles", "agg_approx_quantiles", "channel_params", "join_asof",
     "map_ops", "scan_schema_evolution", "sink_compacted", "nats_roundtrip",
-    "stream_stream_left_join", "cdc_encode_decode", "except_distinct",
+    "cdc_encode_decode", "except_distinct",
     "scan_partition_pruned", "ann_ivf_topk", "dedup_minhash",
     "dedup_clusters", "dedup_embedding_exact", "pipeline_end_to_end",
     "scan_stream", "sink_parquet", "sink_memory", "filter_channel",
@@ -90,7 +95,7 @@ _R4_GREEN = (
     "union_distinct", "intersect", "json_extract", "stream_watermark",
     "stream_tumble", "stream_slide", "stream_session", "stream_dedup",
     "stream_bounded_subscription", "stream_upsert",
-    "stream_stream_join", "cdc_upsert_latest", "cdc_changelog", "cdc_scd2",
+    "cdc_upsert_latest", "cdc_changelog", "cdc_scd2",
     "fanout_dispatch", "bounded_subscription",
 )
 # r5 greens (the r5 head that is NOT redefined in r6, plus the nine

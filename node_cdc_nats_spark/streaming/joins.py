@@ -15,6 +15,15 @@ Scale: both streams shuffle once on the correlation key (user_id); join
 state per key is bounded by the horizon (watermark eviction drops a row
 the moment it can no longer match), so state size tracks horizon × rate,
 not stream length — the property that keeps this runnable forever.
+
+Trigger sizing (r8): the bounded fixture runs ingest 2 staged files per
+trigger — each trigger pays a fixed machinery cost (~0.66 s measured,
+see streaming/rpc.py's profile), and the join semantics are
+batch-phasing-independent: inner matches are found whenever both sides
+have arrived, and outer nulls are only KEPT below the conservative
+cutoff (final watermark − horizon − 1 h slack) where emission is
+unambiguous at any trigger count; the final no-data batch always evicts
+and flushes whatever remains.
 """
 
 from __future__ import annotations
@@ -53,7 +62,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's RPC correlation expressed as Structured Streaming's
     stream-stream inner join with watermark-bounded state."""
     clicks = (
-        read_events_stream(spark, sf_dir)
+        read_events_stream(spark, sf_dir, files_per_trigger=2)
         .filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
@@ -63,7 +72,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("click_ts", _DELAY)
     )
     purchases = (
-        read_events_stream(spark, sf_dir)
+        read_events_stream(spark, sf_dir, files_per_trigger=2)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -138,7 +147,7 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     is max ts - 210min); matched rows are always complete (verified:
     inner-join results equal the batch join at every boundary)."""
     clicks = (
-        read_events_stream(spark, sf_dir)
+        read_events_stream(spark, sf_dir, files_per_trigger=2)
         .filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
@@ -148,7 +157,7 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("click_ts", _DELAY)
     )
     purchases = (
-        read_events_stream(spark, sf_dir)
+        read_events_stream(spark, sf_dir, files_per_trigger=2)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),

@@ -112,6 +112,10 @@ def test_green_demotion_lists_are_sound():
         "stream_join_asof_nearest",
         "stream_downsample_ohlc",
         "bm25_topk",
+        # impl changed — 2 staged files per trigger (the stream_rpc_state
+        # lever; phasing-independence argued in streaming/joins.py):
+        "stream_stream_join",
+        "stream_stream_left_join",
     }
     assert changed_in_r8 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
