@@ -1,0 +1,119 @@
+"""Hand-built timelines for the r8 streaming twins — the r7 pattern
+(nearest-as-of tie rules / CDC-diff transitions pinned on constructed
+histories) applied to the streaming side. The synthetic fixture exercises
+volume; these pin the EDGE semantics the fixture hits only by accident:
+the coincident-purchase backward rule, the equal-gap backward tiebreak,
+the just-inside/just-outside tolerance boundary, the undecided watermark
+tail, and the exact changed_cols strings per column-transition kind.
+
+The timeline is written as a real events.parquet (schema-identical to the
+driver fixture) and streamed through the ops' own staging, so these tests
+drive the full path: stage → micro-batches → watermark → state → emit.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from node_cdc_nats_spark import registry
+
+registry.load_all()
+
+BASE = datetime.datetime(2025, 1, 1, 0, 0, 0)
+
+
+def _m(minutes: float) -> datetime.datetime:
+    return BASE + datetime.timedelta(minutes=minutes)
+
+
+# (event_id, ts_min, user_id, event_type, value, props) — event_ids are
+# assigned in ts order so the 'time' staging yields in-order micro-batches
+# (every id-quartile bucket non-empty: 0-2 / 3-4 / 5-7 / 8-9).
+TIMELINE = [
+    (0, 0, 2, "purchase", 1.0, "a"),
+    (1, 5, 2, "click", 1.0, "a"),        # 5m back vs 5m fwd → backward
+    (2, 10, 2, "purchase", 2.5, None),   # type+value+props all change
+    (3, 15, 1, "click", 7.0, None),
+    (4, 15, 1, "purchase", 7.0, "x"),    # coincident → backward, dist 0
+    (5, 20, 3, "click", 0.5, "p"),
+    (6, 29, 3, "purchase", 0.5, "p"),    # 9m → forward (just inside ±10)
+    (7, 35, 4, "click", 3.0, "q"),
+    (8, 50, 4, "purchase", 3.0, "q"),    # 15m → outside tolerance
+    (9, 240, 99, "click", 0.0, None),    # sentinel: watermark → 210m
+]
+
+
+@pytest.fixture(scope="module")
+def timeline_dir(tmp_path_factory) -> str:
+    out = tmp_path_factory.mktemp("timeline_sf")
+    ids, tss, users, types, values, props = zip(
+        *[(i, _m(t), u, ty, v, p) for i, t, u, ty, v, p in TIMELINE]
+    )
+    table = pa.table(
+        {
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array(tss, pa.timestamp("us")),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array(values, pa.float64()),
+            "props": pa.array(props, pa.string()),
+        }
+    )
+    pq.write_table(table, f"{out}/events.parquet")
+    return str(out)
+
+
+def test_stream_asof_nearest_tie_rules_on_timeline(spark, timeline_dir):
+    rows = {
+        r.event_id: r
+        for r in registry.QUERIES["stream_join_asof_nearest"](
+            spark, timeline_dir
+        ).collect()
+    }
+    # The sentinel click (ts 240m) is past the final watermark's decision
+    # horizon (240 + 10 > 210) and must NOT emit.
+    assert set(rows) == {1, 3, 5, 7}
+    # Equal gaps (5m back, 5m fwd): backward wins.
+    assert rows[1].nearest_purchase_id == 0 and rows[1].direction == "backward"
+    # Coincident purchase: backward at distance zero, never forward.
+    assert rows[3].nearest_purchase_id == 4 and rows[3].direction == "backward"
+    assert rows[3].nearest_purchase_ts == _m(15)
+    # 9m forward, no backward candidate: forward.
+    assert rows[5].nearest_purchase_id == 6 and rows[5].direction == "forward"
+    # 15m is outside ±10: an explicit no-match row, not absence.
+    assert rows[7].nearest_purchase_id is None and rows[7].direction is None
+
+
+def test_stream_cdc_column_diff_transitions_on_timeline(spark, timeline_dir):
+    rows = {
+        r.event_id: r
+        for r in registry.QUERIES["stream_cdc_column_diff"](
+            spark, timeline_dir
+        ).collect()
+    }
+    # Everything at-or-below the 210m watermark emits; the sentinel doesn't.
+    assert set(rows) == set(range(9))
+    # First version per user is the insert, with no diff payload.
+    for eid in (0, 3, 5, 7):
+        r = rows[eid]
+        assert (r.op, r.changed_cols, r.n_changed, r.value_delta) == (
+            "I", None, 0, None,
+        )
+    # Single-column transition: event_type only (value and props equal).
+    assert (rows[1].op, rows[1].changed_cols, rows[1].n_changed) == (
+        "U", "event_type", 1,
+    )
+    assert rows[1].value_delta == 0.0
+    # All three columns change, including props a → NULL (null-safe).
+    assert (rows[2].changed_cols, rows[2].n_changed) == ("event_type,value,props", 3)
+    assert rows[2].value_delta == 1.5
+    # props NULL → 'x' counts as changed; value equal does not.
+    assert (rows[4].changed_cols, rows[4].n_changed) == ("event_type,props", 2)
+    assert rows[4].value_delta == 0.0
+    # type-only change with equal value/props (u3, u4 pairs).
+    assert rows[6].changed_cols == "event_type"
+    assert rows[8].changed_cols == "event_type"
