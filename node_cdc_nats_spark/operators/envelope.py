@@ -89,6 +89,15 @@ def nats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reader's multi-segment offset path is covered separately by the
     # durable-offset resume test (tests/test_nats_connector.py). 5 batches
     # of Python-datasource writer startup cost ~7s of pure overhead here.
+    # Cost decomposition (r8 profile, sf0.1, min-of-2): publish 5.1 s +
+    # subscribe 2.8 s. The publish half is the Python DataSource stream
+    # writer encoding 100k envelopes ROW-AT-A-TIME (pyspark's
+    # DataSourceStreamWriter.write receives an iterator of Rows; each
+    # field access and varint append is interpreted Python, ~50 µs/row).
+    # The r9 lever, if this op's wall time matters: batch the encode —
+    # drain the iterator into columnar arrays (or adopt the Arrow writer
+    # path if the DataSource API exposes it) and emit frames per chunk;
+    # the wire format and spool layout need not change.
     env_stream = _envelope_cols(read_events_stream(spark, sf_dir, single_batch=True))
     ckpt = _ckpt_dir()
     pub = (
