@@ -153,3 +153,25 @@ def test_oldest_evidence_fills_the_driver_budget():
         "head alone exceeds the 50-slot budget — a never-verified op "
         "would miss this round's verification"
     )
+
+
+def test_bench_headline_names_are_registered_and_cover_new_ops():
+    # A typo in bench.py's HEADLINE silently drops a query from the
+    # per-round timing artifact; and the documented selection rule says
+    # every op added since r6 joins the headline the round it lands.
+    import bench
+
+    unknown = [n for n in bench.HEADLINE if n not in registry.QUERIES]
+    assert not unknown, f"HEADLINE names not registered: {unknown}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "HEADLINE dupes"
+    from node_cdc_nats_spark.registry import _VERIFY_HEAD
+
+    # Retuned ops (scan_binary's staging guard, the trigger-count changes
+    # on the rpc/join ops) keep their existing bench placement; the rule
+    # binds genuinely NEW ops only.
+    retuned = {
+        "scan_binary", "stream_rpc_state",
+        "stream_stream_join", "stream_stream_left_join",
+    }
+    missing = sorted(set(_VERIFY_HEAD) - retuned - set(bench.HEADLINE))
+    assert not missing, f"r8 ops absent from the bench headline: {missing}"
