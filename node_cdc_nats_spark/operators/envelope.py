@@ -90,14 +90,16 @@ def nats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # durable-offset resume test (tests/test_nats_connector.py). 5 batches
     # of Python-datasource writer startup cost ~7s of pure overhead here.
     # Cost decomposition (r8 profile, sf0.1, min-of-2): publish 5.1 s +
-    # subscribe 2.8 s. The publish half is the Python DataSource stream
-    # writer encoding 100k envelopes ROW-AT-A-TIME (pyspark's
-    # DataSourceStreamWriter.write receives an iterator of Rows; each
-    # field access and varint append is interpreted Python, ~50 µs/row).
-    # The r9 lever, if this op's wall time matters: batch the encode —
-    # drain the iterator into columnar arrays (or adopt the Arrow writer
-    # path if the DataSource API exposes it) and emit frames per chunk;
-    # the wire format and spool layout need not change.
+    # subscribe 2.8 s. The publish half is NOT the protobuf encode (1.0 s
+    # single-threaded for 100k envelopes, measured standalone) — it is the
+    # one-FILE-per-message spool layout: 100k create+write+rename syscalls
+    # cost 8.5 s single-threaded (~2-3 s across the 4 writer partitions).
+    # The r9 lever, if this op's wall time matters: a segment spool
+    # (length-prefixed frames, many messages per file — the JetStream
+    # file-store shape) written once per partition per batch; the reader's
+    # offset contract moves from filename order to (segment, byte-offset),
+    # and the wire format is untouched. The TCP publish path has no such
+    # per-message fixed cost.
     env_stream = _envelope_cols(read_events_stream(spark, sf_dir, single_batch=True))
     ckpt = _ckpt_dir()
     pub = (
