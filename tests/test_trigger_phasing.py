@@ -1,10 +1,19 @@
-"""Micro-batch phasing independence (r8): the bounded fixture runs ingest
-2 staged files per trigger purely as a COST choice (each trigger pays a
-fixed ~0.66 s machinery cost — profile in streaming/rpc.py); the emitted
-RESULT SETS must not depend on it. These tests re-run each retuned
-streaming op with the original one-file-per-trigger phasing (by patching
-the module's read_events_stream) and assert set-identical output — the
-evidence that the trigger-count lever never touches semantics.
+"""Micro-batch phasing independence (r8): the bounded fixture runs of the
+retuned streaming ops ingest 2 staged files per trigger purely as a COST
+choice (each trigger pays a fixed ~0.66 s machinery cost — profile in
+streaming/rpc.py); the emitted RESULT SETS must not depend on it. Each
+test below runs an op under BOTH phasings (forced 1 file per trigger and
+forced 2) by patching the op module's read_events_stream, and asserts
+set-identical output — evidence that the trigger-count lever never
+touches semantics, for the ops already retuned in r8 AND for the r9
+retune candidates (tumble/slide/session/dedup/upsert/scd2), whose
+equivalence is pre-validated here before their default changes.
+
+Deliberately NOT covered — phasing-CONSTITUTIVE ops whose oracles replay
+per-batch watermark arithmetic and which must keep one file per trigger:
+``stream_watermark`` (scatter staging: what is LATE depends on batch
+boundaries) and ``stream_bounded_subscription`` (its oracle reconstructs
+the per-batch delivery cutoff from the staging function).
 """
 
 from __future__ import annotations
@@ -15,13 +24,13 @@ from node_cdc_nats_spark.streaming import source as src_mod
 from tests.conftest import SF_DIR
 
 
-def _one_file_reader():
+def _forced_reader(n_files: int):
     orig = src_mod.read_events_stream
 
     def reader(spark, sf_dir, order="time", single_batch=False, files_per_trigger=1):
         return orig(
             spark, sf_dir, order=order, single_batch=single_batch,
-            files_per_trigger=1,
+            files_per_trigger=n_files,
         )
 
     return reader
@@ -34,12 +43,21 @@ def _rows(df):
 @pytest.mark.parametrize(
     "module_name, op_name",
     [
+        # retuned in r8 (default 2 files/trigger)
         ("rpc", "stream_rpc_state"),
         ("joins", "stream_stream_join"),
         ("joins", "stream_stream_left_join"),
         ("cdc_diff", "stream_cdc_column_diff"),
         ("asof", "stream_join_asof_nearest"),
         ("ohlc", "stream_downsample_ohlc"),
+        # r9 retune candidates (default 1 file/trigger today) — equivalence
+        # pre-validated so the future default flip is a pure cost change
+        ("windows", "stream_tumble"),
+        ("windows", "stream_slide"),
+        ("windows", "stream_session"),
+        ("windows", "stream_dedup"),
+        ("upsert", "stream_upsert"),
+        ("upsert", "stream_scd2"),
     ],
 )
 def test_result_set_is_trigger_phasing_independent(
@@ -49,8 +67,9 @@ def test_result_set_is_trigger_phasing_independent(
 
     mod = importlib.import_module(f"node_cdc_nats_spark.streaming.{module_name}")
     op = getattr(mod, op_name)
-    tuned = _rows(op(spark, SF_DIR))
-    monkeypatch.setattr(mod, "read_events_stream", _one_file_reader())
+    monkeypatch.setattr(mod, "read_events_stream", _forced_reader(1))
     one_per = _rows(op(spark, SF_DIR))
-    assert tuned == one_per
-    assert len(tuned) > 0
+    monkeypatch.setattr(mod, "read_events_stream", _forced_reader(2))
+    two_per = _rows(op(spark, SF_DIR))
+    assert one_per == two_per
+    assert len(one_per) > 0
