@@ -117,3 +117,23 @@ def test_stream_cdc_column_diff_transitions_on_timeline(spark, timeline_dir):
     # type-only change with equal value/props (u3, u4 pairs).
     assert rows[6].changed_cols == "event_type"
     assert rows[8].changed_cols == "event_type"
+
+
+def test_stream_ohlc_buckets_on_timeline(spark, timeline_dir):
+    rows = {
+        (r.event_type, r.bucket): r
+        for r in registry.QUERIES["stream_downsample_ohlc"](
+            spark, timeline_dir
+        ).collect()
+    }
+    # Hour-0 buckets for both types close (end 60m <= the 210m watermark);
+    # the sentinel click's hour-4 bucket stays open and must not emit.
+    assert set(rows) == {("purchase", BASE), ("click", BASE)}
+    p = rows[("purchase", BASE)]
+    # open = first by (ts, event_id): id0 @0m value 1.0; close = last:
+    # id8 @50m value 3.0.
+    assert (p.open, p.high, p.low, p.close) == (1.0, 7.0, 0.5, 3.0)
+    assert (p.n_events, p.vsum) == (5, 14.0)
+    c = rows[("click", BASE)]
+    assert (c.open, c.high, c.low, c.close) == (1.0, 7.0, 0.5, 3.0)
+    assert (c.n_events, c.vsum) == (4, 11.5)
