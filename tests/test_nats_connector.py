@@ -307,8 +307,9 @@ def test_publish_validation(broker):
 
 # -- durable-offset replay (the JetStream-shaped path) -------------------------
 def test_spool_durable_offset_resume(spark, tmp_path):
-    """The spool reader's offset ({"last": filename}) is a durable sequence
-    — the in-container stand-in for a JetStream consumer cursor. A second
+    """The spool reader's offset ({"seg": name, "pos": byte-offset}) is a
+    durable cursor — the in-container stand-in for a JetStream consumer
+    sequence. A second
     streaming query restarted from the SAME checkpoint must resume after
     the recorded offset: no duplicates of drained messages, no loss of new
     ones. (Core NATS itself is at-most-once with no replay, matching the
@@ -484,8 +485,10 @@ def test_partitioned_reader_crash_mid_run_resumes_exactly_once(spark, tmp_path):
 
 
 def test_partitioned_offsets_are_per_partition():
-    """Unit-level: latestOffset buckets filenames by crc32 % N and
-    partitions() plans work only for partitions whose cursor advanced."""
+    """Unit-level: latestOffset buckets segment names by crc32 % N into
+    (segment, byte-offset) cursors and partitions() plans work only for
+    partitions whose cursor advanced."""
+    import os
     import zlib
 
     from node_cdc_nats_spark.sources.nats import _make_datasource_cls, spool_publish
@@ -504,9 +507,84 @@ def test_partitioned_offsets_are_per_partition():
         expect = max(
             (n for n in names if zlib.crc32(n.encode()) % 4 == int(key)), default=""
         )
-        assert last == expect
+        assert last["seg"] == expect
+        if expect:
+            assert last["pos"] == os.path.getsize(os.path.join(spool, expect))
     parts = reader.partitions(start, end)
     planned = {p.value[0] for p in parts}
-    assert planned == {int(k) for k, v in end["last"].items() if v}
+    assert planned == {int(k) for k, v in end["last"].items() if v["seg"]}
     # a second batch with no new files plans nothing
     assert reader.partitions(end, reader.latestOffset()) == []
+
+
+def test_segment_frames_and_byte_offset_resume(tmp_path):
+    """The segment frame format directly: one segment holding many
+    length-prefixed envelopes, read in full, then re-read from a mid-file
+    byte offset — the (segment, byte-offset) cursor contract the streaming
+    readers rely on."""
+    import os
+
+    from node_cdc_nats_spark.sources.nats import frame_messages, read_frames
+
+    envs = [
+        encode_cdcmsg("p", f"c/{i}", "json", "http", "", i % 3, False, f"m{i}".encode())
+        for i in range(7)
+    ]
+    seg = tmp_path / "000000000001-p.seg"
+    seg.write_bytes(frame_messages(envs))
+    frames = list(read_frames(str(seg)))
+    assert [decode_cdcmsg(b)["payload"] for _, b in frames] == [
+        f"m{i}".encode() for i in range(7)
+    ]
+    # resume from the 3rd frame's start position: exactly frames 2..6
+    resume_pos = frames[2][0]
+    tail = list(read_frames(str(seg), from_pos=resume_pos))
+    assert [decode_cdcmsg(b)["payload"] for _, b in tail] == [
+        f"m{i}".encode() for i in range(2, 7)
+    ]
+    # an upto bound on a frame boundary excludes the boundary frame
+    mid = list(read_frames(str(seg), from_pos=0, upto_pos=frames[2][0]))
+    assert len(mid) == 2
+    # a torn tail (truncated mid-frame) stops cleanly at the last complete
+    # frame instead of misparsing
+    data = seg.read_bytes()
+    torn = tmp_path / "000000000002-p.seg"
+    torn.write_bytes(data[: frames[3][0] + 2])
+    assert len(list(read_frames(str(torn)))) == 3
+    assert os.path.getsize(str(seg)) == frames[-1][0] + 4 + len(envs[-1])
+
+
+def test_simple_reader_drains_multi_frame_segment(spark, tmp_path):
+    """A batch-writer-shaped segment (many frames in ONE file) drains
+    completely through the driver-side reader, and the recorded cursor
+    points at the segment end so a restart replays nothing."""
+    from node_cdc_nats_spark.sources.nats import frame_messages, register_nats_source
+
+    register_nats_source(spark)
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    envs = [
+        encode_cdcmsg("p", f"ch/{i}", "json", "http", "", 1, False, f"m{i}".encode())
+        for i in range(9)
+    ]
+    (spool / "000000000000001-w.seg").write_bytes(frame_messages(envs[:5]))
+    (spool / "000000000000002-w.seg").write_bytes(frame_messages(envs[5:]))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("nats_cdc").option("spool", str(spool)).load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            bytes(r.payload).decode() for r in spark.read.parquet(out).collect()
+        )
+
+    assert drain() == sorted(f"m{i}" for i in range(9))
+    # restart on the same checkpoint: cursor at segment end → no duplicates
+    assert drain() == sorted(f"m{i}" for i in range(9))
