@@ -110,35 +110,43 @@ def _make_nearest_state_fn():
                 .drop_duplicates(["user", "ts"], keep="first")
                 .sort_values("ts", kind="mergesort")
             )
+            # Carry ids/timestamps as nullable Int64 through merge_asof:
+            # the plain-int64 path promotes to float64 (NaN for no-match),
+            # which silently rounds ids above 2^53 — fine for the fixture,
+            # a trap for real id spaces (ADVICE r8).
+            r = r.astype({"p_id": "Int64"})
             back = pd.merge_asof(
                 q, r, on="ts", by="user",
                 direction="backward", tolerance=TOL_US,
             )["p_id"]
             b_ts = pd.merge_asof(
-                q, r.rename(columns={"p_id": "pp"}).assign(pts=r["ts"]),
+                q, r.rename(columns={"p_id": "pp"}).assign(pts=r["ts"].astype("Int64")),
                 on="ts", by="user", direction="backward", tolerance=TOL_US,
             )["pts"]
             fwd_m = pd.merge_asof(
-                q, r.assign(pts=r["ts"]), on="ts", by="user",
+                q, r.assign(pts=r["ts"].astype("Int64")), on="ts", by="user",
                 direction="forward", tolerance=TOL_US,
                 allow_exact_matches=False,  # coincident counts backward
             )
             fwd, f_ts = fwd_m["p_id"], fwd_m["pts"]
-            gap_b = q["ts"].to_numpy() - b_ts.to_numpy()
-            gap_f = f_ts.to_numpy() - q["ts"].to_numpy()
+            # Gap math in float64 is exact here (µs differences < 2^53);
+            # only the SELECTED ids must stay integral.
+            gap_b = q["ts"].to_numpy() - b_ts.to_numpy(dtype="float64", na_value=np.nan)
+            gap_f = f_ts.to_numpy(dtype="float64", na_value=np.nan) - q["ts"].to_numpy()
             has_b, has_f = back.notna().to_numpy(), fwd.notna().to_numpy()
             take_b = has_b & (~has_f | (gap_b <= gap_f))
             take_f = ~take_b & has_f
+            na = pd.array([pd.NA] * len(q), dtype="Int64")
             out = pd.DataFrame(
                 {
                     "event_id": q["event_id"].astype("int64"),
                     "user_id": q["user"].astype("int64"),
                     "ts_us": q["ts"].astype("int64"),
-                    "nearest_purchase_id": np.where(
-                        take_b, back, np.where(take_f, fwd, np.nan)
+                    "nearest_purchase_id": back.where(
+                        take_b, fwd.where(take_f, na)
                     ),
-                    "nearest_ts_us": np.where(
-                        take_b, b_ts, np.where(take_f, f_ts, np.nan)
+                    "nearest_ts_us": b_ts.where(
+                        take_b, f_ts.where(take_f, na)
                     ),
                     "direction": np.where(
                         take_b, "backward", np.where(take_f, "forward", None)
@@ -165,6 +173,14 @@ def _make_nearest_state_fn():
                 state.setTimeoutTimestamp(
                     max(int(c_ts.min() + TOL_US) // 1000, wm_us // 1000) + 1
                 )
+            else:
+                # Purchase-only shard: without a timer its horizon is only
+                # pruned when new data happens to arrive, so a quiescent
+                # shard would pin state past its 2·TOL usefulness
+                # (ADVICE r8). Fire once the retained horizon ages out;
+                # the timeout invocation re-runs the prune and removes
+                # the state when nothing survives.
+                state.setTimeoutTimestamp(wm_us // 1000 + 2 * TOL_US // 1000 + 1)
         else:
             state.remove()
 
@@ -185,7 +201,12 @@ def _make_nearest_state_fn():
       FROM events WHERE event_type = 'purchase'
       GROUP BY user_id, CAST(ts AS TIMESTAMP)),
     wmx AS (  -- watermark tracks the filtered stream (clicks+purchases)
-      SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 30 MINUTE AS w
+      -- ms-truncate the max BEFORE subtracting the delay: Spark's
+      -- watermark tracks event times at millisecond granularity
+      -- (EventTimeStats stores ms), so an event in the sub-ms gap
+      -- must stay pending on BOTH sides (ADVICE r8).
+      SELECT make_timestamp(epoch_ms(MAX(CAST(ts AS TIMESTAMP))) * 1000)
+             - INTERVAL 30 MINUTE AS w
       FROM events WHERE event_type IN ('click', 'purchase')),
     back AS (
       SELECT c.event_id, p.p_id, p.ts,

@@ -244,7 +244,12 @@ def _make_diff_state_fn():
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     wmx AS (
-      SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 30 MINUTE AS w
+      -- ms-truncate the max BEFORE subtracting the delay: Spark's
+      -- watermark tracks event times at millisecond granularity
+      -- (EventTimeStats stores ms), so an event in the sub-ms gap
+      -- must stay pending on BOTH sides (ADVICE r8).
+      SELECT make_timestamp(epoch_ms(MAX(CAST(ts AS TIMESTAMP))) * 1000)
+             - INTERVAL 30 MINUTE AS w
       FROM events)
     SELECT event_id, user_id,
            CASE WHEN p_id IS NULL THEN 'I' ELSE 'U' END AS op,

@@ -44,7 +44,12 @@ DELAY = "30 minutes"
              CAST(ts AS TIMESTAMP) AS ts, event_id, value
       FROM events),
     wmx AS (
-      SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 30 MINUTE AS w
+      -- ms-truncate the max BEFORE subtracting the delay: Spark's
+      -- watermark tracks event times at millisecond granularity
+      -- (EventTimeStats stores ms), so an event in the sub-ms gap
+      -- must stay pending on BOTH sides (ADVICE r8).
+      SELECT make_timestamp(epoch_ms(MAX(CAST(ts AS TIMESTAMP))) * 1000)
+             - INTERVAL 30 MINUTE AS w
       FROM events)
     SELECT event_type, bucket,
            FIRST(value ORDER BY ts, event_id) AS open,

@@ -203,7 +203,12 @@ def _make_rpc_state_fn(res_process=None):
     wmx AS (  -- the watermark tracks rows REACHING it: the stream filters to
               -- the three RPC event types BEFORE withWatermark, so the final
               -- cutoff is the max ts of those types, not of all events
-      SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 30 MINUTE AS w
+      -- ms-truncate the max BEFORE subtracting the delay: Spark's
+      -- watermark tracks event times at millisecond granularity
+      -- (EventTimeStats stores ms), so an event in the sub-ms gap
+      -- must stay pending on BOTH sides (ADVICE r8).
+      SELECT make_timestamp(epoch_ms(MAX(CAST(ts AS TIMESTAMP))) * 1000)
+             - INTERVAL 30 MINUTE AS w
       FROM events WHERE event_type IN ('click', 'purchase', 'signup')),
     matched AS (
       SELECT r.req_id, p.resp_id,
