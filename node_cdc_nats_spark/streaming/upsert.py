@@ -65,7 +65,8 @@ def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintain the per-user latest-state table across micro-batches; the
     final table equals the batch ``cdc_upsert_latest`` (same oracle), which
     is exactly the CDC guarantee: stream-merged state == batch recompute."""
-    src = read_events_stream(spark, sf_dir).select(
+    # 2 files/trigger: cost-only (pinned by tests/test_trigger_phasing.py)
+    src = read_events_stream(spark, sf_dir, files_per_trigger=2).select(
         "user_id", "event_id", "event_type", "value", "ts"
     )
     target = tempfile.mkdtemp(prefix="upsert_target_")
@@ -149,7 +150,8 @@ def stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables: stream-merged intervals == batch recompute. A late change row
     for a user splices into that user's history correctly because the
     merge replays the affected user's full change set, not just the tail."""
-    src = read_events_stream(spark, sf_dir).filter(
+    # 2 files/trigger: cost-only (pinned by tests/test_trigger_phasing.py)
+    src = read_events_stream(spark, sf_dir, files_per_trigger=2).filter(
         F.col("event_type").isin("signup", "purchase")
     )
     target = tempfile.mkdtemp(prefix="scd2_target_")

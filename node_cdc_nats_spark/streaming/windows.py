@@ -55,7 +55,10 @@ def _ntz(col: str):
 def stream_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows per event_type, append mode: only
     watermark-finalized windows emit — the oracle's HAVING replays that."""
-    src = read_events_stream(spark, sf_dir)
+    # 2 staged files per trigger: pure cost lever (~0.66 s fixed per
+    # trigger); result-set identity under 1-vs-2 phasing is pinned by
+    # tests/test_trigger_phasing.py.
+    src = read_events_stream(spark, sf_dir, files_per_trigger=2)
     agg = (
         src.withWatermark("ts", DELAY)
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
@@ -92,7 +95,10 @@ def stream_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1-hour windows every 15 minutes (each event lands in 4
     windows), append mode with the same finalization rule."""
-    src = read_events_stream(spark, sf_dir)
+    # 2 staged files per trigger: pure cost lever (~0.66 s fixed per
+    # trigger); result-set identity under 1-vs-2 phasing is pinned by
+    # tests/test_trigger_phasing.py.
+    src = read_events_stream(spark, sf_dir, files_per_trigger=2)
     agg = (
         src.withWatermark("ts", DELAY)
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
@@ -134,7 +140,10 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     the state store as batches arrive; the oracle rebuilds them with
     gaps-and-islands SQL. A session closes (and emits) once the watermark
     passes last-event-time + gap."""
-    src = read_events_stream(spark, sf_dir)
+    # 2 staged files per trigger: pure cost lever (~0.66 s fixed per
+    # trigger); result-set identity under 1-vs-2 phasing is pinned by
+    # tests/test_trigger_phasing.py.
+    src = read_events_stream(spark, sf_dir, files_per_trigger=2)
     agg = (
         src.withWatermark("ts", DELAY)
         .groupBy(F.session_window("ts", DELAY).alias("win"), "user_id")
@@ -209,7 +218,10 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependent — the key set is the deterministic contract). At 100 TB use
     ``dropDuplicatesWithinWatermark`` so state is evicted instead of
     unbounded; the fixture's unbounded variant keeps the oracle exact."""
-    src = read_events_stream(spark, sf_dir)
+    # 2 staged files per trigger: pure cost lever (~0.66 s fixed per
+    # trigger); result-set identity under 1-vs-2 phasing is pinned by
+    # tests/test_trigger_phasing.py.
+    src = read_events_stream(spark, sf_dir, files_per_trigger=2)
     deduped = src.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
     )
