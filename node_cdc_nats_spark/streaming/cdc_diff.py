@@ -283,7 +283,14 @@ def stream_cdc_column_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     per batch is a vectorized pandas pass over that shard's slice. State =
     watermark-horizon pending + one row per live key (see module
     docstring)."""
-    src = read_events_stream(spark, sf_dir, files_per_trigger=2)
+    # All 4 staged files in one data trigger (then the no-data flush
+    # trigger decides everything the final watermark reached): decisions
+    # key on ts-vs-watermark only and the staging is time-ordered, so the
+    # emitted set is phasing-independent — pinned 1-vs-4 by
+    # tests/test_trigger_phasing.py. 3 triggers -> 2 saves ~1 machinery
+    # round; this op's remaining cost is its ~100k-row emitted volume
+    # through the Arrow state operator, not trigger count.
+    src = read_events_stream(spark, sf_dir, files_per_trigger=4)
     flow = src.select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     ).withColumn("shard", F.pmod(F.hash("user_id"), F.lit(N_SHARDS)))
