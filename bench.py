@@ -140,6 +140,12 @@ HEADLINE = [
     "stream_join_asof_nearest",
     "stream_downsample_ohlc",
     "bm25_topk",
+    # r9 additions: the new continuous top-k twin, plus nats_roundtrip
+    # promoted from the extras — it was r8's flagged slow query (6.91 s
+    # on the per-message spool); the segment-spool rework is exactly the
+    # kind of change the round-over-round headline exists to track.
+    "stream_topk",
+    "nats_roundtrip",
 ]
 
 
@@ -229,9 +235,13 @@ def main() -> None:
             fn = registry.QUERIES[name]
             try:
                 fn(spark, warmup_dir).count()  # steady-state warmup
-                release_persisted()
             except Exception:
                 pass
+            finally:
+                # In a finally (ADVICE r8): a warmup failure must not leave
+                # that query's persisted intermediates cached across its
+                # timed runs.
+                release_persisted()
             best = None
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -266,9 +276,17 @@ def main() -> None:
             "cpus": os.cpu_count(),
         },
     }
-    if extra_timings:
-        out["extra_queries"] = extra_timings
-        out["extra_total_sec"] = round(sum(extra_timings.values()), 4)
+    # ALWAYS present (VERDICT r8 item 6), even as an empty map on a
+    # headline-only run: a consumer of BENCH_local_latest.json can then
+    # tell "full run, zero extras timed" apart from "headline-only run"
+    # via n_extra_queries/full_run instead of a missing key, and the
+    # round-of-record artifact is documented as BENCH_local_r{N}.json —
+    # copy BENCH_local_latest.json there after the round's FULL run so a
+    # later headline-only driver invocation cannot overwrite the
+    # full-registry detail (exactly what happened to r8's latest-file).
+    out["extra_queries"] = extra_timings
+    out["extra_total_sec"] = round(sum(extra_timings.values()), 4)
+    out["full_run"] = os.environ.get("SPARK_GRAFT_BENCH_FULL") == "1"
     if errors:
         out["errors"] = errors
     # Per-query detail goes to a file (and an intermediate stdout line);

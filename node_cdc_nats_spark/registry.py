@@ -37,69 +37,52 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# Absolute head of round 8's verification order: every op whose code or
-# oracle changed in r8 (perf reworks keep their oracles but must re-earn
-# greens against the new plans), plus any brand-new r8 ops. Kept minimal
-# on purpose (VERDICT r7 item 1): the 50-slot budget must clear the last
-# 12 r3-era greens and reach ≥30 of the 45 r4-era greens. Cache-lifecycle
-# changes (persist() → cache.managed_persist(), same storage level, same
-# plan — VERDICT r7 item 2) are deliberately NOT re-headed: they cannot
-# change query output, and each affected op was re-verified driver-style
-# locally (scratch_verify_driver in a vanilla session) in r8 instead of
-# burning a driver slot.
+# Absolute head of round 9's verification order: every op whose code or
+# oracle changed in r9, plus any brand-new r9 ops. Budget math: 50 driver
+# slots − 12 head = 38; the walk then clears ALL 7 remaining r4-era
+# greens (VERDICT r8 item 2: "no op whose latest green is older than r5")
+# and the first 31 of the 40 r5-era greens, leaving a 9-op r5 tail for
+# r10.
 _VERIFY_HEAD = (
-    # r8: impl changed — non-local-master guard on fixture staging
-    # (output unchanged on local[*]; guard is the only new code path)
-    "scan_binary",
-    # r8: impl changed — bounded run ingests 2 staged files per trigger
-    # (the r7 profile item: per-trigger machinery was 85% of the cost)
+    # r9: impl changed — segment spool transport (length-prefixed frames,
+    # (segment, byte-offset) offsets) + subscriber-first query overlap
+    "nats_roundtrip",
+    # r9: oracle changed — watermark cutoff ms-truncated to match Spark's
+    # EventTimeStats granularity (ADVICE r8); cdc_diff also moves to one
+    # data trigger, asof additionally hardens id dtypes + quiescent-shard
+    # timers
+    "stream_cdc_column_diff",
+    "stream_join_asof_nearest",
+    "stream_downsample_ohlc",
     "stream_rpc_state",
-    # r8: new ops, first verification — the streaming twins of the r7
-    # batch CDC/as-of additions (verdict item 6)
-    "stream_cdc_column_diff",    # continuous column-level CDC diff
-    "stream_join_asof_nearest",  # nearest-direction as-of, ±tolerance
-    "stream_downsample_ohlc",    # declarative windowed OHLC rollup
-    # r8: new op — Okapi BM25 retrieval top-k, zero corpus shuffles
-    "bm25_topk",
-    # r8: impl changed — 2 staged files per trigger (same lever and same
-    # phasing-independence argument as stream_rpc_state; joins.py module
-    # docstring carries the reasoning)
-    "stream_stream_join",
-    "stream_stream_left_join",
+    # r9: impl changed — 2 staged files per trigger (phasing identity
+    # pre-validated in r8's tests/test_trigger_phasing.py)
+    "stream_tumble",
+    "stream_slide",
+    "stream_session",
+    "stream_dedup",
+    "stream_upsert",
+    "stream_scd2",
+    # r9: new op — continuous top-k (the one batch family that had no
+    # streaming twin; complete-mode ranking)
+    "stream_topk",
 )
 
 
 # The budgeted walk (50 driver slots per round) then refreshes the OLDEST
-# evidence first. Round 7's 50 slots covered its 11-op head + the 12
-# remaining r1 greens + the 9 remaining r2 greens + the first 18 of r3;
-# those 50 now carry r7-fresh evidence (_R7_GREEN). The oldest remaining
-# evidence is r3 (12 ops), then r4 (45). Round 8's 50 slots cover the
-# head + all 12 r3 ops + the first (50 - head - 12) of r4; the r5/r6/r7
-# blocks carry the freshest evidence and wait for later rounds.
-_R3_GREEN = (
-    "join_anti", "dedup_exact",
-    "dedup_ngram_jaccard", "sim_topk",
-    "embed_knn", "text_stats", "lang_id", "token_count", "quality_score",
-    "doc_fingerprint", "text_normalize", "text_embed_hash",
-)
-# r4 greens — second-freshest evidence.
+# evidence first. Round 8's 50 slots covered its 8-op head + all 12 r3-era
+# greens + the first 30 of r4; those 50 now carry r8-fresh evidence
+# (_R8_GREEN, minus the five redefined in this round's head). The oldest
+# remaining evidence is r4 (7 ops), then r5 (40).
+# r4 greens — oldest remaining evidence, verified first after the head.
 _R4_GREEN = (
-    "agg_quantiles", "agg_approx_quantiles", "channel_params", "join_asof",
-    "map_ops", "scan_schema_evolution", "sink_compacted", "nats_roundtrip",
-    "cdc_encode_decode", "except_distinct",
-    "scan_partition_pruned", "ann_ivf_topk", "dedup_minhash",
-    "dedup_clusters", "dedup_embedding_exact", "pipeline_end_to_end",
-    "scan_stream", "sink_parquet", "sink_memory", "filter_channel",
-    "rpc_first_response", "rpc_first_response_processed", "agg_avg",
-    "agg_min_max", "win_lag_lead", "win_running", "union_all",
-    "union_distinct", "intersect", "json_extract", "stream_watermark",
-    "stream_tumble", "stream_slide", "stream_session", "stream_dedup",
-    "stream_bounded_subscription", "stream_upsert",
+    "stream_watermark", "stream_bounded_subscription",
     "cdc_upsert_latest", "cdc_changelog", "cdc_scd2",
     "fanout_dispatch", "bounded_subscription",
 )
 # r5 greens (the r5 head that is NOT redefined in r6, plus the nine
-# r1-era aggregates r5 refreshed) — freshest evidence, verified last.
+# r1-era aggregates r5 refreshed; minus stream_scd2, redefined in the r9
+# head) — verified right after the r4 tail.
 _R5_GREEN = (
     "dedup_simhash", "ann_lsh_topk", "scan_orc", "dedup_embedding_banded",
     "udtf_tokens", "dedup_substring",
@@ -110,7 +93,7 @@ _R5_GREEN = (
     "q21_waiting_supplier", "q22_sales_opportunity", "q2_min_cost_supplier",
     "q11_important_stock", "q16_supplier_count", "q20_excess_stock",
     "retention_cohorts", "decontaminate_containment",
-    "bpe_pair_stats", "stream_scd2", "win_range_frame",
+    "bpe_pair_stats", "win_range_frame",
     "unpivot_melt", "agg_mode", "downsample_ohlc", "dedup_span",
     "agg_count", "agg_cube", "agg_distinct", "agg_grouping_sets",
     "agg_multi", "agg_pivot", "agg_rollup", "agg_stats", "agg_sum",
@@ -140,8 +123,7 @@ _R6_GREEN = (
 )
 # r7 greens — the full 50-op CORRECTNESS_r07 key set (r7's 11-op head,
 # the 12 r1-era and 9 r2-era greens it refreshed, and the first 18 r3
-# ops), minus scan_binary which is redefined in r8's head. Freshest
-# evidence, verified last.
+# ops), minus scan_binary which was redefined in r8's head.
 _R7_GREEN = (
     "collocation_lift_topk", "dedup_bloom_prefilter",
     "dsir_importance_weights", "events_weekly_stickiness",
@@ -161,13 +143,33 @@ _R7_GREEN = (
     "corpus_mix_report", "corpus_shuffle", "pack_sequences",
     "embed_norm_quantize", "q10_returned_items", "win_ntile", "array_ops",
 )
+# r8 greens — the full 50-op CORRECTNESS_r08 key set (r8's 8-op head, all
+# 12 r3-era greens, and the first 30 r4 ops), minus the five redefined in
+# this round's head (nats_roundtrip, stream_cdc_column_diff,
+# stream_join_asof_nearest, stream_downsample_ohlc, stream_rpc_state).
+# Freshest evidence, verified last.
+_R8_GREEN = (
+    "scan_binary", "bm25_topk", "stream_stream_join",
+    "stream_stream_left_join", "join_anti", "dedup_exact",
+    "dedup_ngram_jaccard", "sim_topk", "embed_knn", "text_stats",
+    "lang_id", "token_count", "quality_score", "doc_fingerprint",
+    "text_normalize", "text_embed_hash", "agg_quantiles",
+    "agg_approx_quantiles", "channel_params", "join_asof", "map_ops",
+    "scan_schema_evolution", "sink_compacted", "cdc_encode_decode",
+    "except_distinct", "scan_partition_pruned", "ann_ivf_topk",
+    "dedup_minhash", "dedup_clusters", "dedup_embedding_exact",
+    "pipeline_end_to_end", "scan_stream", "sink_parquet", "sink_memory",
+    "filter_channel", "rpc_first_response", "rpc_first_response_processed",
+    "agg_avg", "agg_min_max", "win_lag_lead", "win_running", "union_all",
+    "union_distinct", "intersect", "json_extract",
+)
 
 
 def load_all() -> None:
     """Import every operator module so registrations run, then order the
     registry for the driver's budgeted walk (50 verification slots per
-    round, head first): round-8-redefined ops, then any unlisted op, then
-    proven greens oldest-evidence-first (r3 → r4 → r5 → r6 → r7)."""
+    round, head first): round-9-redefined ops, then any unlisted op, then
+    proven greens oldest-evidence-first (r4 → r5 → r6 → r7 → r8)."""
     from .operators import (  # noqa: F401
         dedup,
         similarity,
@@ -190,11 +192,11 @@ def load_all() -> None:
     )
     listed = (
         set(_VERIFY_HEAD)
-        | set(_R3_GREEN)
         | set(_R4_GREEN)
         | set(_R5_GREEN)
         | set(_R6_GREEN)
         | set(_R7_GREEN)
+        | set(_R8_GREEN)
     )
     blocks = (
         _VERIFY_HEAD,
@@ -203,11 +205,11 @@ def load_all() -> None:
         # a future round that registers an op but forgets the head list
         # still gets it verified (and test_survey_inventory flags it).
         tuple(n for n in QUERIES if n not in listed),
-        _R3_GREEN,
         _R4_GREEN,
         _R5_GREEN,
         _R6_GREEN,
         _R7_GREEN,
+        _R8_GREEN,
     )
     ordered: list[str] = []
     for block in blocks:

@@ -20,6 +20,7 @@ from . import (  # noqa: F401
     ohlc,
     rpc,
     source,
+    topk,
     upsert,
     windows,
 )

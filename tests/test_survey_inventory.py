@@ -31,11 +31,14 @@ def _matrix_op_names() -> set[str]:
     for line in text[start:end].splitlines():
         if not line.startswith("| **"):
             continue
-        cells = line.split("|")
-        if len(cells) < 5:
+        # Cell delimiters are space-padded pipes; a bare `|` inside prose
+        # (|langs|², |types|²) is NOT a delimiter — a naive split('|')
+        # truncates the op-name cell at the first such occurrence.
+        cells = re.split(r" \| ", line)
+        if len(cells) < 4:
             continue
         # third cell = "Engine op name(s)"
-        names.update(re.findall(r"`([a-z0-9_]+)`", cells[3]))
+        names.update(re.findall(r"`([a-z0-9_]+)`", cells[2]))
     return names - NOT_OPS
 
 
@@ -57,28 +60,53 @@ def test_inventory_is_substantial():
     assert len(registry.QUERIES) >= 100
 
 
+def test_survey_matrix_count_matches_registry():
+    # VERDICT r8 item 7: pin the §2.2 arithmetic mechanically. The matrix
+    # names every engine query EXCEPT the documented extras; the registry
+    # is exactly matrix ∪ extras. A new op must therefore land in the
+    # matrix (or this list) the round it registers, and the counts quoted
+    # in SURVEY §2.2 prose ("N engine queries", "M extras") stay honest.
+    extras = {
+        "agg_grouping_sets", "agg_pivot", "agg_stats", "ann_ivf_topk",
+        "bounded_subscription", "dedup_embedding_banded", "fanout_dispatch",
+        "join_bucketed", "join_cross", "join_skew_salted", "join_theta",
+        "json_schema_projection", "scan_partition_pruned", "text_normalize",
+        "topk_per_group", "win_frame_sliding", "win_ntile", "win_percent",
+    }
+    matrix = _matrix_op_names()
+    assert extras.isdisjoint(matrix), sorted(extras & matrix)
+    assert matrix | extras == set(registry.QUERIES), (
+        f"matrix+extras != registry; missing from matrix/extras: "
+        f"{sorted(set(registry.QUERIES) - matrix - extras)}; "
+        f"stale names: {sorted((matrix | extras) - set(registry.QUERIES))}"
+    )
+    # The split quoted in SURVEY §2.2 and the verdicts: 184 matrix ops
+    # (incl. stream_topk, new in r9) + 18 extras = 202 registry queries.
+    assert (len(matrix), len(extras), len(registry.QUERIES)) == (184, 18, 202)
+
+
 def test_green_demotion_lists_are_sound():
     # Every listed name must actually exist (a typo would silently waste a
-    # head slot), ops whose definition changed in round 8 must sit in the
+    # head slot), ops whose definition changed in round 9 must sit in the
     # head (their prior green rows verified old definitions), and the
     # per-round evidence lists must be mutually disjoint and cover the
     # whole registry.
     from node_cdc_nats_spark.registry import (
-        _R3_GREEN,
         _R4_GREEN,
         _R5_GREEN,
         _R6_GREEN,
         _R7_GREEN,
+        _R8_GREEN,
         _VERIFY_HEAD,
     )
 
     lists = (
         (_VERIFY_HEAD, "_VERIFY_HEAD"),
-        (_R3_GREEN, "_R3_GREEN"),
         (_R4_GREEN, "_R4_GREEN"),
         (_R5_GREEN, "_R5_GREEN"),
         (_R6_GREEN, "_R6_GREEN"),
         (_R7_GREEN, "_R7_GREEN"),
+        (_R8_GREEN, "_R8_GREEN"),
     )
     for lst, label in lists:
         unknown = [n for n in lst if n not in registry.QUERIES]
@@ -86,7 +114,7 @@ def test_green_demotion_lists_are_sound():
         assert len(set(lst)) == len(lst), f"{label} has duplicates"
     seen: set[str] = set()
     for lst in (
-        _R3_GREEN, _R4_GREEN, _R5_GREEN, _R6_GREEN, _R7_GREEN,
+        _R4_GREEN, _R5_GREEN, _R6_GREEN, _R7_GREEN, _R8_GREEN,
     ):
         dup = seen & set(lst)
         assert not dup, f"evidence lists overlap: {dup}"
@@ -99,25 +127,27 @@ def test_green_demotion_lists_are_sound():
     assert not unlisted, (
         f"ops with no verification status (add to _VERIFY_HEAD): {unlisted}"
     )
-    changed_in_r8 = {
-        # impl changed — non-local-master guard on fixture staging
-        # (local[*] output unchanged; the guard is the only new path):
-        "scan_binary",
-        # impl changed — 2 staged files per trigger (r7 verdict item 3);
-        # decisions and oracle unchanged, trigger count halved:
-        "stream_rpc_state",
-        # new in r8 — no prior green (streaming twins, r7 verdict item 6,
-        # plus the BM25 retrieval primitive):
+    changed_in_r9 = {
+        # impl changed — segment spool transport + subscriber-first overlap:
+        "nats_roundtrip",
+        # oracle changed — ms-truncated watermark cutoff (ADVICE r8);
+        # cdc_diff also one data trigger, asof also Int64 ids + timers:
         "stream_cdc_column_diff",
         "stream_join_asof_nearest",
         "stream_downsample_ohlc",
-        "bm25_topk",
-        # impl changed — 2 staged files per trigger (the stream_rpc_state
-        # lever; phasing-independence argued in streaming/joins.py):
-        "stream_stream_join",
-        "stream_stream_left_join",
+        "stream_rpc_state",
+        # impl changed — 2 staged files per trigger (pre-validated in r8's
+        # tests/test_trigger_phasing.py):
+        "stream_tumble",
+        "stream_slide",
+        "stream_session",
+        "stream_dedup",
+        "stream_upsert",
+        "stream_scd2",
+        # new in r9 — continuous top-k (complete-mode ranking):
+        "stream_topk",
     }
-    assert changed_in_r8 == set(_VERIFY_HEAD)
+    assert changed_in_r9 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
     names = list(registry.QUERIES)
     assert names[: len(_VERIFY_HEAD)] == list(_VERIFY_HEAD)
@@ -125,30 +155,31 @@ def test_green_demotion_lists_are_sound():
 
 def test_oldest_evidence_fills_the_driver_budget():
     # The point of the per-round reorder: the driver's 50 verification
-    # slots go to the round-8-redefined head and then the OLDEST evidence
-    # (the remaining r3 greens, then r4), refreshing stale rows before
-    # fresh r5/r6/r7 rows burn slots.
+    # slots go to the round-9-redefined head and then the OLDEST evidence
+    # (the remaining r4 greens, then r5), refreshing stale rows before
+    # fresh r6/r7/r8 rows burn slots.
     from node_cdc_nats_spark.registry import (
-        _R3_GREEN,
         _R4_GREEN,
+        _R5_GREEN,
         _VERIFY_HEAD,
     )
 
     names = list(registry.QUERIES)
-    priority = list(_VERIFY_HEAD) + list(_R3_GREEN) + list(_R4_GREEN)
-    assert names[: len(priority)] == priority
-    # The walk must reach ≥30 of the 45 r4-era greens this round
-    # (VERDICT r7 item 1's Done bar): head + 12 r3 + 30 ≤ 50.
-    assert len(_VERIFY_HEAD) + len(_R3_GREEN) + 30 <= 50, (
-        "head too large — the 50-slot walk would refresh fewer than 30 "
-        "r4-era greens"
+    priority = list(_VERIFY_HEAD) + list(_R4_GREEN) + list(_R5_GREEN)
+    assert names[: len(priority)] == priority[: len(priority)]
+    # The walk must clear ALL remaining r4-era greens this round (VERDICT
+    # r8 item 2's Done bar: no op's latest green older than r5) and still
+    # reach a substantial r5 slice: head + 7 r4 + ≥31 r5 ≤ 50.
+    assert len(_VERIFY_HEAD) + len(_R4_GREEN) + 31 <= 50, (
+        "head too large — the 50-slot walk would leave r4-era greens "
+        "unrefreshed"
     )
     # The 50-slot budget must at least cover the head (never-verified or
     # redefined ops — those have NO valid green and cannot wait). The
-    # oldest-evidence (r1/r2/r3) blocks queue right behind it and may
-    # spill past slot 50 into the next round's budget — that is the
-    # correct degradation order (ops with a valid-if-stale green wait,
-    # freshest evidence waits longest).
+    # oldest-evidence blocks queue right behind it and may spill past
+    # slot 50 into the next round's budget — that is the correct
+    # degradation order (ops with a valid-if-stale green wait, freshest
+    # evidence waits longest).
     assert len(_VERIFY_HEAD) <= 50, (
         "head alone exceeds the 50-slot budget — a never-verified op "
         "would miss this round's verification"
@@ -166,12 +197,13 @@ def test_bench_headline_names_are_registered_and_cover_new_ops():
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "HEADLINE dupes"
     from node_cdc_nats_spark.registry import _VERIFY_HEAD
 
-    # Retuned ops (scan_binary's staging guard, the trigger-count changes
-    # on the rpc/join ops) keep their existing bench placement; the rule
-    # binds genuinely NEW ops only.
+    # Retuned/redefined ops keep their existing bench placement; the rule
+    # binds genuinely NEW ops only (r9: stream_topk).
     retuned = {
-        "scan_binary", "stream_rpc_state",
-        "stream_stream_join", "stream_stream_left_join",
+        "nats_roundtrip", "stream_cdc_column_diff",
+        "stream_join_asof_nearest", "stream_downsample_ohlc",
+        "stream_rpc_state", "stream_tumble", "stream_slide",
+        "stream_session", "stream_dedup", "stream_upsert", "stream_scd2",
     }
     missing = sorted(set(_VERIFY_HEAD) - retuned - set(bench.HEADLINE))
-    assert not missing, f"r8 ops absent from the bench headline: {missing}"
+    assert not missing, f"r9 ops absent from the bench headline: {missing}"

@@ -59,6 +59,9 @@ def _rows(df):
         ("windows", "stream_dedup", 2),
         ("upsert", "stream_upsert", 2),
         ("upsert", "stream_scd2", 2),
+        # new in r9: complete-mode ranking — final table is a pure function
+        # of all data, phasing-independent by construction
+        ("topk", "stream_topk", 4),
     ],
 )
 def test_result_set_is_trigger_phasing_independent(
