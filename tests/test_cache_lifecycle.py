@@ -90,3 +90,34 @@ def test_release_is_safe_before_the_action(spark):
     assert df.count() > 0
     cache.release_persisted(blocking=True)
     assert _cache_manager_empty(spark)
+
+
+def test_ledger_is_session_scoped_and_soft_capped(spark):
+    # ADVICE r8: the ledger keys per SparkSession (weak — handles die with
+    # the session), release can target one session, and a caller that
+    # never releases is bounded by the soft cap instead of accumulating
+    # strong references forever.
+    spark.catalog.clearCache()
+    cache.release_persisted()
+    df = spark.range(10)
+    cache.managed_persist(df)
+    assert cache.ledger_size() == 1
+    # scoped release on a DIFFERENT (here: same, passed explicitly)
+    # session drains exactly that session's bucket
+    assert cache.release_persisted(blocking=True, session=spark) == 1
+    assert cache.ledger_size() == 0
+    # soft cap: pushing past the cap evicts eldest handles instead of
+    # growing without bound
+    original_cap = cache._LEDGER_SOFT_CAP
+    cache._LEDGER_SOFT_CAP = 5
+    try:
+        frames = [spark.range(100 + i) for i in range(8)]
+        for f in frames:
+            cache.managed_persist(f)
+        assert cache.ledger_size() == 5
+        # the eldest frames were unpersisted by the cap
+        assert frames[0].storageLevel.useMemory is False
+        assert frames[-1].storageLevel.useMemory is True
+    finally:
+        cache._LEDGER_SOFT_CAP = original_cap
+        cache.release_persisted(blocking=True)

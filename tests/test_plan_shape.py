@@ -134,6 +134,32 @@ def test_q3_pushes_filters_no_forced_fact_broadcast(spark):
     assert plan.count("HashAggregate") >= 2  # partial agg before top-k
 
 
+@pytest.mark.parametrize("name", ["q3_shipping_priority", "q18_large_volume"])
+def test_fact_broadcast_flips_to_shuffle_at_scale(spark, name):
+    # VERDICT r8 item 5: at fixture scale the planner legitimately
+    # broadcasts the FILTERED fact side of q3/q18 (it fits under the
+    # threshold). The 100×-scale guarantee is that this is a SIZE-BASED
+    # choice, not a pin — shrink the broadcast threshold (the same effect
+    # a 100× size estimate has against the default threshold) and the
+    # fact join must revert to a shuffle join. AQE may still re-broadcast
+    # at RUNTIME from actual sizes — that is correct adaptive behavior;
+    # the static plan is what proves no hint forces the broadcast.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+    try:
+        plan = _plan(spark, name)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, (
+        f"{name}: no shuffle join under a 1KB broadcast threshold — "
+        "a broadcast must be pinned somewhere on an SF-proportional side"
+    )
+    assert "BroadcastExchange" not in plan, (
+        f"{name}: a broadcast survives a 1KB threshold — only an explicit "
+        "hint can do that, and no SF-proportional side may carry one"
+    )
+
+
 def test_q1_scan_prunes_columns(spark):
     plan = _plan(spark, "q1_pricing_summary")
     assert "l_partkey" not in plan.split("ReadSchema:")[-1]
