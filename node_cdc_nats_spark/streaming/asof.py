@@ -95,13 +95,24 @@ def _make_nearest_state_fn():
 
         out = None
         if decide.any():
-            q = pd.DataFrame(
-                {
-                    "user": c_users[decide],
-                    "ts": c_ts[decide],
-                    "event_id": c_ids[decide],
-                }
-            ).sort_values("ts", kind="mergesort")
+            # reset_index after the sort is LOAD-BEARING: the output frame
+            # below mixes q's columns with merge_asof results (which carry
+            # a fresh RangeIndex), and pandas aligns Series BY INDEX in the
+            # DataFrame constructor — a permuted q index (clicks arriving
+            # out of ts order within a batch) would scramble the pairing.
+            # (r9: caught by the full-registry sf0.1 sweep, not sf0.01 —
+            # single-file micro-batches happen to arrive time-sorted.)
+            q = (
+                pd.DataFrame(
+                    {
+                        "user": c_users[decide],
+                        "ts": c_ts[decide],
+                        "event_id": c_ids[decide],
+                    }
+                )
+                .sort_values("ts", kind="mergesort")
+                .reset_index(drop=True)
+            )
             # Coincident purchases pre-reduce to max purchase id — the
             # batch op's exact tie rule.
             r = (

@@ -137,3 +137,55 @@ def test_stream_ohlc_buckets_on_timeline(spark, timeline_dir):
     c = rows[("click", BASE)]
     assert (c.open, c.high, c.low, c.close) == (1.0, 7.0, 0.5, 3.0)
     assert (c.n_events, c.vsum) == (4, 11.5)
+
+
+# ids deliberately NOT in ts order: within a micro-batch the clicks arrive
+# unsorted, so the state fn's decide frame gets a PERMUTED index after its
+# ts sort — the alignment trap behind the r9 sf0.1 regression (pandas
+# aligns Series by index in the DataFrame constructor; q's columns must be
+# reset to the merge results' RangeIndex or pairings scramble).
+SCRAMBLED = [
+    (0, 10, 1, "click", 1.0, "a"),      # u1: backward to id 1 (4m)
+    (1, 6, 1, "purchase", 1.0, "a"),
+    (2, 0, 2, "click", 1.0, "b"),       # u2: forward to id 3 (5m)
+    (3, 5, 2, "purchase", 1.0, "b"),
+    (4, 8, 3, "click", 1.0, "c"),       # u3: backward to id 5 (5m)
+    (5, 3, 3, "purchase", 1.0, "c"),
+    (6, 240, 99, "click", 0.0, None),   # sentinel: watermark → 210m
+]
+
+
+@pytest.fixture(scope="module")
+def scrambled_dir(tmp_path_factory) -> str:
+    out = tmp_path_factory.mktemp("timeline_scrambled_sf")
+    ids, tss, users, types, values, props = zip(
+        *[(i, _m(t), u, ty, v, p) for i, t, u, ty, v, p in SCRAMBLED]
+    )
+    table = pa.table(
+        {
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array(tss, pa.timestamp("us")),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array(values, pa.float64()),
+            "props": pa.array(props, pa.string()),
+        }
+    )
+    pq.write_table(table, f"{out}/events.parquet")
+    return str(out)
+
+
+def test_stream_asof_nearest_pairs_out_of_order_arrivals(spark, scrambled_dir):
+    rows = {
+        r.event_id: r
+        for r in registry.QUERIES["stream_join_asof_nearest"](
+            spark, scrambled_dir
+        ).collect()
+    }
+    assert set(rows) == {0, 2, 4}
+    assert rows[0].nearest_purchase_id == 1 and rows[0].direction == "backward"
+    assert rows[0].user_id == 1
+    assert rows[2].nearest_purchase_id == 3 and rows[2].direction == "forward"
+    assert rows[2].user_id == 2
+    assert rows[4].nearest_purchase_id == 5 and rows[4].direction == "backward"
+    assert rows[4].user_id == 3
