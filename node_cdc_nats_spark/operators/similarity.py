@@ -696,17 +696,31 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A corpus smaller than IVF_K still defines that many real cells.
     n_cells = len(cents)
 
-    def cent_lit(c: int) -> Column:
-        return F.array(*[F.lit(v) for v in cents[c]])
+    # The K×D literal matrix is built as ONE SQL string parsed JVM-side:
+    # composing it from F.lit/F.struct/F.zip_with costs a py4j round trip
+    # per node (~1.1 s per call site for 16×64 literals, ×2 call sites —
+    # r9 profile: the op's wall time was 2/3 DRIVER-side plan construction,
+    # not execution). repr(float) round-trips IEEE doubles exactly and the
+    # 'D' suffix keeps every literal a double, so the folded values are
+    # bit-identical to the F.lit tree (A/B-checked) and to the DuckDB
+    # mirror.
+    def d2_sql(c: int) -> str:
+        lits = ",".join(repr(v) + "D" for v in cents[c])
+        return (
+            f"aggregate(zip_with(embedding, array({lits}), "
+            f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
 
     def d2_structs() -> Column:
-        return F.array(*[
-            F.struct(
-                d2_exact(F.col("embedding"), cent_lit(c)).alias("d2"),
-                F.lit(c).alias("cell"),
+        return F.expr(
+            "array("
+            + ",".join(
+                f"named_struct('d2', {d2_sql(c)}, 'cell', {c})"
+                for c in range(n_cells)
             )
-            for c in range(n_cells)
-        ])
+            + ")"
+        )
 
     # Nearest cell: struct ordering is (d2, cell) — exactly the oracle's
     # ORDER BY d2, cell tiebreak.

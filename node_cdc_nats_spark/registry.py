@@ -39,9 +39,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # Absolute head of round 9's verification order: every op whose code or
 # oracle changed in r9, plus any brand-new r9 ops. Budget math: 50 driver
-# slots − 12 head = 38; the walk then clears ALL 7 remaining r4-era
+# slots − 13 head = 37; the walk then clears ALL 7 remaining r4-era
 # greens (VERDICT r8 item 2: "no op whose latest green is older than r5")
-# and the first 31 of the 40 r5-era greens, leaving a 9-op r5 tail for
+# and the first 30 of the 40 r5-era greens, leaving a 10-op r5 tail for
 # r10.
 _VERIFY_HEAD = (
     # r9: impl changed — segment spool transport (length-prefixed frames,
@@ -66,6 +66,11 @@ _VERIFY_HEAD = (
     # r9: new op — continuous top-k (the one batch family that had no
     # streaming twin; complete-mode ranking)
     "stream_topk",
+    # r9: impl changed — the K×D centroid literal matrix is built as one
+    # JVM-parsed SQL string instead of a py4j F.lit tree (values
+    # A/B-identical; 2/3 of the op's wall time was driver-side plan
+    # construction)
+    "ann_ivf_topk",
 )
 
 
@@ -156,7 +161,7 @@ _R8_GREEN = (
     "text_normalize", "text_embed_hash", "agg_quantiles",
     "agg_approx_quantiles", "channel_params", "join_asof", "map_ops",
     "scan_schema_evolution", "sink_compacted", "cdc_encode_decode",
-    "except_distinct", "scan_partition_pruned", "ann_ivf_topk",
+    "except_distinct", "scan_partition_pruned",
     "dedup_minhash", "dedup_clusters", "dedup_embedding_exact",
     "pipeline_end_to_end", "scan_stream", "sink_parquet", "sink_memory",
     "filter_channel", "rpc_first_response", "rpc_first_response_processed",

