@@ -146,6 +146,7 @@ HEADLINE = [
     # kind of change the round-over-round headline exists to track.
     "stream_topk",
     "nats_roundtrip",
+    "curation_funnel",
 ]
 
 

@@ -1937,3 +1937,80 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (score > 0).alias("keep"),
         )
     )
+
+
+# --- composed curation flagship (r9) -----------------------------------------
+
+from ..registry import ORACLES as _ORACLES  # noqa: E402  (read after the components register above)
+
+
+@register(
+    "curation_funnel",
+    # Zero-drift composition: the two stage oracles are spliced in as the
+    # EXACT registered strings (DuckDB allows a WITH inside a derived
+    # table), so this funnel can never silently diverge from the
+    # independently verified stage semantics.
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, keep AS q_keep
+      FROM ({_ORACLES["quality_classifier_linear"]})),
+    d AS (
+      SELECT doc_id, lang, n_tokens, keep AS d_keep
+      FROM ({_ORACLES["dsir_importance_weights"]}))
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN q.q_keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality,
+           CAST(SUM(CASE WHEN q.q_keep AND d.d_keep THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_curated,
+           CAST(SUM(CASE WHEN q.q_keep AND d.d_keep THEN d.n_tokens ELSE 0 END)
+             AS BIGINT) AS tokens_curated
+    FROM d JOIN q USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second composed flagship (r8 VERDICT item 8): the model-scored
+    curation funnel — fixed-weight linear quality gate
+    (:func:`quality_classifier_linear`) and DSIR importance vote
+    (:func:`dsir_importance_weights`) fused into a per-language
+    data-card: documents entering, surviving the quality gate, surviving
+    both (curated), and the curated token budget. This is the report a
+    pretraining data team reads before committing a mixture — and unlike
+    rule-only gates (``pipeline_end_to_end``'s Gopher → dedup →
+    decontaminate chain), both stages here are MODEL-shaped scores, so
+    the funnel demonstrates classifier-driven curation end to end.
+
+    Composed from the registered operators themselves (the same pattern
+    as ``embed_recall_at_k``): what this audits is exactly what the
+    engine serves. Per-doc rows with no post-normalization tokens carry
+    no DSIR evidence and drop from the funnel on both sides (inner
+    join), mirroring the DSIR stage's own domain.
+
+    Scale: the DSIR stage's explode + pair shuffle dominates and is
+    linear (its persisted (doc, lang, bucket) table is released by the
+    harness contract); the quality stage is one map-side projection; the
+    final join is doc-sized onto doc-sized, followed by a |langs|-row
+    census. All integer counts — the only floats anywhere are inside the
+    stage decisions, which are engine-exact by the stages' own designs."""
+    q = quality_classifier_linear(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("q_keep")
+    )
+    d = dsir_importance_weights(spark, sf_dir).select(
+        "doc_id", "lang", "n_tokens", F.col("keep").alias("d_keep")
+    )
+    both = F.col("q_keep") & F.col("d_keep")
+    return (
+        d.join(q, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("q_keep"), F.lit(1)).otherwise(F.lit(0))).alias(
+                "n_quality"
+            ),
+            F.sum(F.when(both, F.lit(1)).otherwise(F.lit(0))).alias("n_curated"),
+            F.sum(F.when(both, F.col("n_tokens")).otherwise(F.lit(0))).alias(
+                "tokens_curated"
+            ),
+        )
+    )

@@ -39,9 +39,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # Absolute head of round 9's verification order: every op whose code or
 # oracle changed in r9, plus any brand-new r9 ops. Budget math: 50 driver
-# slots − 13 head = 37; the walk then clears ALL 7 remaining r4-era
+# slots − 14 head = 36; the walk then clears ALL 7 remaining r4-era
 # greens (VERDICT r8 item 2: "no op whose latest green is older than r5")
-# and the first 30 of the 40 r5-era greens, leaving a 10-op r5 tail for
+# and the first 29 of the 40 r5-era greens, leaving an 11-op r5 tail for
 # r10.
 _VERIFY_HEAD = (
     # r9: impl changed — segment spool transport (length-prefixed frames,
@@ -71,6 +71,10 @@ _VERIFY_HEAD = (
     # A/B-identical; 2/3 of the op's wall time was driver-side plan
     # construction)
     "ann_ivf_topk",
+    # r9: new op — the second composed flagship (quality classifier ×
+    # DSIR vote fused into a per-language curation funnel, VERDICT r8
+    # item 8)
+    "curation_funnel",
 )
 
 

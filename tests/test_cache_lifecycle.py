@@ -28,6 +28,7 @@ PERSISTING = [
     "perplexity_bucket",       # (doc, lang, token) pair table
     "collocation_lift_topk",   # tagged term census
     "dsir_importance_weights", # (doc, lang, bucket) pair table
+    "curation_funnel",         # via its dsir_importance_weights stage
     "events_weekly_stickiness",  # distinct (user, day) set
 ]
 

@@ -565,6 +565,8 @@ _CARTESIAN_OK = {
     "events_inactivity_churn",
     # 1-row token-totals scalar broadcast (the DSIR normalizer)
     "dsir_importance_weights",
+    # composes dsir_importance_weights (same 1-row totals broadcast)
+    "curation_funnel",
 }
 
 

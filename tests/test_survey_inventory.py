@@ -80,9 +80,10 @@ def test_survey_matrix_count_matches_registry():
         f"{sorted(set(registry.QUERIES) - matrix - extras)}; "
         f"stale names: {sorted((matrix | extras) - set(registry.QUERIES))}"
     )
-    # The split quoted in SURVEY §2.2 and the verdicts: 184 matrix ops
-    # (incl. stream_topk, new in r9) + 18 extras = 202 registry queries.
-    assert (len(matrix), len(extras), len(registry.QUERIES)) == (184, 18, 202)
+    # The split quoted in SURVEY §2.2 and the verdicts: 185 matrix ops
+    # (incl. stream_topk + curation_funnel, new in r9) + 18 extras = 203
+    # registry queries.
+    assert (len(matrix), len(extras), len(registry.QUERIES)) == (185, 18, 203)
 
 
 def test_green_demotion_lists_are_sound():
@@ -149,6 +150,8 @@ def test_green_demotion_lists_are_sound():
         # impl changed — centroid literal matrix built as one JVM-parsed
         # SQL string (plan-construction cost, values A/B-identical):
         "ann_ivf_topk",
+        # new in r9 — the composed curation funnel flagship:
+        "curation_funnel",
     }
     assert changed_in_r9 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
@@ -173,7 +176,7 @@ def test_oldest_evidence_fills_the_driver_budget():
     # The walk must clear ALL remaining r4-era greens this round (VERDICT
     # r8 item 2's Done bar: no op's latest green older than r5) and still
     # reach a substantial r5 slice: head + 7 r4 + ≥31 r5 ≤ 50.
-    assert len(_VERIFY_HEAD) + len(_R4_GREEN) + 30 <= 50, (
+    assert len(_VERIFY_HEAD) + len(_R4_GREEN) + 29 <= 50, (
         "head too large — the 50-slot walk would leave r4-era greens "
         "unrefreshed"
     )
