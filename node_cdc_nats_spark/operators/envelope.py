@@ -109,9 +109,13 @@ def nats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # datasource runner + query init — the dominant cost now that segments
     # killed the per-message IO) runs CONCURRENTLY with the publish. The
     # drain is complete exactly when the sink holds every published row:
-    # expected = the fixture row count (parquet metadata, no scan), and the
-    # partitioned reader's per-partition (segment, byte-offset) cursors are
-    # monotone under a single query, so count==expected ⇒ exactly-once.
+    # expected = the fixture row count (parquet metadata, no scan). With
+    # publish and subscribe overlapping, writer tasks can rename segments
+    # out of lexicographic order; the reader's offsets encode the DRAINED
+    # SET (frontier gated below pending writer intents + an exception
+    # list), not a bare max-name cursor, so a late lower-named segment is
+    # still planned exactly once (ADVICE r9 fix, sources/nats.py) and
+    # count==expected ⇒ exactly-once.
     expected = load_table(spark, sf_dir, "events").count()
     sub = (
         spark.readStream.format("nats_cdc")
@@ -139,6 +143,16 @@ def nats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         pub.awaitTermination()
         deadline = time.monotonic() + 300
         while spark.table(name).count() < expected:
+            if not sub_q.isActive:
+                # Surface the subscriber's own failure instead of letting
+                # the deadline mask it as a TimeoutError (ADVICE r9).
+                exc = sub_q.exception()
+                if exc is not None:
+                    raise exc
+                raise RuntimeError(
+                    "nats_roundtrip: subscriber terminated below "
+                    f"{expected} rows with no exception"
+                )
             if time.monotonic() > deadline:
                 raise TimeoutError(
                     f"nats_roundtrip: sink stuck below {expected} rows"

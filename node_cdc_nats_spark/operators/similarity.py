@@ -684,10 +684,23 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact double literals (float32 → double widening is lossless, and
     # Python float repr round-trips, so Spark and DuckDB fold identical
     # IEEE doubles).
+    import math
+
     cents = [
         [float(v) for v in r.embedding]
         for r in em.orderBy("vec_id").limit(IVF_K).collect()
     ]
+    # Non-finite components (a corrupt embedding) would render as 'nan'/
+    # 'inf' — unparseable as SQL double literals — so the splice below
+    # would fail with a parse error far from the cause. Fail loudly at the
+    # source instead (ADVICE r9).
+    for row in cents:
+        for v in row:
+            if not math.isfinite(v):
+                raise ValueError(
+                    "ann_ivf_topk: non-finite centroid component "
+                    f"{v!r} — corrupt embedding in the first {IVF_K} rows"
+                )
     if not cents:
         # Empty corpus: no centroids to build an inverted file from — a
         # well-typed empty result, not an IndexError (zero-row sources are

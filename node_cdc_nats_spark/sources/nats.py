@@ -336,19 +336,33 @@ def _make_datasource_cls():
     )
 
     class NatsCdcStreamReader(SimpleDataSourceStreamReader):
-        """Driver-side drain (core-NATS parity default). Offset = a durable
-        (segment, byte-offset) cursor: ``seg`` is the last segment touched
-        and ``pos`` the end of its last drained frame. Segments are
-        immutable once renamed, so the boundary segment is re-examined each
-        batch from ``pos`` (zero frames unless a future appendable spool
-        grows it) and every strictly-later segment is drained whole."""
+        """Driver-side drain (core-NATS parity default).
+
+        The offset is a COMPACT ENCODING OF THE DRAINED-SEGMENT SET, not a
+        single max-name cursor: ``seg`` is the frontier F (every visible
+        segment named <= F is drained, F itself up to ``pos``) and
+        ``drained`` lists the fully-drained segments named > F. Writers
+        rename segments into place in arbitrary order (a lower-named
+        ``.tmp`` can land AFTER a higher-named one in the same directory,
+        ADVICE r9), so a max-name cursor silently skips the late arrival.
+        The frontier therefore only advances below the minimum PENDING
+        ``.tmp`` name — writer intent is visible as ``.{name}.seg.tmp``
+        from task start, before any data bytes — and every drained segment
+        above F rides in ``drained`` until F passes it. Residual loss
+        windows, both documented rather than claimed away: (a) the
+        microseconds between a writer task learning its attempt id and
+        creating its tmp, and (b) a tmp idle past ``staleTmpMs`` (treated
+        as a crashed task's orphan; its retry re-emits under a fresh id)
+        that later completes anyway. A real deployment fronts this with
+        JetStream, whose broker-assigned sequences have no such window."""
 
         def __init__(self, options):
             self.spool = options.get("spool")
             self.topic = options.get("topic", "cdc.client")
+            self.stale_tmp_ms = int(options.get("staleTmpMs", "60000"))
 
         def initialOffset(self):
-            return {"seg": "", "pos": 0}
+            return {"seg": "", "pos": 0, "drained": []}
 
         def read(self, start):
             import os as _os
@@ -405,18 +419,38 @@ def _make_datasource_cls():
                             msg[name] = val
                 return msg
 
+            import time as _time
+
             seg, pos = start.get("seg", ""), int(start.get("pos", 0))
+            prior = set(start.get("drained") or ())
             if not self.spool or not _os.path.isdir(self.spool):
                 return iter([]), start
-            names = sorted(
-                f
-                for f in _os.listdir(self.spool)
-                if f.endswith(".seg") and f >= seg
-            )
+            # One listing snapshot: visible segments + pending writer
+            # intents (.{name}.seg.tmp, younger than the stale grace). A
+            # tmp that vanishes between listdir and stat just renamed —
+            # counting it as pending is the conservative direction.
+            visible, pending = [], []
+            now = _time.time()
+            for f in _os.listdir(self.spool):
+                if f.endswith(".seg") and not f.startswith("."):
+                    visible.append(f)
+                elif f.startswith(".") and f.endswith(".seg.tmp"):
+                    try:
+                        age = now - _os.path.getmtime(
+                            _os.path.join(self.spool, f)
+                        )
+                    except OSError:
+                        age = 0.0
+                    if age * 1000.0 <= self.stale_tmp_ms:
+                        pending.append(f[1:-4])
             rows = []
-            for name in names:
-                path = _os.path.join(self.spool, name)
+            torn_at = None  # (segment, byte-pos) of the first torn tail
+            done: list[str] = []  # fully drained this batch, sorted order
+            for name in sorted(visible):
+                if name < seg or (name > seg and name in prior):
+                    continue  # encoded as drained by the start offset
                 from_pos = pos if name == seg else 0
+                path = _os.path.join(self.spool, name)
                 size = _os.path.getsize(path)
                 with open(path, "rb") as fh:
                     fh.seek(from_pos)
@@ -424,7 +458,7 @@ def _make_datasource_cls():
                     while p + 4 <= size:
                         ln = int.from_bytes(fh.read(4), "big")
                         if p + 4 + ln > size:
-                            break  # torn tail: next batch retries from p
+                            break  # torn tail (writer bypassed rename)
                         m = dec(fh.read(ln))
                         rows.append(
                             (
@@ -434,8 +468,44 @@ def _make_datasource_cls():
                             )
                         )
                         p += 4 + ln
-                seg, pos = name, p
-            return iter(rows), {"seg": seg, "pos": pos}
+                if p < size:
+                    # Torn tail: stop the whole drain HERE so the cursor
+                    # lands exactly at the torn frame — the deferred bytes
+                    # really are retried next batch (ADVICE r9; the old
+                    # loop kept walking later names, orphaning them).
+                    torn_at = (name, p)
+                    break
+                done.append(name)
+            if torn_at is not None:
+                # Frontier parks at the torn frame; everything above it is
+                # (by the stop-early rule) still undrained, so the empty
+                # exception list is exact.
+                return iter(rows), {
+                    "seg": torn_at[0], "pos": torn_at[1], "drained": [],
+                }
+            # Advance the frontier over the drained set, gated below the
+            # minimum pending writer intent; carry the rest as exceptions.
+            drained_all = prior | set(done)
+            if seg:
+                drained_all.add(seg)
+            gate = min((p for p in pending if p > seg), default=None)
+            eligible = [n for n in drained_all if gate is None or n < gate]
+            new_seg = max(eligible, default=seg)
+            if new_seg < seg:
+                new_seg = seg
+            # Every segment in drained_all is fully drained on this (non-
+            # torn) path, so the frontier byte-pos is simply its size.
+            try:
+                new_pos = _os.path.getsize(
+                    _os.path.join(self.spool, new_seg)
+                ) if new_seg else 0
+            except OSError:
+                new_pos = pos
+            return iter(rows), {
+                "seg": new_seg,
+                "pos": new_pos,
+                "drained": sorted(n for n in drained_all if n > new_seg),
+            }
 
         def commit(self, end):
             pass  # at-most-once: spool files are retained for inspection
@@ -444,19 +514,35 @@ def _make_datasource_cls():
         """Executor-parallel reader — the JetStream-shaped scale path
         documented in the module docstring. N logical partitions hash the
         spool by segment name (crc32 % N — stable across processes); each
-        holds its own durable (segment, byte-offset) cursor, exactly the
-        shape of N JetStream durable-consumer sequences. The driver only
-        LISTS segment names (+ one stat per partition) to advance offsets;
-        all frame reads + envelope decode run in executor tasks, so drain
-        throughput scales with the cluster instead of the single-driver
-        ceiling of the SimpleDataSourceStreamReader (which remains the
-        core-NATS parity default). Selected with
-        ``.option("partitions", N)``."""
+        bucket's offset is a compact encoding of its DRAINED-SEGMENT SET:
+        frontier ``seg`` (every visible bucket segment named <= it is
+        drained) plus ``drained``, the fully-drained names above it.
+        Writers rename segments into place in arbitrary order — a lower-
+        named task can land AFTER a higher-named one in the same bucket
+        (ADVICE r9) — so a bare max-name cursor silently loses the late
+        arrival. The frontier therefore only advances below the minimum
+        pending ``.tmp`` name (writer intent is visible as
+        ``.{name}.seg.tmp`` from task start, before any data bytes); a
+        drained segment the frontier cannot yet pass rides in ``drained``.
+        ``latestOffset`` is STATELESS — the offset is derived from one
+        directory listing, so checkpoint restarts need no reader-side
+        memory — and ``partitions(start, end)`` plans the explicit name
+        delta, so executors read exactly the planned set. The driver only
+        LISTS names (+ one stat per bucket frontier); all frame reads +
+        envelope decode run in executor tasks, so drain throughput scales
+        with the cluster rather than the single-driver ceiling of the
+        SimpleDataSourceStreamReader (still the core-NATS parity default).
+        Selected with ``.option("partitions", N)``. Residual loss windows
+        (documented, not claimed away): the microseconds between a writer
+        task learning its attempt id and creating its tmp, and a tmp idle
+        past ``staleTmpMs`` that completes anyway; JetStream's broker-
+        assigned sequences close both in a real deployment."""
 
         def __init__(self, options):
             self.spool = options.get("spool")
             self.topic = options.get("topic", "cdc.client")
             self.n = int(options.get("partitions", "4"))
+            self.stale_tmp_ms = int(options.get("staleTmpMs", "60000"))
             if self.n < 1:
                 # plain ValueError: this class ships to executor workers,
                 # so it must not reference any engine-module global (the
@@ -469,52 +555,108 @@ def _make_datasource_cls():
 
             return zlib.crc32(name.encode("utf-8")) % n
 
+        def _scan(self):
+            """One listing snapshot → (visible segment names, pending
+            writer-intent names). A tmp that vanishes between listdir and
+            stat just renamed; counting it as pending is the conservative
+            direction."""
+            import os as _os
+            import time as _time
+
+            visible, pending = [], []
+            if not self.spool or not _os.path.isdir(self.spool):
+                return visible, pending
+            now = _time.time()
+            for f in _os.listdir(self.spool):
+                if f.endswith(".seg") and not f.startswith("."):
+                    visible.append(f)
+                elif f.startswith(".") and f.endswith(".seg.tmp"):
+                    try:
+                        age = now - _os.path.getmtime(
+                            _os.path.join(self.spool, f)
+                        )
+                    except OSError:
+                        age = 0.0
+                    if age * 1000.0 <= self.stale_tmp_ms:
+                        pending.append(f[1:-4])
+            return visible, pending
+
         def initialOffset(self):
             return {
-                "version": 2,
-                "last": {str(i): {"seg": "", "pos": 0} for i in range(self.n)},
+                "version": 3,
+                "last": {
+                    str(i): {"seg": "", "pos": 0, "drained": []}
+                    for i in range(self.n)
+                },
             }
 
         def latestOffset(self):
             import os as _os
 
-            last = {str(i): {"seg": "", "pos": 0} for i in range(self.n)}
-            if self.spool and _os.path.isdir(self.spool):
-                for f in _os.listdir(self.spool):
-                    if not f.endswith(".seg"):
-                        continue
-                    key = str(self._pid_of(f, self.n))
-                    if f > last[key]["seg"]:
-                        last[key]["seg"] = f
-                for cur in last.values():
-                    if cur["seg"]:
+            visible, pending = self._scan()
+            last = {
+                str(i): {"seg": "", "pos": 0, "drained": []}
+                for i in range(self.n)
+            }
+            by_bucket: dict[str, list[str]] = {k: [] for k in last}
+            for f in visible:
+                by_bucket[str(self._pid_of(f, self.n))].append(f)
+            gates: dict[str, str] = {}
+            for f in pending:
+                key = str(self._pid_of(f, self.n))
+                if key not in gates or f < gates[key]:
+                    gates[key] = f
+            for key, names in by_bucket.items():
+                if not names:
+                    continue
+                gate = gates.get(key)
+                below = [n for n in names if gate is None or n < gate]
+                cur = last[key]
+                cur["seg"] = max(below, default="")
+                cur["drained"] = sorted(n for n in names if n > cur["seg"])
+                if cur["seg"]:
+                    try:
                         cur["pos"] = _os.path.getsize(
                             _os.path.join(self.spool, cur["seg"])
                         )
-            return {"version": 2, "last": last}
+                    except OSError:
+                        cur["pos"] = 0
+            return {"version": 3, "last": last}
 
         def partitions(self, start, end):
-            out = []
+            def selected(off, name):
+                return name <= off.get("seg", "") or name in off.get(
+                    "drained_set", ()
+                )
+
+            visible, _ = self._scan()
             s_last = start.get("last", {})
+            out = []
             for key, upto in end.get("last", {}).items():
-                after = s_last.get(key, {"seg": "", "pos": 0})
-                if (upto["seg"], upto["pos"]) > (after["seg"], after["pos"]):
-                    out.append(
-                        InputPartition(
-                            (
-                                int(key),
-                                after["seg"], after["pos"],
-                                upto["seg"], upto["pos"],
-                            )
-                        )
-                    )
+                after = s_last.get(key, {})
+                a = {
+                    "seg": after.get("seg", ""),
+                    "drained_set": frozenset(after.get("drained") or ()),
+                }
+                u = {
+                    "seg": upto.get("seg", ""),
+                    "drained_set": frozenset(upto.get("drained") or ()),
+                }
+                names = sorted(
+                    f
+                    for f in visible
+                    if self._pid_of(f, self.n) == int(key)
+                    and selected(u, f)
+                    and not selected(a, f)
+                )
+                if names:
+                    out.append(InputPartition((int(key), tuple(names))))
             return out
 
         def read(self, partition):
             import os as _os
-            import zlib
 
-            pid, after_seg, after_pos, upto_seg, upto_pos = partition.value
+            pid, names = partition.value
 
             def dec(data):
                 msg = {
@@ -566,13 +708,6 @@ def _make_datasource_cls():
 
             if not self.spool or not _os.path.isdir(self.spool):
                 return
-            names = sorted(
-                f
-                for f in _os.listdir(self.spool)
-                if f.endswith(".seg")
-                and after_seg <= f <= upto_seg
-                and zlib.crc32(f.encode("utf-8")) % self.n == pid
-            )
             import pyarrow as pa
 
             arrow_schema = pa.schema(
@@ -587,19 +722,19 @@ def _make_datasource_cls():
             for name in names:
                 path = _os.path.join(self.spool, name)
                 size = _os.path.getsize(path)
-                # Frame window: resume mid-segment on the start boundary,
-                # stop at the planned end position on the end boundary (a
-                # segment published AFTER latestOffset ran belongs to the
-                # next micro-batch even if it sorts inside this window).
-                from_pos = after_pos if name == after_seg else 0
-                end = min(upto_pos, size) if name == upto_seg else size
+                # The plan names whole segments (segments are immutable
+                # once renamed, so "the whole file" is a stable quantity).
                 with open(path, "rb") as fh:
-                    fh.seek(from_pos)
-                    p = from_pos
-                    while p + 4 <= end:
+                    p = 0
+                    while p + 4 <= size:
                         ln = int.from_bytes(fh.read(4), "big")
                         if p + 4 + ln > size:
-                            break  # torn tail: retried next batch
+                            # Torn tail: only reachable if a writer
+                            # bypassed the rename protocol. The remainder
+                            # is skipped, not retried — the plan marks the
+                            # segment drained (at-most-once holds; the
+                            # rename contract is what makes tails whole).
+                            break
                         m = dec(fh.read(ln))
                         for i, key in enumerate(
                             ("publisher", "channel", "contentType",
@@ -703,12 +838,27 @@ def _make_datasource_cls():
                 _os.makedirs(self.spool, exist_ok=True)
                 name = f"{tid:012d}-{self.publisher}.seg"
                 tmp = _os.path.join(self.spool, f".{name}.tmp")
-                with open(tmp, "wb") as fh:
-                    for batch in iterator:
-                        for env in batch_envelopes(batch):
-                            fh.write(len(env).to_bytes(4, "big"))
-                            fh.write(env)
-                            n += 1
+                # The tmp doubles as the writer's visible INTENT: readers
+                # gate their frontier below the minimum pending tmp name,
+                # so this create must happen before any reader could list
+                # a later-named sibling as drained (it does — nothing has
+                # been renamed yet). A failed task removes its tmp so the
+                # gate clears immediately instead of waiting out the
+                # readers' staleTmpMs grace; the retry re-emits everything
+                # under a fresh task attempt id.
+                try:
+                    with open(tmp, "wb") as fh:
+                        for batch in iterator:
+                            for env in batch_envelopes(batch):
+                                fh.write(len(env).to_bytes(4, "big"))
+                                fh.write(env)
+                                n += 1
+                except BaseException:
+                    try:
+                        _os.remove(tmp)
+                    except OSError:
+                        pass
+                    raise
                 if n:
                     _os.rename(tmp, _os.path.join(self.spool, name))
                 else:

@@ -486,8 +486,8 @@ def test_partitioned_reader_crash_mid_run_resumes_exactly_once(spark, tmp_path):
 
 def test_partitioned_offsets_are_per_partition():
     """Unit-level: latestOffset buckets segment names by crc32 % N into
-    (segment, byte-offset) cursors and partitions() plans work only for
-    partitions whose cursor advanced."""
+    drained-set offsets (frontier + exception list) and partitions() plans
+    work only for partitions with undrained segments."""
     import os
     import zlib
 
@@ -504,17 +504,121 @@ def test_partitioned_offsets_are_per_partition():
     start = reader.initialOffset()
     end = reader.latestOffset()
     for key, last in end["last"].items():
-        expect = max(
-            (n for n in names if zlib.crc32(n.encode()) % 4 == int(key)), default=""
-        )
-        assert last["seg"] == expect
-        if expect:
-            assert last["pos"] == os.path.getsize(os.path.join(spool, expect))
+        bucket = [n for n in names if zlib.crc32(n.encode()) % 4 == int(key)]
+        # no pending writer intents → frontier at the bucket max, no
+        # exceptions
+        assert last["seg"] == max(bucket, default="")
+        assert last["drained"] == []
+        if bucket:
+            assert last["pos"] == os.path.getsize(
+                os.path.join(spool, last["seg"])
+            )
     parts = reader.partitions(start, end)
-    planned = {p.value[0] for p in parts}
-    assert planned == {int(k) for k, v in end["last"].items() if v["seg"]}
+    planned = {p.value[0]: sorted(p.value[1]) for p in parts}
+    assert set(planned) == {
+        int(k) for k, v in end["last"].items() if v["seg"]
+    }
+    for pid, segs in planned.items():
+        assert segs == sorted(
+            n for n in names if zlib.crc32(n.encode()) % 4 == pid
+        )
     # a second batch with no new files plans nothing
     assert reader.partitions(end, reader.latestOffset()) == []
+
+
+def test_out_of_order_rename_is_not_lost():
+    """ADVICE r9 (high): a writer task with a LOWER segment name renaming
+    into place AFTER a higher-named sibling must not be skipped. The
+    reader's frontier is gated below the pending ``.tmp`` intent, the
+    higher segment rides the ``drained`` exception list, and the late
+    rename is planned exactly once in a later batch."""
+    import zlib
+
+    from node_cdc_nats_spark.sources.nats import (
+        _make_datasource_cls,
+        frame_messages,
+    )
+    import tempfile
+
+    spool = tempfile.mkdtemp(prefix="spool_race_")
+    ds = _make_datasource_cls()(options={"spool": spool, "partitions": "1"})
+    reader = ds.streamReader(None)
+    start = reader.initialOffset()
+
+    def write_seg(name, payloads, pending=False):
+        import os
+
+        data = frame_messages(
+            [encode_cdcmsg("p", "c", "", "", "", 0, False, p) for p in payloads]
+        )
+        path = os.path.join(spool, f".{name}.tmp" if pending else name)
+        with open(path, "wb") as fh:
+            fh.write(data)
+        return path
+
+    # Task A (lower name) is mid-write: its intent tmp exists. Task B
+    # (higher name) already renamed into place.
+    tmp_a = write_seg("000000000001-a.seg", [b"late"], pending=True)
+    write_seg("000000000002-b.seg", [b"early"])
+    assert zlib.crc32(b"000000000001-a.seg") % 1 == 0  # same bucket, trivially
+
+    end1 = reader.latestOffset()
+    cur = end1["last"]["0"]
+    # frontier gated BELOW the pending intent; the renamed sibling rides
+    # the exception list instead of advancing the frontier past A
+    assert cur["seg"] == ""
+    assert cur["drained"] == ["000000000002-b.seg"]
+    parts1 = reader.partitions(start, end1)
+    assert [sorted(p.value[1]) for p in parts1] == [["000000000002-b.seg"]]
+
+    # A's rename lands AFTER B was drained — the old max-name cursor
+    # would have skipped it forever.
+    import os
+
+    os.rename(tmp_a, os.path.join(spool, "000000000001-a.seg"))
+    end2 = reader.latestOffset()
+    cur2 = end2["last"]["0"]
+    assert cur2["seg"] == "000000000002-b.seg"
+    assert cur2["drained"] == []
+    parts2 = reader.partitions(end1, end2)
+    assert [sorted(p.value[1]) for p in parts2] == [["000000000001-a.seg"]]
+    # and nothing is planned twice
+    assert reader.partitions(end2, reader.latestOffset()) == []
+
+
+def test_simple_reader_out_of_order_rename_is_not_lost(tmp_path):
+    """Same race through the driver-side SimpleDataSourceStreamReader:
+    the r9 ``f >= seg`` filter lost a lower-named late rename."""
+    from node_cdc_nats_spark.sources.nats import (
+        _make_datasource_cls,
+        frame_messages,
+    )
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+
+    def seg_bytes(payloads):
+        return frame_messages(
+            [encode_cdcmsg("p", "c", "", "", "", 0, False, p) for p in payloads]
+        )
+
+    (spool / ".000000000001-a.seg.tmp").write_bytes(seg_bytes([b"late"]))
+    (spool / "000000000002-b.seg").write_bytes(seg_bytes([b"early"]))
+    ds = _make_datasource_cls()(options={"spool": str(spool)})
+    reader = ds.simpleStreamReader(None)
+    rows1, off1 = reader.read(reader.initialOffset())
+    assert [bytes(r[7]) for r in rows1] == [b"early"]
+    # frontier gated below the pending intent; the drained sibling rides
+    # the exception list
+    assert off1["seg"] == ""
+    assert off1["drained"] == ["000000000002-b.seg"]
+    (spool / ".000000000001-a.seg.tmp").rename(spool / "000000000001-a.seg")
+    rows2, off2 = reader.read(off1)
+    assert [bytes(r[7]) for r in rows2] == [b"late"]
+    assert off2["seg"] == "000000000002-b.seg"
+    assert off2["drained"] == []
+    rows3, _ = reader.read(off2)
+    assert list(rows3) == []
 
 
 def test_segment_frames_and_byte_offset_resume(tmp_path):
