@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    ArrayType,
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -45,28 +45,18 @@ from ..registry import register
 from .source import read_events_stream, run_to_memory
 
 DELAY = "30 minutes"
-N_SHARDS = 4
+N_SHARDS = 8
 
-_LA = ArrayType(LongType())
-_SA = ArrayType(StringType())
-_DA = ArrayType(DoubleType())
-# pending versions + one carry row per user (the decided predecessor).
-_STATE_SCHEMA = StructType(
-    [
-        StructField("p_uid", _LA),
-        StructField("p_eid", _LA),
-        StructField("p_ts", _LA),  # epoch micros
-        StructField("p_type", _SA),
-        StructField("p_value", _DA),
-        StructField("p_props", _SA),
-        StructField("c_uid", _LA),
-        StructField("c_eid", _LA),
-        StructField("c_ts", _LA),
-        StructField("c_type", _SA),
-        StructField("c_value", _DA),
-        StructField("c_props", _SA),
-    ]
-)
+# pending versions + one carry row per user (the decided predecessor),
+# packed as ONE pickled tuple of numpy arrays. The r9 layout spelled the
+# same payload as 12 array<...> state columns, which forced a
+# numpy→Python-list conversion of every element on save and a list→Series
+# rebuild on load; with ~100k pending rows round-tripping through the
+# store in the single-data-trigger plan, that conversion was most of the
+# op's cost above the stateless floor (r10 probe: binary save+load of the
+# full 100k costs ~0.23 s vs ~0.9 s for the list layout). pickle protocol
+# 5 serializes numpy buffers by memcpy.
+_STATE_SCHEMA = StructType([StructField("blob", BinaryType())])
 _OUT_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -84,27 +74,33 @@ def _make_diff_state_fn():
     repo on sys.path — the driver contract)."""
 
     def _diff_state_fn(key, pdfs, state: GroupState):
+        import pickle
+
         import numpy as np
         import pandas as pd
 
         cols = ("uid", "eid", "ts", "typ", "val", "prp")
 
-        def frame(arrays):
-            return pd.DataFrame(dict(zip(cols, arrays)))
+        def empty():
+            return pd.DataFrame(
+                {
+                    "uid": np.array([], dtype="int64"),
+                    "eid": np.array([], dtype="int64"),
+                    "ts": np.array([], dtype="int64"),
+                    "typ": np.array([], dtype=object),
+                    "val": np.array([], dtype="float64"),
+                    "prp": np.array([], dtype=object),
+                }
+            )
 
         if state.exists:
-            st = list(state.get)
-            pend = frame(st[:6])
-            carry = frame(st[6:])
+            (blob,) = state.get
+            p_arrs, c_arrs = pickle.loads(bytes(blob))
+            pend = pd.DataFrame(dict(zip(cols, p_arrs)))
+            carry = pd.DataFrame(dict(zip(cols, c_arrs)))
         else:
-            pend = frame([[] for _ in cols])
-            carry = frame([[] for _ in cols])
-        pend = pend.astype(
-            {"uid": "int64", "eid": "int64", "ts": "int64", "val": "float64"}
-        )
-        carry = carry.astype(
-            {"uid": "int64", "eid": "int64", "ts": "int64", "val": "float64"}
-        )
+            pend = empty()
+            carry = empty()
 
         new = [pdf for pdf in pdfs if len(pdf)]
         if new:
@@ -157,17 +153,24 @@ def _make_diff_state_fn():
             cv = neq(full["val"], prev_val)
             cp = neq(full["prp"], prev_prp)
             is_ins = prev_eid.isna()
-            changed_cols = np.where(
-                is_ins,
-                None,
-                pd.Series(
-                    [
-                        ",".join(n for n, f in zip(("event_type", "value", "props"), flags) if f)
-                        for flags in zip(ct, cv, cp)
-                    ],
-                    index=full.index,
-                ),
+            # Fixed column order means only 8 possible changed_cols
+            # strings: index the lookup table with the 3-bit flag code
+            # instead of a per-row Python join (the r9 comprehension was
+            # the one row-at-a-time loop left in this hot path).
+            lut = np.array(
+                [
+                    "", "props", "value", "value,props",
+                    "event_type", "event_type,props",
+                    "event_type,value", "event_type,value,props",
+                ],
+                dtype=object,
             )
+            code = (
+                ct.to_numpy(dtype="int64") * 4
+                + cv.to_numpy(dtype="int64") * 2
+                + cp.to_numpy(dtype="int64")
+            )
+            changed_cols = np.where(is_ins, None, lut[code])
             rows = pd.DataFrame(
                 {
                     "event_id": full["eid"],
@@ -203,17 +206,14 @@ def _make_diff_state_fn():
 
         if len(pend) or len(carry):
             state.update(
-                tuple(
-                    lst.tolist() if hasattr(lst, "tolist") else list(lst)
-                    for df_ in (pend, carry)
-                    for lst in (
-                        df_["uid"].to_numpy(),
-                        df_["eid"].to_numpy(),
-                        df_["ts"].to_numpy(),
-                        df_["typ"].to_numpy(),
-                        df_["val"].to_numpy(),
-                        df_["prp"].to_numpy(),
-                    )
+                (
+                    pickle.dumps(
+                        tuple(
+                            tuple(df_[c].to_numpy() for c in cols)
+                            for df_ in (pend, carry)
+                        ),
+                        protocol=5,
+                    ),
                 )
             )
             if len(pend):
@@ -287,9 +287,15 @@ def stream_cdc_column_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trigger decides everything the final watermark reached): decisions
     # key on ts-vs-watermark only and the staging is time-ordered, so the
     # emitted set is phasing-independent — pinned 1-vs-4 by
-    # tests/test_trigger_phasing.py. 3 triggers -> 2 saves ~1 machinery
-    # round; this op's remaining cost is its ~100k-row emitted volume
-    # through the Arrow state operator, not trigger count.
+    # tests/test_trigger_phasing.py. r10: the ~100k pending rows that
+    # round-trip the state store between the two triggers now ride ONE
+    # pickled-numpy blob instead of 12 list-typed state columns, and the
+    # changed_cols join is an 8-entry LUT index instead of a per-row
+    # Python loop — 2.83 → ~2.2-2.3 s at sf0.1, leaving the op ~0.4 s
+    # above the measured 1.83 s stateless-passthrough floor. The Spark 4
+    # state-v2 comparison (transformWithStateInPandas) is environmentally
+    # blocked: its driver worker imports google.protobuf, which is not in
+    # this container (TESTDATA.md).
     src = read_events_stream(spark, sf_dir, files_per_trigger=4)
     flow = src.select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
