@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    ArrayType,
+    BinaryType,
     LongType,
     StringType,
     StructField,
@@ -38,17 +38,11 @@ TOLERANCE_MIN = 10
 DELAY = "30 minutes"
 N_SHARDS = 4
 
-_LA = ArrayType(LongType())
-_STATE_SCHEMA = StructType(
-    [
-        StructField("c_users", _LA),
-        StructField("c_ids", _LA),
-        StructField("c_ts", _LA),  # epoch micros
-        StructField("p_users", _LA),
-        StructField("p_ids", _LA),
-        StructField("p_ts", _LA),
-    ]
-)
+# Six int64 vectors (pending clicks + purchase horizon) packed as ONE
+# pickled tuple of numpy arrays — protocol-5 pickling is a buffer memcpy,
+# where list-typed state columns pay per-element numpy<->list conversion
+# on every save/load (the streaming/cdc_diff.py r10 lesson).
+_STATE_SCHEMA = StructType([StructField("blob", BinaryType())])
 _OUT_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -66,12 +60,15 @@ def _make_nearest_state_fn():
     repo on sys.path — the driver contract)."""
 
     def _nearest_state_fn(key, pdfs, state: GroupState):
+        import pickle
+
         import numpy as np
         import pandas as pd
 
         TOL_US = TOLERANCE_MIN * 60 * 1_000_000
         if state.exists:
-            st = [np.asarray(a, dtype=np.int64) for a in state.get]
+            (blob,) = state.get
+            st = list(pickle.loads(bytes(blob)))
         else:
             st = [np.empty(0, dtype=np.int64)] * 6
         c_users, c_ids, c_ts, p_users, p_ids, p_ts = st
@@ -176,8 +173,10 @@ def _make_nearest_state_fn():
         if len(c_ids) or len(p_ids):
             state.update(
                 (
-                    c_users.tolist(), c_ids.tolist(), c_ts.tolist(),
-                    p_users.tolist(), p_ids.tolist(), p_ts.tolist(),
+                    pickle.dumps(
+                        (c_users, c_ids, c_ts, p_users, p_ids, p_ts),
+                        protocol=5,
+                    ),
                 )
             )
             if len(c_ts):
@@ -273,7 +272,7 @@ def stream_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     allow-exact, forward exact-excluded — the coincident-purchase tie
     rule). State = clicks within one tolerance of the watermark +
     purchases within two (see module docstring prune argument)."""
-    src = read_events_stream(spark, sf_dir, files_per_trigger=2)
+    src = read_events_stream(spark, sf_dir, files_per_trigger=4)
     flow = (
         src.filter(F.col("event_type").isin("click", "purchase"))
         .select(

@@ -62,7 +62,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's RPC correlation expressed as Structured Streaming's
     stream-stream inner join with watermark-bounded state."""
     clicks = (
-        read_events_stream(spark, sf_dir, files_per_trigger=2)
+        read_events_stream(spark, sf_dir, files_per_trigger=4)
         .filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
@@ -72,7 +72,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("click_ts", _DELAY)
     )
     purchases = (
-        read_events_stream(spark, sf_dir, files_per_trigger=2)
+        read_events_stream(spark, sf_dir, files_per_trigger=4)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -147,7 +147,7 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     is max ts - 210min); matched rows are always complete (verified:
     inner-join results equal the batch join at every boundary)."""
     clicks = (
-        read_events_stream(spark, sf_dir, files_per_trigger=2)
+        read_events_stream(spark, sf_dir, files_per_trigger=4)
         .filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
@@ -157,7 +157,7 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("click_ts", _DELAY)
     )
     purchases = (
-        read_events_stream(spark, sf_dir, files_per_trigger=2)
+        read_events_stream(spark, sf_dir, files_per_trigger=4)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),

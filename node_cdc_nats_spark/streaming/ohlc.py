@@ -70,7 +70,7 @@ def stream_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``min_by``/``max_by`` on the unique (ts, event_id) order — no Python
     in the path; the oracle is the batch rollup restricted to the buckets
     the final watermark closed."""
-    src = read_events_stream(spark, sf_dir, files_per_trigger=2)
+    src = read_events_stream(spark, sf_dir, files_per_trigger=4)
     key = F.struct("ts", "event_id")
     agg = (
         src.withWatermark("ts", DELAY)

@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    ArrayType,
+    BinaryType,
     IntegerType,
     LongType,
     StructField,
@@ -60,17 +60,13 @@ DELAY = "30 minutes"
 # cluster size this to ~2× the state-store partition count.
 N_SHARDS = 4
 
-_LA = ArrayType(LongType())
-_STATE_SCHEMA = StructType(
-    [
-        StructField("req_users", _LA),
-        StructField("req_ids", _LA),
-        StructField("req_ts", _LA),  # epoch micros
-        StructField("resp_users", _LA),
-        StructField("resp_ids", _LA),
-        StructField("resp_ts", _LA),
-    ]
-)
+# Six int64 vectors (pending requests + candidate responses) packed as
+# ONE pickled tuple of numpy arrays: protocol-5 pickling is a buffer
+# memcpy, where the r9 list-typed state columns paid a numpy->Python-list
+# conversion per element on every save and a list->array rebuild on every
+# load (the same lesson as streaming/cdc_diff.py, measured there at
+# ~0.23 s vs ~0.9 s for a 100k-row round trip).
+_STATE_SCHEMA = StructType([StructField("blob", BinaryType())])
 _OUT_SCHEMA = StructType(
     [
         StructField("req_id", LongType()),
@@ -94,12 +90,15 @@ def _make_rpc_state_fn(res_process=None):
     closure, so arbitrary user callables ship to the executors."""
 
     def _rpc_state_fn(key, pdfs, state: GroupState):
+        import pickle
+
         import numpy as np
         import pandas as pd
 
         TIMEOUT_US = 10 * 60 * 1_000_000
         if state.exists:
-            st = [np.asarray(a, dtype=np.int64) for a in state.get]
+            (blob,) = state.get
+            st = list(pickle.loads(bytes(blob)))
         else:
             st = [np.empty(0, dtype=np.int64)] * 6
         req_users, req_ids, req_ts, resp_users, resp_ids, resp_ts = st
@@ -168,8 +167,13 @@ def _make_rpc_state_fn(res_process=None):
         if len(req_ids) or len(resp_ids):
             state.update(
                 (
-                    req_users.tolist(), req_ids.tolist(), req_ts.tolist(),
-                    resp_users.tolist(), resp_ids.tolist(), resp_ts.tolist(),
+                    pickle.dumps(
+                        (
+                            req_users, req_ids, req_ts,
+                            resp_users, resp_ids, resp_ts,
+                        ),
+                        protocol=5,
+                    ),
                 )
             )
             if len(req_ts):
@@ -249,7 +253,7 @@ def stream_rpc_state(spark: SparkSession, sf_dir: str, res_process=None) -> Data
     separate watermark advances, late-response pruning — is intact, and
     the fixed overhead halves. A production deployment sizes its trigger
     interval the same way: by throughput, never one file per batch."""
-    src = read_events_stream(spark, sf_dir, files_per_trigger=2)
+    src = read_events_stream(spark, sf_dir, files_per_trigger=4)
     # Request/response classification happens JVM-side so only a boolean
     # (not the event_type string) crosses the state shuffle and Arrow.
     flow = (

@@ -66,7 +66,7 @@ def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     final table equals the batch ``cdc_upsert_latest`` (same oracle), which
     is exactly the CDC guarantee: stream-merged state == batch recompute."""
     # 2 files/trigger: cost-only (pinned by tests/test_trigger_phasing.py)
-    src = read_events_stream(spark, sf_dir, files_per_trigger=2).select(
+    src = read_events_stream(spark, sf_dir, files_per_trigger=4).select(
         "user_id", "event_id", "event_type", "value", "ts"
     )
     target = tempfile.mkdtemp(prefix="upsert_target_")
@@ -151,7 +151,7 @@ def stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a user splices into that user's history correctly because the
     merge replays the affected user's full change set, not just the tail."""
     # 2 files/trigger: cost-only (pinned by tests/test_trigger_phasing.py)
-    src = read_events_stream(spark, sf_dir, files_per_trigger=2).filter(
+    src = read_events_stream(spark, sf_dir, files_per_trigger=4).filter(
         F.col("event_type").isin("signup", "purchase")
     )
     target = tempfile.mkdtemp(prefix="scd2_target_")

@@ -58,7 +58,7 @@ def stream_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2 staged files per trigger: pure cost lever (~0.66 s fixed per
     # trigger); result-set identity under 1-vs-2 phasing is pinned by
     # tests/test_trigger_phasing.py.
-    src = read_events_stream(spark, sf_dir, files_per_trigger=2)
+    src = read_events_stream(spark, sf_dir, files_per_trigger=4)
     agg = (
         src.withWatermark("ts", DELAY)
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
@@ -98,7 +98,7 @@ def stream_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2 staged files per trigger: pure cost lever (~0.66 s fixed per
     # trigger); result-set identity under 1-vs-2 phasing is pinned by
     # tests/test_trigger_phasing.py.
-    src = read_events_stream(spark, sf_dir, files_per_trigger=2)
+    src = read_events_stream(spark, sf_dir, files_per_trigger=4)
     agg = (
         src.withWatermark("ts", DELAY)
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
@@ -143,7 +143,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2 staged files per trigger: pure cost lever (~0.66 s fixed per
     # trigger); result-set identity under 1-vs-2 phasing is pinned by
     # tests/test_trigger_phasing.py.
-    src = read_events_stream(spark, sf_dir, files_per_trigger=2)
+    src = read_events_stream(spark, sf_dir, files_per_trigger=4)
     agg = (
         src.withWatermark("ts", DELAY)
         .groupBy(F.session_window("ts", DELAY).alias("win"), "user_id")
@@ -221,7 +221,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2 staged files per trigger: pure cost lever (~0.66 s fixed per
     # trigger); result-set identity under 1-vs-2 phasing is pinned by
     # tests/test_trigger_phasing.py.
-    src = read_events_stream(spark, sf_dir, files_per_trigger=2)
+    src = read_events_stream(spark, sf_dir, files_per_trigger=4)
     deduped = src.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
     )

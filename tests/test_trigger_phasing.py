@@ -43,22 +43,24 @@ def _rows(df):
 @pytest.mark.parametrize(
     "module_name, op_name, alt_files",
     [
-        # retuned in r8 (default 2 files/trigger)
-        ("rpc", "stream_rpc_state", 2),
-        ("joins", "stream_stream_join", 2),
-        ("joins", "stream_stream_left_join", 2),
-        # retuned again in r9: one data trigger + the no-data flush
+        # r10: every retunable op now ingests all 4 staged files in ONE
+        # data trigger (the no-data flush trigger then decides everything
+        # the final watermark reached) — each dropped trigger saves its
+        # fixed machinery cost, and the blob-packed state (cdc_diff/rpc/
+        # asof) made the bigger pending round-trip cheap. Equivalence
+        # below is 1-vs-4 for all of them.
+        ("rpc", "stream_rpc_state", 4),
+        ("joins", "stream_stream_join", 4),
+        ("joins", "stream_stream_left_join", 4),
         ("cdc_diff", "stream_cdc_column_diff", 4),
-        ("asof", "stream_join_asof_nearest", 2),
-        ("ohlc", "stream_downsample_ohlc", 2),
-        # retuned in r9 (default 2 files/trigger; equivalence was
-        # pre-validated here in r8 before the default flipped)
-        ("windows", "stream_tumble", 2),
-        ("windows", "stream_slide", 2),
-        ("windows", "stream_session", 2),
-        ("windows", "stream_dedup", 2),
-        ("upsert", "stream_upsert", 2),
-        ("upsert", "stream_scd2", 2),
+        ("asof", "stream_join_asof_nearest", 4),
+        ("ohlc", "stream_downsample_ohlc", 4),
+        ("windows", "stream_tumble", 4),
+        ("windows", "stream_slide", 4),
+        ("windows", "stream_session", 4),
+        ("windows", "stream_dedup", 4),
+        ("upsert", "stream_upsert", 4),
+        ("upsert", "stream_scd2", 4),
         # new in r9: complete-mode ranking — final table is a pure function
         # of all data, phasing-independent by construction
         ("topk", "stream_topk", 4),
