@@ -599,30 +599,100 @@ def dedup_embedding_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_embedding_cosine(spark, sf_dir, n_bands=2)
 
 
-def _assign_cells(df: DataFrame, cent: "list[list[float]]") -> DataFrame:
-    """Nearest-centroid assignment as an Arrow pandas_udf (centroids are
-    broadcast by value inside the closure — K×DIM floats, trivially small;
-    the vectors never leave the executors)."""
-    import numpy as _np
-
-    c_arr = [list(map(float, c)) for c in cent]
-
-    @F.pandas_udf("int")
-    def _assign(embs):
-        import numpy as np
-        import pandas as pd
-
-        C = np.array(c_arr)  # (K, D)
-        A = np.vstack(embs.to_numpy()).astype(np.float64)  # (n, D)
-        # Squared euclidean; argmin returns the lowest index on ties.
-        d2 = ((A[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(np.argmin(d2, axis=1).astype("int32"))
-
-    return df.withColumn("cell", _assign(F.col("embedding")))
-
-
 IVF_K = 16
 IVF_NPROBE = 4
+
+
+def _guard_finite_cents(cents: "list[list[float]]", opname: str) -> None:
+    """Non-finite components (a corrupt embedding) would render as 'nan'/
+    'inf' — unparseable as SQL double literals — so the literal splice
+    would fail with a parse error far from the cause. Fail loudly at the
+    source instead (ADVICE r9)."""
+    import math
+
+    for row in cents:
+        for v in row:
+            if not math.isfinite(v):
+                raise ValueError(
+                    f"{opname}: non-finite centroid component {v!r} — "
+                    "corrupt embedding"
+                )
+
+
+def _d2_structs_expr(cents: "list[list[float]]") -> Column:
+    """Per-row array of (d2-to-centroid, cell) structs, built as ONE SQL
+    string parsed JVM-side: composing it from F.lit/F.struct/F.zip_with
+    costs a py4j round trip per node (~1.1 s per call site for 16×64
+    literals — r9 profile: 2/3 of ann_ivf_topk's wall time was DRIVER-side
+    plan construction). repr(float) round-trips IEEE doubles exactly and
+    the 'D' suffix keeps every literal a double, so the folded values are
+    bit-identical to an F.lit tree (A/B-checked) and to the DuckDB
+    mirror. Struct ordering is (d2, cell), so array_min reproduces the
+    oracle's ORDER BY d2, cell tiebreak."""
+
+    def d2_sql(c: int) -> str:
+        lits = ",".join(repr(v) + "D" for v in cents[c])
+        return (
+            f"aggregate(zip_with(embedding, array({lits}), "
+            f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
+
+    return F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('d2', {d2_sql(c)}, 'cell', {c})"
+            for c in range(len(cents))
+        )
+        + ")"
+    )
+
+
+def _ivf_probe_topk(em: DataFrame, cents: "list[list[float]]") -> DataFrame:
+    """The shared IVF serve path: assign every vector to its nearest cell,
+    probe the IVF_NPROBE nearest cells per query (vec_id < 5), brute-force
+    only those candidate lists, top-k by (score DESC, cid). Cell
+    assignment is a map-side projection — K left-fold distances per row
+    folded through ``array_min`` on (d2, cell) structs, which reproduces
+    the oracle's window-ordering tiebreak without shuffling the n×K cross
+    join a window would need."""
+    d2s = _d2_structs_expr(cents)
+    cells = em.select(
+        "vec_id", "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+        F.array_min(d2s)["cell"].alias("cell"),
+    )
+    qp = (
+        em.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.explode(
+                F.slice(F.array_sort(d2s), 1, IVF_NPROBE)["cell"]
+            ).alias("cell"),
+        )
+    )
+    q = cells.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cand = (
+        cells.filter(F.col("vec_id") >= 5)
+        .join(F.broadcast(qp), "cell")
+        .join(F.broadcast(q), "qid")
+    )
+    scored = cand.select(
+        "qid",
+        F.col("vec_id").alias("cid"),
+        cosine_pre(
+            F.col("qe"), F.col("embedding"), F.col("qn"), F.col("nrm")
+        ).alias("score"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "cid", "score")
+    )
 
 
 @register(
@@ -684,175 +754,155 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact double literals (float32 → double widening is lossless, and
     # Python float repr round-trips, so Spark and DuckDB fold identical
     # IEEE doubles).
-    import math
-
     cents = [
         [float(v) for v in r.embedding]
         for r in em.orderBy("vec_id").limit(IVF_K).collect()
     ]
-    # Non-finite components (a corrupt embedding) would render as 'nan'/
-    # 'inf' — unparseable as SQL double literals — so the splice below
-    # would fail with a parse error far from the cause. Fail loudly at the
-    # source instead (ADVICE r9).
-    for row in cents:
-        for v in row:
-            if not math.isfinite(v):
-                raise ValueError(
-                    "ann_ivf_topk: non-finite centroid component "
-                    f"{v!r} — corrupt embedding in the first {IVF_K} rows"
-                )
     if not cents:
         # Empty corpus: no centroids to build an inverted file from — a
         # well-typed empty result, not an IndexError (zero-row sources are
         # a live-deployment reality, and the oracle is empty too).
         return spark.createDataFrame([], "qid bigint, cid bigint, score double")
-    # A corpus smaller than IVF_K still defines that many real cells.
-    n_cells = len(cents)
-
-    # The K×D literal matrix is built as ONE SQL string parsed JVM-side:
-    # composing it from F.lit/F.struct/F.zip_with costs a py4j round trip
-    # per node (~1.1 s per call site for 16×64 literals, ×2 call sites —
-    # r9 profile: the op's wall time was 2/3 DRIVER-side plan construction,
-    # not execution). repr(float) round-trips IEEE doubles exactly and the
-    # 'D' suffix keeps every literal a double, so the folded values are
-    # bit-identical to the F.lit tree (A/B-checked) and to the DuckDB
-    # mirror.
-    def d2_sql(c: int) -> str:
-        lits = ",".join(repr(v) + "D" for v in cents[c])
-        return (
-            f"aggregate(zip_with(embedding, array({lits}), "
-            f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-            f"0.0D, (acc, x) -> acc + x)"
-        )
-
-    def d2_structs() -> Column:
-        return F.expr(
-            "array("
-            + ",".join(
-                f"named_struct('d2', {d2_sql(c)}, 'cell', {c})"
-                for c in range(n_cells)
-            )
-            + ")"
-        )
-
-    # Nearest cell: struct ordering is (d2, cell) — exactly the oracle's
-    # ORDER BY d2, cell tiebreak.
-    cells = em.select(
-        "vec_id", "embedding",
-        norm(F.col("embedding")).alias("nrm"),
-        F.array_min(d2_structs())["cell"].alias("cell"),
-    )
-    qp = (
-        em.filter(F.col("vec_id") < 5)
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.explode(
-                F.slice(F.array_sort(d2_structs()), 1, IVF_NPROBE)["cell"]
-            ).alias("cell"),
-        )
-    )
-    q = cells.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
-        F.col("nrm").alias("qn"),
-    )
-    cand = (
-        cells.filter(F.col("vec_id") >= 5)
-        .join(F.broadcast(qp), "cell")
-        .join(F.broadcast(q), "qid")
-    )
-    scored = cand.select(
-        "qid",
-        F.col("vec_id").alias("cid"),
-        cosine_pre(F.col("qe"), F.col("embedding"), F.col("qn"), F.col("nrm")).alias(
-            "score"
-        ),
-    )
-    w = W.partitionBy("qid").orderBy(F.col("score").desc(), "cid")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("qid", "cid", "score")
-    )
+    _guard_finite_cents(cents, "ann_ivf_topk")
+    # A corpus smaller than IVF_K still defines that many real cells; the
+    # serve path (assignment, probing, top-k) is shared with the learned
+    # variant — see _ivf_probe_topk.
+    return _ivf_probe_topk(em, cents)
 
 
-def ann_ivf_topk_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with LEARNED coarse centroids: 2 Lloyd iterations of k-means
-    (K=16) build the inverted file, queries probe the 4 nearest cells and
-    brute-force only those candidate lists.
+IVF_ITERS = 2
 
-    Not registered with the driver: 2-iteration k-means is not
-    SQL-expressible, so its quality gate is the pytest recall floor against
-    exact search. The iterative pattern at scale: per-iteration work is one
-    map-side assignment (pandas_udf, centroids broadcast by value) plus one
-    aggregation of per-dimension sums — K×D numbers to the driver, never
-    the vectors."""
-    K, N_ITER, NPROBE = 16, 2, 4
+
+def _sql_lloyd(i: int) -> str:
+    """One unrolled Lloyd refinement as DuckDB CTE fragments: assignment
+    ``a{i}`` vs centroids ``c{i-1}`` (ties to the lowest cell), quantized
+    per-(cell, pos) means ``s{i}``, and the refined centroid lists
+    ``c{i}`` (a cell that attracted no vectors keeps its previous
+    centroid). Element contributions are floored to integer micro-units
+    BEFORE the cross-row sum, so the mean is order-independent and
+    bit-identical across engines — the ``embed_label_centroids`` trick
+    driving an iterative algorithm."""
+    return f"""
+    a{i} AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {sql_d2_exact('e.embedding', 'c.ce')}, c.cell) AS rn
+        FROM embeddings e CROSS JOIN c{i - 1} c) WHERE rn = 1),
+    s{i} AS (
+      SELECT cell, pos,
+             CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000.0) AS comp
+      FROM (
+        SELECT a.cell,
+               UNNEST(RANGE(0, LEN(e.embedding))) AS pos,
+               UNNEST(LIST_TRANSFORM(e.embedding,
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)))
+                 AS q
+        FROM a{i} a JOIN embeddings e USING (vec_id))
+      GROUP BY cell, pos),
+    c{i} AS (
+      SELECT p.cell, COALESCE(n.ce, p.ce) AS ce
+      FROM c{i - 1} p LEFT JOIN
+           (SELECT cell, LIST(comp ORDER BY pos) AS ce
+            FROM s{i} GROUP BY cell) n
+      USING (cell))"""
+
+
+@register(
+    "ann_ivf_learned",
+    oracle=f"""
+    WITH c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS ce
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT {IVF_K})),
+    {_sql_lloyd(1).strip()},
+    {_sql_lloyd(2).strip()},
+    asg AS (
+      SELECT e.vec_id, e.embedding, {sql_norm('e.embedding')} AS nrm, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {sql_d2_exact('e.embedding', 'c.ce')}, c.cell) AS rn
+      FROM embeddings e CROSS JOIN c2 c),
+    cells AS (SELECT vec_id, embedding, nrm, cell FROM asg WHERE rn = 1),
+    probe AS (
+      SELECT e.vec_id AS qid, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {sql_d2_exact('e.embedding', 'c.ce')}, c.cell) AS rn
+      FROM embeddings e CROSS JOIN c2 c
+      WHERE e.vec_id < 5),
+    q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn
+          FROM cells WHERE vec_id < 5),
+    scored AS (
+      SELECT p.qid, k.vec_id AS cid,
+             {sql_cosine_pre('q.qe', 'k.embedding', 'q.qn', 'k.nrm')} AS score
+      FROM probe p
+      JOIN cells k ON k.cell = p.cell AND k.vec_id >= 5
+      JOIN q ON q.qid = p.qid
+      WHERE p.rn <= {IVF_NPROBE}),
+    ranked AS (
+      SELECT qid, cid, score,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+      FROM scored)
+    SELECT qid, cid, score FROM ranked WHERE rn <= {TOP_K}
+    """,
+)
+def ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with LEARNED coarse centroids: IVF_ITERS Lloyd iterations of
+    k-means (K=16, deterministic lowest-vec_id init) build the inverted
+    file, then the shared serve path probes the 4 nearest cells per query
+    and brute-forces only those candidate lists (:func:`_ivf_probe_topk`).
+
+    What makes an ITERATIVE algorithm driver-hash-checkable (r9 verdict
+    item 6 graduated this from a pytest-gated library fn): each Lloyd mean
+    quantizes element contributions to integer micro-units BEFORE the
+    cross-row sum, so the refined centroid is order-independent and
+    bit-identical in Spark and DuckDB (raw double sums drift on the last
+    ulp at every repartitioning); the division back to a double is a
+    single IEEE op both engines spell identically. The oracle unrolls the
+    same two refinements as CTEs (:func:`_sql_lloyd`).
+
+    Scale plan: per iteration, assignment is the same map-side K-literal
+    fold the fixed-centroid op uses (no shuffle for the n×K distance
+    matrix), and the refit is ONE partial+final hash aggregate on (cell,
+    pos) — K·D groups, so the driver collects exactly K·D sums per round
+    (1024 numbers here) regardless of corpus size; the vectors never
+    leave the executors. That is the canonical distributed k-means round
+    (sums to the coordinator, never points)."""
     em = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    import numpy as np
-
-    # Deterministic init: the K lowest vec_ids.
-    cent = np.array(
-        [r.embedding for r in em.orderBy("vec_id").limit(K).collect()], dtype=np.float64
-    )
-    for _ in range(N_ITER):
-        assigned = _assign_cells(em, cent.tolist())
-        sums = (
-            assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+    cents = [
+        [float(v) for v in r.embedding]
+        for r in em.orderBy("vec_id").limit(IVF_K).collect()
+    ]
+    if not cents:
+        # Empty corpus: nothing to train on — well-typed empty result,
+        # matching the oracle.
+        return spark.createDataFrame([], "qid bigint, cid bigint, score double")
+    _guard_finite_cents(cents, "ann_ivf_learned")
+    quant = F.floor(
+        F.col("v").cast("double") * F.lit(_CENTROID_SCALE)
+    ).cast("decimal(38,0)")
+    for _ in range(IVF_ITERS):
+        stats = (
+            em.select(
+                F.array_min(_d2_structs_expr(cents))["cell"].alias("cell"),
+                F.posexplode("embedding").alias("pos", "v"),
+            )
+            .select("cell", "pos", quant.alias("q"))
             .groupBy("cell", "pos")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        new = cent.copy()
-        acc = {}
-        for r in sums:
-            acc.setdefault(r.cell, [np.zeros(cent.shape[1]), 0])
-            acc[r.cell][0][r.pos] = r.s
-            acc[r.cell][1] = r.n
-        for cell, (vec, n) in acc.items():
-            if n:
-                new[cell] = vec / n
-        cent = new
-
-    cells = _assign_cells(em, cent.tolist()).withColumn(
-        "nrm", norm(F.col("embedding"))
-    )
-    # Query-side probing: q × K distances on the driver (q=5, K=16).
-    qrows = cells.filter(F.col("vec_id") < 5).collect()
-    probe = [
-        (
-            r.vec_id,
-            [
-                int(i)
-                for i in np.argsort(
-                    ((np.array(r.embedding, dtype=np.float64) - cent) ** 2).sum(axis=1),
-                    kind="stable",
-                )[:NPROBE]
-            ],
-        )
-        for r in qrows
-    ]
-    probe_df = spark.createDataFrame(
-        [(qid, c) for qid, cs in probe for c in cs], "qid long, cell int"
-    )
-    q = cells.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
-        F.col("nrm").alias("qn"),
-    )
-    c = cells.filter(F.col("vec_id") >= 5).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
-        F.col("nrm").alias("cn"), "cell",
-    )
-    cand = c.join(F.broadcast(probe_df), "cell").join(F.broadcast(q), "qid")
-    scored = cand.select(
-        "qid", "cid",
-        cosine_pre(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")).alias("score"),
-    )
-    w = W.partitionBy("qid").orderBy(F.col("score").desc(), "cid")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("qid", "cid", "score")
-    )
+        new = [list(c) for c in cents]
+        for r in stats:
+            # Exact: the decimal sum converts to double losslessly below
+            # 2^53 (|element| ~ O(1) => micro-unit sums ~ 1e6 * |cell|),
+            # and the single division is the same IEEE op DuckDB runs.
+            new[r.cell][r.pos] = int(r.s) / (r.n * _CENTROID_SCALE)
+        cents = new
+        _guard_finite_cents(cents, "ann_ivf_learned")
+    return _ivf_probe_topk(em, cents)
 
 
 # Element quantization for cross-engine-exact centroid sums: micro-units

@@ -1,0 +1,185 @@
+"""Continuous incremental-ingest dedup — the streaming twin of the
+``dedup_incremental`` + ``dedup_bloom_prefilter`` batch pair
+(operators/dedup.py), closing the one LLM-pipeline family whose continuous
+form was unrepresented (r9 verdict item 6).
+
+The production shape this reproduces (Dolma/C4-style ingest): corpus
+shipments arrive as a stream; each shipment must be deduplicated against
+everything already KEPT and within itself, without ever re-deduplicating
+the corpus. ``foreachBatch`` is the Spark-native home for this maintenance
+loop — each micro-batch is one transactional ingest round against two
+batch-visible tables:
+
+- the KEPT table (content hashes of every document admitted so far) —
+  parquet here, a Delta/Iceberg table in production;
+- a fixed-size Bloom filter of those hashes, held by the ingest
+  coordinator and updated incrementally as survivors are admitted (the
+  one piece of driver-side state, legitimate precisely because it is
+  FIXED-SIZE by construction — m bits regardless of corpus size; at
+  production scale it ships to executors as a broadcast variable).
+
+Per batch: hash → Bloom screen (negatives are provably novel and skip the
+join entirely — the vast majority of a mostly-novel shipment settles
+map-side) → exact anti-join of the positives against the kept table (false
+positives die here) → intra-batch keep-first-by-doc_id → admit survivors
+(append to kept table, OR their bits into the filter, emit).
+
+Correctness contract the oracle checks: shipment order is monotone in
+doc_id (streaming/source.py staging) and intra-batch keep-first is
+by doc_id, so the admitted set is EXACTLY the global keep-first —
+``ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1`` — and
+the Bloom screen, being FP-safe + exactly confirmed, must not change it.
+
+Scale: the kept table is SF-proportional but only its hash column is ever
+joined (and only by Bloom-positive rows); the filter is m bits forever;
+per-batch driver traffic is the survivors' distinct bit positions, capped
+at m. Nothing here grows with history except the kept table itself — the
+same story as the batch pair, now load-bearing across micro-batches.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.dedup import BLOOM_M, _spark_hex16
+from ..registry import register
+from .source import (
+    STREAM_SHUFFLE_PARTITIONS,
+    _ckpt_dir,
+    read_documents_stream,
+)
+
+
+@register(
+    "stream_dedup_incremental",
+    oracle="""
+    SELECT doc_id, MD5(text) AS content_hash
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) = 1
+    """,
+)
+def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental-ingest dedup (module docstring): the staged
+    corpus shipments drain in two ingest rounds through a ``foreachBatch``
+    maintenance loop that keeps a cross-batch kept-hash table plus an
+    incrementally maintained Bloom filter, admitting exactly the global
+    keep-first-by-doc_id set. Floor note: each round pays one Spark
+    parquet-append commit (~0.8 s of fixed committer cost at any data
+    size) plus one delta-file scan for the filter update — the measured
+    wall is ~2× that plus the 2-trigger streaming machinery, all fixed
+    costs that amortize on a long-lived ingest."""
+    # ONE table serves as both the kept-hash state and the emitted result:
+    # what this op admits IS the kept corpus (doc_id, content_hash), so a
+    # second copy would double every batch's write for nothing. The table
+    # materializes with the first admitted round; until then readers get
+    # a well-typed empty frame (a zero-row pre-seed write would cost a
+    # full Spark write job just to avoid this two-line branch).
+    kept_dir = tempfile.mkdtemp(prefix="ingest_dedup_kept_")
+    schema = "doc_id bigint, content_hash string"
+
+    def read_kept() -> DataFrame:
+        if any(f.endswith(".parquet") for f in os.listdir(kept_dir)):
+            return spark.read.schema(schema).parquet(kept_dir)
+        return spark.createDataFrame([], schema)
+
+    # The coordinator-held filter: a bit-position set, rendered to the
+    # m-char bitmap literal each batch. Bounded at BLOOM_M bits by
+    # construction — this is the ONE piece of state foreachBatch holds on
+    # the driver, mirroring a production broadcast Bloom.
+    bloom_bits: set[int] = set()
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        # Intra-batch keep-first FIRST: it shrinks the screen/join input.
+        # Because only (winner doc_id, hash) survives, keep-first is just
+        # MIN(doc_id) per hash — one partial+final aggregate, no window
+        # sort — and the aggregate's hash distribution is reused by the
+        # anti-join.
+        b = (
+            batch_df.select(
+                "doc_id",
+                F.md5(F.col("text").cast("binary")).alias("content_hash"),
+            )
+            .groupBy("content_hash")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        bitmap = "".join(
+            "1" if i in bloom_bits else "0" for i in range(BLOOM_M)
+        )
+        probe = lambda off: (  # noqa: E731
+            F.substring(
+                F.lit(bitmap), _spark_hex16("content_hash", off) + 1, F.lit(1)
+            )
+            == "1"
+        )
+        flagged = b.withColumn(
+            "bloom_hit", probe(1) & probe(5) & probe(9)
+        )
+        kept = read_kept().select("content_hash")
+        # Bloom negatives are provably novel (no false negatives by
+        # construction); only the positives pay the exact membership join.
+        survivors = (
+            flagged.filter(F.col("bloom_hit"))
+            .join(kept, "content_hash", "anti")
+            .unionByName(flagged.filter(~F.col("bloom_hit")))
+            .select("doc_id", "content_hash")
+        )
+        # ONE full job per batch: append the survivors (coalesce(1) — one
+        # state-table file per ingest round instead of one per shuffle
+        # task), then read the positions for the filter update back from
+        # the JUST-WRITTEN delta files — a single-file scan instead of a
+        # second run of the dedup plan (which, post-append, would also
+        # anti-join the survivors against themselves and yield nothing,
+        # starving the filter). The collect is bounded: DISTINCT caps it
+        # at 3·m positions regardless of batch size (m = 65536 here;
+        # production ships the update as a bitmap delta instead of a
+        # position list), and it is incremental — the delta's positions,
+        # so filter-update cost tracks the shipment, never the corpus.
+        before = set(os.listdir(kept_dir))
+        survivors.coalesce(1).write.mode("append").parquet(kept_dir)
+        new_files = [
+            os.path.join(kept_dir, f)
+            for f in os.listdir(kept_dir)
+            if f not in before and f.endswith(".parquet")
+        ]
+        if new_files:
+            pos = (
+                spark.read.parquet(*new_files)
+                .select(
+                    F.explode(
+                        F.array(
+                            _spark_hex16("content_hash", 1),
+                            _spark_hex16("content_hash", 5),
+                            _spark_hex16("content_hash", 9),
+                        )
+                    ).alias("p")
+                )
+                .distinct()
+            )
+            bloom_bits.update(r.p for r in pos.collect())
+
+    # Same shuffle sizing as run_to_memory: the per-batch jobs move a few
+    # thousand rows, so 32 shuffle tasks per job would be pure scheduling
+    # overhead at fixture scale (a production ingest sizes this to its
+    # shipment volume).
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    try:
+        q = (
+            # Two ingest rounds of two shipments each: the cross-round
+            # maintenance path (kept-table anti-join + learned filter) is
+            # exercised exactly the same as with four rounds — keep-first
+            # is monotone in doc_id across and within rounds — at half
+            # the per-trigger machinery cost.
+            read_documents_stream(spark, sf_dir, files_per_trigger=2)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", _ckpt_dir())
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return read_kept()

@@ -141,6 +141,73 @@ def read_events_stream(
     return reader.parquet(stage)
 
 
+def stage_documents(spark: SparkSession, sf_dir: str) -> str:
+    """The ``documents`` fixture as N_FILES parquet files in doc_id-quartile
+    order (mtime-pinned) — the ingest-batch stand-in for
+    ``stream_dedup_incremental``: each staged file is one arriving corpus
+    shipment. Batch assignment is monotone in doc_id, so \"first shipment
+    wins\" composes with an intra-batch keep-first-by-doc_id into the
+    global keep-first the SQL oracle states."""
+    key = (sf_dir, "__documents__")
+    if key in _STAGED:
+        return _STAGED[key]
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    stage = tempfile.mkdtemp(prefix="docs_stream_")
+    if max_id is None:
+        import shutil
+
+        tmpd = tempfile.mkdtemp()
+        docs.limit(0).coalesce(1).write.mode("overwrite").parquet(tmpd)
+        src = next(f for f in os.listdir(tmpd) if f.endswith(".parquet"))
+        for i in range(N_FILES):
+            dst = os.path.join(stage, f"{i:04d}.parquet")
+            shutil.copyfile(os.path.join(tmpd, src), dst)
+            os.utime(dst, (1_000_000 + i * 10, 1_000_000 + i * 10))
+        _STAGED[key] = stage
+        return stage
+    batch_of = (F.col("doc_id") * N_FILES / (max_id + 1)).cast("int")
+    tmpd = tempfile.mkdtemp()
+    (
+        docs.withColumn("__b", batch_of)
+        .repartition("__b")
+        .write.mode("overwrite")
+        .partitionBy("__b")
+        .parquet(tmpd)
+    )
+    for i in range(N_FILES):
+        bdir = os.path.join(tmpd, f"__b={i}")
+        if not os.path.isdir(bdir):
+            raise ValueError(
+                f"document staging bucket {i}/{N_FILES} is empty for "
+                f"{sf_dir!r}; the fixture cannot drive {N_FILES} ingest "
+                "batches"
+            )
+        part = next(f for f in os.listdir(bdir) if f.endswith(".parquet"))
+        dst = os.path.join(stage, f"{i:04d}.parquet")
+        os.rename(os.path.join(bdir, part), dst)
+        os.utime(dst, (1_000_000 + i * 10, 1_000_000 + i * 10))
+    _STAGED[key] = stage
+    return stage
+
+
+def read_documents_stream(
+    spark: SparkSession, sf_dir: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """The documents fixture as a stream of staged corpus shipments.
+    ``files_per_trigger`` groups shipments per ingest round — the same
+    cost-only dial as :func:`read_events_stream` (keep-first semantics are
+    monotone in doc_id across AND within rounds, so the admitted set is
+    round-grouping-independent)."""
+    stage = stage_documents(spark, sf_dir)
+    schema = spark.read.parquet(stage).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(files_per_trigger))
+        .parquet(stage)
+    )
+
+
 STREAM_SHUFFLE_PARTITIONS = "2"
 
 

@@ -189,3 +189,38 @@ def test_stream_asof_nearest_pairs_out_of_order_arrivals(spark, scrambled_dir):
     assert rows[2].user_id == 2
     assert rows[4].nearest_purchase_id == 5 and rows[4].direction == "backward"
     assert rows[4].user_id == 3
+
+
+# -- streaming incremental-ingest dedup ----------------------------------------
+def test_stream_dedup_incremental_rejects_cross_round_duplicates(
+    spark, tmp_path
+):
+    """A hand-built corpus with KNOWN duplicate placement: intra-round
+    dups (ids 0/1 share a text, arriving in the same staged shipment) must
+    collapse to the lower id, and CROSS-round dups (ids 6/7 repeat round-1
+    texts in the last shipment) must be rejected by the kept-table path —
+    the Bloom filter must have LEARNED round 1's hashes for that rejection
+    to be cheap, and the exact anti-join makes it correct. (The fixture
+    corpus at the test SF has no duplicate texts at all, so this synthetic
+    timeline is what actually exercises the maintenance loop.)"""
+    texts = [
+        "alpha doc", "alpha doc", "bravo doc", "charlie doc",
+        "delta doc", "echo doc", "alpha doc", "charlie doc",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(8), pa.int64()),
+            "text": pa.array(texts),
+            "source": pa.array(["s"] * 8),
+            "lang": pa.array(["en"] * 8),
+        }
+    )
+    sf = tmp_path / "sf_synth"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "documents.parquet")
+    got = registry.QUERIES["stream_dedup_incremental"](spark, str(sf))
+    rows = sorted((r.doc_id, r.content_hash) for r in got.collect())
+    # keep-first by doc_id: 0 (alpha), 2 (bravo), 3 (charlie), 4 (delta),
+    # 5 (echo); 1 dies intra-round, 6 and 7 die cross-round.
+    assert [d for d, _ in rows] == [0, 2, 3, 4, 5]
+    assert len({h for _, h in rows}) == 5
