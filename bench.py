@@ -147,6 +147,11 @@ HEADLINE = [
     "stream_topk",
     "nats_roundtrip",
     "curation_funnel",
+    # r10 additions: the oracle-checked learned-centroid IVF and the
+    # continuous incremental-ingest dedup (foreachBatch kept-table
+    # maintenance + learned Bloom filter).
+    "ann_ivf_learned",
+    "stream_dedup_incremental",
 ]
 
 

@@ -37,73 +37,57 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# Absolute head of round 9's verification order: every op whose code or
-# oracle changed in r9, plus any brand-new r9 ops. Budget math: 50 driver
-# slots − 14 head = 36; the walk then clears ALL 7 remaining r4-era
-# greens (VERDICT r8 item 2: "no op whose latest green is older than r5")
-# and the first 29 of the 40 r5-era greens, leaving an 11-op r5 tail for
-# r10.
+# Absolute head of round 10's verification order: every op whose code or
+# oracle changed in r10, plus the brand-new r10 ops. Budget math: 50
+# driver slots − 16 head = 34; the walk then clears ALL 12 remaining
+# r5-era greens (VERDICT r9 item 1: "no op whose latest green is older
+# than r6") and the first 22 of the 47 r6-era greens, leaving a 25-op r6
+# tail for r11.
 _VERIFY_HEAD = (
-    # r9: impl changed — segment spool transport (length-prefixed frames,
-    # (segment, byte-offset) offsets) + subscriber-first query overlap
+    # r10: impl changed — spool reader offsets now encode the drained-
+    # segment SET (frontier gated below pending writer intents + an
+    # exception list), fixing the out-of-order-rename loss (ADVICE r9
+    # high); drain loop re-raises subscriber failures
     "nats_roundtrip",
-    # r9: oracle changed — watermark cutoff ms-truncated to match Spark's
-    # EventTimeStats granularity (ADVICE r8); cdc_diff also moves to one
-    # data trigger, asof additionally hardens id dtypes + quiescent-shard
-    # timers
+    # r10: new op — learned-centroid IVF made oracle-checkable by
+    # quantizing the Lloyd means to integer micro-units (2 unrolled
+    # refinement CTEs in the oracle)
+    "ann_ivf_learned",
+    # r10: impl changed — serve path factored into the shared
+    # _ivf_probe_topk + isfinite centroid guard (ADVICE r9 low)
+    "ann_ivf_topk",
+    # r10: new op — continuous incremental-ingest dedup (foreachBatch
+    # kept-table maintenance + incrementally learned Bloom filter)
+    "stream_dedup_incremental",
+    # r10: impl changed — pending state rides ONE pickled-numpy blob
+    # (list-typed state columns paid per-element conversion), cdc_diff
+    # additionally vectorizes changed_cols via LUT + 8 shards
     "stream_cdc_column_diff",
-    "stream_join_asof_nearest",
-    "stream_downsample_ohlc",
     "stream_rpc_state",
-    # r9: impl changed — 2 staged files per trigger (phasing identity
-    # pre-validated in r8's tests/test_trigger_phasing.py)
+    "stream_join_asof_nearest",
+    # r10: impl changed — every retunable op ingests all 4 staged files
+    # in ONE data trigger (1-vs-4 phasing identity re-pinned by
+    # tests/test_trigger_phasing.py)
     "stream_tumble",
     "stream_slide",
     "stream_session",
     "stream_dedup",
     "stream_upsert",
     "stream_scd2",
-    # r9: new op — continuous top-k (the one batch family that had no
-    # streaming twin; complete-mode ranking)
-    "stream_topk",
-    # r9: impl changed — the K×D centroid literal matrix is built as one
-    # JVM-parsed SQL string instead of a py4j F.lit tree (values
-    # A/B-identical; 2/3 of the op's wall time was driver-side plan
-    # construction)
-    "ann_ivf_topk",
-    # r9: new op — the second composed flagship (quality classifier ×
-    # DSIR vote fused into a per-language curation funnel, VERDICT r8
-    # item 8)
-    "curation_funnel",
+    "stream_downsample_ohlc",
+    "stream_stream_join",
+    "stream_stream_left_join",
 )
 
 
 # The budgeted walk (50 driver slots per round) then refreshes the OLDEST
-# evidence first. Round 8's 50 slots covered its 8-op head + all 12 r3-era
-# greens + the first 30 of r4; those 50 now carry r8-fresh evidence
-# (_R8_GREEN, minus the five redefined in this round's head). The oldest
-# remaining evidence is r4 (7 ops), then r5 (40).
-# r4 greens — oldest remaining evidence, verified first after the head.
-_R4_GREEN = (
-    "stream_watermark", "stream_bounded_subscription",
-    "cdc_upsert_latest", "cdc_changelog", "cdc_scd2",
-    "fanout_dispatch", "bounded_subscription",
-)
-# r5 greens (the r5 head that is NOT redefined in r6, plus the nine
-# r1-era aggregates r5 refreshed; minus stream_scd2, redefined in the r9
-# head) — verified right after the r4 tail.
+# evidence first. Round 9's 50 slots covered its 14-op head + all 7
+# remaining r4-era greens + the first 29 of the 41 r5-era greens; those
+# now carry r9-fresh evidence (_R9_GREEN, minus the ops redefined in this
+# round's head). The oldest remaining evidence is r5 (12 ops), then r6.
+# r5 greens — oldest remaining evidence, verified first after the head.
 _R5_GREEN = (
-    "dedup_simhash", "ann_lsh_topk", "scan_orc", "dedup_embedding_banded",
-    "udtf_tokens", "dedup_substring",
-    "split_leakage_report", "q6_forecast_revenue", "q9_nation_revenue",
-    "q14_promo_effect", "q18_large_volume", "q4_order_priority",
-    "q7_volume_shipping", "q8_market_share", "q13_customer_distribution",
-    "q15_top_supplier", "q17_small_quantity", "q19_disjunctive_revenue",
-    "q21_waiting_supplier", "q22_sales_opportunity", "q2_min_cost_supplier",
-    "q11_important_stock", "q16_supplier_count", "q20_excess_stock",
-    "retention_cohorts", "decontaminate_containment",
-    "bpe_pair_stats", "win_range_frame",
-    "unpivot_melt", "agg_mode", "downsample_ohlc", "dedup_span",
+    "agg_mode", "downsample_ohlc", "dedup_span",
     "agg_count", "agg_cube", "agg_distinct", "agg_grouping_sets",
     "agg_multi", "agg_pivot", "agg_rollup", "agg_stats", "agg_sum",
 )
@@ -153,13 +137,11 @@ _R7_GREEN = (
     "embed_norm_quantize", "q10_returned_items", "win_ntile", "array_ops",
 )
 # r8 greens — the full 50-op CORRECTNESS_r08 key set (r8's 8-op head, all
-# 12 r3-era greens, and the first 30 r4 ops), minus the five redefined in
-# this round's head (nats_roundtrip, stream_cdc_column_diff,
-# stream_join_asof_nearest, stream_downsample_ohlc, stream_rpc_state).
-# Freshest evidence, verified last.
+# 12 r3-era greens, and the first 30 r4 ops), minus the ops since
+# redefined (r9's five; r10 additionally pulls stream_stream_join and
+# stream_stream_left_join into its head).
 _R8_GREEN = (
-    "scan_binary", "bm25_topk", "stream_stream_join",
-    "stream_stream_left_join", "join_anti", "dedup_exact",
+    "scan_binary", "bm25_topk", "join_anti", "dedup_exact",
     "dedup_ngram_jaccard", "sim_topk", "embed_knn", "text_stats",
     "lang_id", "token_count", "quality_score", "doc_fingerprint",
     "text_normalize", "text_embed_hash", "agg_quantiles",
@@ -172,13 +154,31 @@ _R8_GREEN = (
     "agg_avg", "agg_min_max", "win_lag_lead", "win_running", "union_all",
     "union_distinct", "intersect", "json_extract",
 )
+# r9 greens — the full 50-op CORRECTNESS_r09 key set (r9's 14-op head,
+# all 7 remaining r4-era greens, and the first 29 r5 ops), minus the ops
+# redefined in this round's head. Freshest evidence, verified last.
+_R9_GREEN = (
+    "stream_topk", "curation_funnel", "stream_watermark",
+    "stream_bounded_subscription", "cdc_upsert_latest", "cdc_changelog",
+    "cdc_scd2", "fanout_dispatch", "bounded_subscription", "dedup_simhash",
+    "ann_lsh_topk", "scan_orc", "dedup_embedding_banded", "udtf_tokens",
+    "dedup_substring", "split_leakage_report", "q6_forecast_revenue",
+    "q9_nation_revenue", "q14_promo_effect", "q18_large_volume",
+    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+    "q13_customer_distribution", "q15_top_supplier", "q17_small_quantity",
+    "q19_disjunctive_revenue", "q21_waiting_supplier",
+    "q22_sales_opportunity", "q2_min_cost_supplier", "q11_important_stock",
+    "q16_supplier_count", "q20_excess_stock", "retention_cohorts",
+    "decontaminate_containment", "bpe_pair_stats", "win_range_frame",
+    "unpivot_melt",
+)
 
 
 def load_all() -> None:
     """Import every operator module so registrations run, then order the
     registry for the driver's budgeted walk (50 verification slots per
-    round, head first): round-9-redefined ops, then any unlisted op, then
-    proven greens oldest-evidence-first (r4 → r5 → r6 → r7 → r8)."""
+    round, head first): round-10-redefined/new ops, then any unlisted op,
+    then proven greens oldest-evidence-first (r5 → r6 → r7 → r8 → r9)."""
     from .operators import (  # noqa: F401
         dedup,
         similarity,
@@ -201,11 +201,11 @@ def load_all() -> None:
     )
     listed = (
         set(_VERIFY_HEAD)
-        | set(_R4_GREEN)
         | set(_R5_GREEN)
         | set(_R6_GREEN)
         | set(_R7_GREEN)
         | set(_R8_GREEN)
+        | set(_R9_GREEN)
     )
     blocks = (
         _VERIFY_HEAD,
@@ -214,11 +214,11 @@ def load_all() -> None:
         # a future round that registers an op but forgets the head list
         # still gets it verified (and test_survey_inventory flags it).
         tuple(n for n in QUERIES if n not in listed),
-        _R4_GREEN,
         _R5_GREEN,
         _R6_GREEN,
         _R7_GREEN,
         _R8_GREEN,
+        _R9_GREEN,
     )
     ordered: list[str] = []
     for block in blocks:

@@ -73,6 +73,10 @@ DOC_BOUND = [
     "dedup_edit_distance",
     # r8 addition (documents-bound zero-shuffle retrieval scorer)
     "bm25_topk",
+    # r10 addition (documents-bound composed flagship: quality gate x
+    # DSIR vote fused into the per-language curation data-card; r9
+    # shipped the op, this round adds its scaling row)
+    "curation_funnel",
 ]
 # The embedding-reading ops (r5): the adaptive-planes claim on
 # dedup_embedding_cosine ("EMBED_BUCKET_CAP only ever trims degenerate
@@ -91,6 +95,9 @@ EMB_BOUND = [
     "knn_label_purity",
     "embed_drift_by_batch",
     "embed_recall_at_k",
+    # r10 addition (embeddings-bound; 2 quantized Lloyd rounds + the
+    # shared IVF serve path — per-round driver traffic is K*D sums)
+    "ann_ivf_learned",
 ]
 # The fact-bound ops (r5): the TPC-H flagships' 100 TB story was argued
 # from plan shape but only measured to sf0.1; a true sf1-equivalent

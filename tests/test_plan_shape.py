@@ -23,7 +23,7 @@ _SKIP = {
     "sink_parquet", "sink_memory", "stream_upsert", "stream_bounded_subscription",
     "stream_stream_join", "stream_stream_left_join", "stream_scd2",
     "stream_cdc_column_diff", "stream_join_asof_nearest",
-    "stream_downsample_ohlc", "stream_topk",
+    "stream_downsample_ohlc", "stream_topk", "stream_dedup_incremental",
 }
 
 

@@ -80,34 +80,34 @@ def test_survey_matrix_count_matches_registry():
         f"{sorted(set(registry.QUERIES) - matrix - extras)}; "
         f"stale names: {sorted((matrix | extras) - set(registry.QUERIES))}"
     )
-    # The split quoted in SURVEY §2.2 and the verdicts: 185 matrix ops
-    # (incl. stream_topk + curation_funnel, new in r9) + 18 extras = 203
-    # registry queries.
-    assert (len(matrix), len(extras), len(registry.QUERIES)) == (185, 18, 203)
+    # The split quoted in SURVEY §2.2 and the verdicts: 187 matrix ops
+    # (incl. ann_ivf_learned + stream_dedup_incremental, new in r10) + 18
+    # extras = 205 registry queries.
+    assert (len(matrix), len(extras), len(registry.QUERIES)) == (187, 18, 205)
 
 
 def test_green_demotion_lists_are_sound():
     # Every listed name must actually exist (a typo would silently waste a
-    # head slot), ops whose definition changed in round 9 must sit in the
+    # head slot), ops whose definition changed in round 10 must sit in the
     # head (their prior green rows verified old definitions), and the
     # per-round evidence lists must be mutually disjoint and cover the
     # whole registry.
     from node_cdc_nats_spark.registry import (
-        _R4_GREEN,
         _R5_GREEN,
         _R6_GREEN,
         _R7_GREEN,
         _R8_GREEN,
+        _R9_GREEN,
         _VERIFY_HEAD,
     )
 
     lists = (
         (_VERIFY_HEAD, "_VERIFY_HEAD"),
-        (_R4_GREEN, "_R4_GREEN"),
         (_R5_GREEN, "_R5_GREEN"),
         (_R6_GREEN, "_R6_GREEN"),
         (_R7_GREEN, "_R7_GREEN"),
         (_R8_GREEN, "_R8_GREEN"),
+        (_R9_GREEN, "_R9_GREEN"),
     )
     for lst, label in lists:
         unknown = [n for n in lst if n not in registry.QUERIES]
@@ -115,7 +115,7 @@ def test_green_demotion_lists_are_sound():
         assert len(set(lst)) == len(lst), f"{label} has duplicates"
     seen: set[str] = set()
     for lst in (
-        _R4_GREEN, _R5_GREEN, _R6_GREEN, _R7_GREEN, _R8_GREEN,
+        _R5_GREEN, _R6_GREEN, _R7_GREEN, _R8_GREEN, _R9_GREEN,
     ):
         dup = seen & set(lst)
         assert not dup, f"evidence lists overlap: {dup}"
@@ -128,32 +128,37 @@ def test_green_demotion_lists_are_sound():
     assert not unlisted, (
         f"ops with no verification status (add to _VERIFY_HEAD): {unlisted}"
     )
-    changed_in_r9 = {
-        # impl changed — segment spool transport + subscriber-first overlap:
+    changed_in_r10 = {
+        # impl changed — spool reader drained-set offsets (out-of-order
+        # rename fix, ADVICE r9 high) + drain-loop failure surfacing:
         "nats_roundtrip",
-        # oracle changed — ms-truncated watermark cutoff (ADVICE r8);
-        # cdc_diff also one data trigger, asof also Int64 ids + timers:
+        # new in r10 — learned-centroid IVF, oracle-checkable via
+        # integer-quantized Lloyd means:
+        "ann_ivf_learned",
+        # impl changed — serve path factored into shared _ivf_probe_topk
+        # + isfinite centroid guard (ADVICE r9 low):
+        "ann_ivf_topk",
+        # new in r10 — continuous incremental-ingest dedup (foreachBatch
+        # kept-table maintenance + learned Bloom filter):
+        "stream_dedup_incremental",
+        # impl changed — pickled-numpy state blob (cdc_diff also LUT
+        # changed_cols + 8 shards):
         "stream_cdc_column_diff",
-        "stream_join_asof_nearest",
-        "stream_downsample_ohlc",
         "stream_rpc_state",
-        # impl changed — 2 staged files per trigger (pre-validated in r8's
-        # tests/test_trigger_phasing.py):
+        "stream_join_asof_nearest",
+        # impl changed — single data trigger (1-vs-4 phasing identity
+        # re-pinned by tests/test_trigger_phasing.py):
         "stream_tumble",
         "stream_slide",
         "stream_session",
         "stream_dedup",
         "stream_upsert",
         "stream_scd2",
-        # new in r9 — continuous top-k (complete-mode ranking):
-        "stream_topk",
-        # impl changed — centroid literal matrix built as one JVM-parsed
-        # SQL string (plan-construction cost, values A/B-identical):
-        "ann_ivf_topk",
-        # new in r9 — the composed curation funnel flagship:
-        "curation_funnel",
+        "stream_downsample_ohlc",
+        "stream_stream_join",
+        "stream_stream_left_join",
     }
-    assert changed_in_r9 == set(_VERIFY_HEAD)
+    assert changed_in_r10 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
     names = list(registry.QUERIES)
     assert names[: len(_VERIFY_HEAD)] == list(_VERIFY_HEAD)
@@ -161,23 +166,23 @@ def test_green_demotion_lists_are_sound():
 
 def test_oldest_evidence_fills_the_driver_budget():
     # The point of the per-round reorder: the driver's 50 verification
-    # slots go to the round-9-redefined head and then the OLDEST evidence
-    # (the remaining r4 greens, then r5), refreshing stale rows before
-    # fresh r6/r7/r8 rows burn slots.
+    # slots go to the round-10-redefined head and then the OLDEST
+    # evidence (the remaining r5 greens, then r6), refreshing stale rows
+    # before fresh r7/r8/r9 rows burn slots.
     from node_cdc_nats_spark.registry import (
-        _R4_GREEN,
         _R5_GREEN,
+        _R6_GREEN,
         _VERIFY_HEAD,
     )
 
     names = list(registry.QUERIES)
-    priority = list(_VERIFY_HEAD) + list(_R4_GREEN) + list(_R5_GREEN)
+    priority = list(_VERIFY_HEAD) + list(_R5_GREEN) + list(_R6_GREEN)
     assert names[: len(priority)] == priority[: len(priority)]
-    # The walk must clear ALL remaining r4-era greens this round (VERDICT
-    # r8 item 2's Done bar: no op's latest green older than r5) and still
-    # reach a substantial r5 slice: head + 7 r4 + ≥31 r5 ≤ 50.
-    assert len(_VERIFY_HEAD) + len(_R4_GREEN) + 29 <= 50, (
-        "head too large — the 50-slot walk would leave r4-era greens "
+    # The walk must clear ALL remaining r5-era greens this round (VERDICT
+    # r9 item 1's Done bar: no op's latest green older than r6) and still
+    # bite into the r6 block: head + 12 r5 + >=20 r6 <= 50.
+    assert len(_VERIFY_HEAD) + len(_R5_GREEN) + 20 <= 50, (
+        "head too large — the 50-slot walk would leave r5-era greens "
         "unrefreshed"
     )
     # The 50-slot budget must at least cover the head (never-verified or
@@ -204,13 +209,14 @@ def test_bench_headline_names_are_registered_and_cover_new_ops():
     from node_cdc_nats_spark.registry import _VERIFY_HEAD
 
     # Retuned/redefined ops keep their existing bench placement; the rule
-    # binds genuinely NEW ops only (r9: stream_topk).
+    # binds genuinely NEW ops only (r10: ann_ivf_learned,
+    # stream_dedup_incremental).
     retuned = {
         "nats_roundtrip", "stream_cdc_column_diff",
         "stream_join_asof_nearest", "stream_downsample_ohlc",
         "stream_rpc_state", "stream_tumble", "stream_slide",
         "stream_session", "stream_dedup", "stream_upsert", "stream_scd2",
-        "ann_ivf_topk",
+        "ann_ivf_topk", "stream_stream_join", "stream_stream_left_join",
     }
     missing = sorted(set(_VERIFY_HEAD) - retuned - set(bench.HEADLINE))
-    assert not missing, f"r9 ops absent from the bench headline: {missing}"
+    assert not missing, f"r10 ops absent from the bench headline: {missing}"
