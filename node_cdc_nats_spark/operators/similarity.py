@@ -884,10 +884,19 @@ def ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").cast("double") * F.lit(_CENTROID_SCALE)
     ).cast("decimal(38,0)")
     for _ in range(IVF_ITERS):
+        # Assignment BELOW the generate: the K×D fold is interpreted
+        # (HOFs are CodegenFallback), so it must run once per VECTOR —
+        # spelled inside the posexplode projection it re-evaluates per
+        # exploded element, a silent D× blowup (measured 8.5 s at
+        # sf0.001; this shape is ~60× cheaper). mapInArrow-free: the
+        # barrier is just a pre-explode projection.
+        assigned = em.select(
+            F.array_min(_d2_structs_expr(cents))["cell"].alias("cell"),
+            "embedding",
+        )
         stats = (
-            em.select(
-                F.array_min(_d2_structs_expr(cents))["cell"].alias("cell"),
-                F.posexplode("embedding").alias("pos", "v"),
+            assigned.select(
+                "cell", F.posexplode("embedding").alias("pos", "v")
             )
             .select("cell", "pos", quant.alias("q"))
             .groupBy("cell", "pos")

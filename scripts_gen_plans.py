@@ -48,6 +48,10 @@ SHOWCASE = [
         "Fixed-centroid IVF: map-side cell assignment (array_min over literal-centroid fold structs), broadcast probe list, top-k window only over probed candidates.",
     ),
     (
+        "ann_ivf_learned",
+        "Learned-centroid IVF (r10): same map-side serve plan as ann_ivf_topk — the 2 quantized Lloyd refits run as separate K*D-group aggregates at build time and leave no trace in the serve plan.",
+    ),
+    (
         "dedup_minhash",
         "Arrow signature projection (no shuffle) → bucket groupBy → in-bucket pair generation → hashed-set verify.",
     ),
