@@ -152,6 +152,11 @@ HEADLINE = [
     # maintenance + learned Bloom filter).
     "ann_ivf_learned",
     "stream_dedup_incremental",
+    # r10 additions: quantized-contribution PageRank, PQ/ADC top-k, and
+    # the binned interval-overlap join.
+    "graph_pagerank",
+    "ann_pq_topk",
+    "join_interval_overlap",
 ]
 
 

@@ -1604,3 +1604,101 @@ def parts_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("bucket").desc())
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap self-join — the temporal join class (concurrency analysis,
+# telemetry overlap, genomics ranges) that join_range's equi+residual shape
+# cannot express because NEITHER side has a point key: both sides are
+# intervals and the predicate is symmetric overlap.
+# ---------------------------------------------------------------------------
+
+IV_BIN_DAYS = 28  # > max synthetic transit duration (27d), so <= 2 bins/interval
+_IV_BIN_SECS = IV_BIN_DAYS * 86400
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT l_suppkey AS sk,
+             l_orderkey * 10 + l_linenumber AS lid,
+             l_shipdate AS s,
+             l_shipdate + ((l_orderkey * 7 + l_linenumber) % 21 + 7)
+                          * INTERVAL 1 DAY AS e
+      FROM lineitem)
+    SELECT a.sk AS s_suppkey,
+           COUNT(*) AS overlap_pairs,
+           CAST(SUM(DATE_DIFF('day', GREATEST(a.s, b.s), LEAST(a.e, b.e)))
+                AS BIGINT) AS overlap_days
+    FROM iv a JOIN iv b
+      ON a.sk = b.sk AND a.lid < b.lid AND a.s < b.e AND b.s < a.e
+    GROUP BY a.sk
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier in-transit concurrency: each lineitem defines a transit
+    interval [shipdate, shipdate + 7..27 days) (duration derived
+    deterministically from the line's key, since the fixture has no receipt
+    date), and the operator counts, per supplier, the pairs of that
+    supplier's shipments whose transit windows overlap, plus the total
+    overlapping days.
+
+    Scale plan — binned interval join, NOT a theta join: a raw overlap
+    self-join on suppkey alone degenerates at 100 TB (a large supplier's
+    group is quadratic: 600k lines/supplier -> 1.8e11 predicate evals).
+    Instead each interval explodes to the <= 2 fixed 28-day time bins it
+    touches (bin width > max duration bounds the fan-out), the self-join
+    runs as an EQUI-join on (suppkey, bin) — shuffle-partitionable, AQE-
+    skew-splittable — and each surviving pair is counted exactly once at
+    the bin holding the LATER start (which both intervals' bin ranges
+    provably cover). The oracle states the declarative truth as the plain
+    theta join; the engine plan is the partitioned rewrite of it.
+
+    Binning is Spark-internal (any fixed monotone bucketing yields the same
+    final pairs — the oracle has no bins), so session-TZ epoch arithmetic
+    is safe here.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = li.select(
+        F.col("l_suppkey").alias("sk"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("lid"),
+        F.col("l_shipdate").alias("s"),
+        F.expr(
+            "timestampadd(DAY, CAST((l_orderkey * 7 + l_linenumber) % 21 + 7"
+            " AS INT), l_shipdate)"
+        ).alias("e"),
+    )
+    binned = iv.select(
+        "sk", "lid", "s", "e",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("s") / F.lit(_IV_BIN_SECS)),
+                F.floor(F.unix_timestamp("e") / F.lit(_IV_BIN_SECS)),
+            )
+        ).alias("bin"),
+    )
+    x, y = binned.alias("x"), binned.alias("y")
+    later_start = F.greatest(F.col("x.s"), F.col("y.s"))
+    pairs = x.join(
+        y,
+        (F.col("x.sk") == F.col("y.sk"))
+        & (F.col("x.bin") == F.col("y.bin"))
+        & (F.col("x.lid") < F.col("y.lid"))
+        & (F.col("x.s") < F.col("y.e"))
+        & (F.col("y.s") < F.col("x.e"))
+        # dedupe across bins: count the pair only in the later start's bin
+        & (
+            F.col("x.bin")
+            == F.floor(F.unix_timestamp(later_start) / F.lit(_IV_BIN_SECS))
+        ),
+    )
+    return pairs.groupBy(F.col("x.sk").alias("s_suppkey")).agg(
+        F.count(F.lit(1)).alias("overlap_pairs"),
+        F.sum(
+            F.datediff(
+                F.to_date(F.least(F.col("x.e"), F.col("y.e"))),
+                F.to_date(later_start),
+            )
+        ).alias("overlap_days"),
+    )

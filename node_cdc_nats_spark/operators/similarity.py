@@ -1250,3 +1250,150 @@ def embed_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the ANN family's memory-compression path.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8        # subspaces
+PQ_DSUB = DIM // PQ_M
+PQ_KSUB = 16    # codewords per subspace (4-bit codes)
+
+
+def _sub_d2_sql(col: str, cw: "list[float]", m: int) -> str:
+    """Spark SQL fragment: left-fold squared distance between subspace ``m``
+    of array column ``col`` and the literal codeword slice ``cw`` (exact
+    double literals via repr, same as :func:`_d2_structs_expr`)."""
+    lits = ",".join(repr(v) + "D" for v in cw)
+    return (
+        f"aggregate(zip_with(slice({col}, {m * PQ_DSUB + 1}, {PQ_DSUB}), "
+        f"array({lits}), "
+        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _sql_sub_d2_dyn(a: str, ce: str, m: str, dsub: int = PQ_DSUB) -> str:
+    """DuckDB mirror of :func:`_sub_d2_sql` with a dynamic subspace index
+    expression ``m`` (same element order, same left fold)."""
+    t = (
+        f"(CAST({a}[({m}) * {dsub} + i + 1] AS DOUBLE) - "
+        f"CAST({ce}[({m}) * {dsub} + i + 1] AS DOUBLE))"
+    )
+    return (
+        f"LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), "
+        f"LIST_TRANSFORM(RANGE({dsub}), i -> {t} * {t})), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+@register(
+    "ann_pq_topk",
+    oracle=f"""
+    WITH cw AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, embedding AS ce
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT {PQ_KSUB})),
+    cwl AS (SELECT LIST(ce ORDER BY j) AS cws FROM cw),
+    enc AS (
+      SELECT vec_id, m, j FROM (
+        SELECT e.vec_id, ms.m, c.j,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id, ms.m
+                 ORDER BY {_sql_sub_d2_dyn('e.embedding', 'c.ce', 'ms.m')}, c.j)
+                 AS rn
+        FROM embeddings e
+        CROSS JOIN (SELECT UNNEST(RANGE({PQ_M})) AS m) ms
+        CROSS JOIN cw c
+        WHERE e.vec_id >= 5)
+      WHERE rn = 1),
+    codes AS (SELECT vec_id, LIST(j ORDER BY m) AS codes FROM enc GROUP BY vec_id),
+    scored AS (
+      SELECT q.vec_id AS qid, d.vec_id AS cid,
+             LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+               LIST_TRANSFORM(RANGE({PQ_M}), m ->
+                 {_sql_sub_d2_dyn('q.embedding', '(cwl.cws[d.codes[m + 1] + 1])', 'm')})),
+               (acc, x) -> acc + x) AS adc
+      FROM embeddings q, codes d, cwl
+      WHERE q.vec_id < 5),
+    ranked AS (
+      SELECT qid, cid, adc,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, cid) AS rn
+      FROM scored)
+    SELECT qid, cid, adc FROM ranked WHERE rn <= {TOP_K}
+    """,
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou/Douze/Schmid PQ, asymmetric distance):
+    the {DIM}-d vectors are split into {PQ_M} subspaces of {PQ_DSUB} dims;
+    each DB vector is ENCODED as {PQ_M} 4-bit codes (nearest of {PQ_KSUB}
+    fixed codewords per subspace — the codewords are the corresponding
+    slices of the {PQ_KSUB} lowest-vec_id vectors, the same determinism
+    device as ann_ivf_topk's fixed centroids); each query keeps its exact
+    vector and scores candidates by ADC — the sum over subspaces of the
+    query-slice-to-codeword distance looked up from a per-query {PQ_M}×
+    {PQ_KSUB} table. Top-{TOP_K} per query by ADC distance.
+
+    Scale plan — this is the 100 TB MEMORY story of the ANN family: codes
+    are {PQ_M} small ints (4 bits each packable) vs {DIM}×4 B floats — a
+    32× compression, so a corpus whose raw embeddings need a 25 TB cluster
+    fits the codes in executor memory. Encoding is one map-side projection
+    (codegen'd literal codebook folds, evaluated once per row — no explode
+    above it, the r10 Lloyd lesson); the ADC scan reads ONLY the code
+    columns (parquet column pruning drops the raw vectors), broadcasts the
+    bounded query side with its precomputed lookup tables, and ends in a
+    TakeOrderedAndProject-shaped window. No shuffle touches raw vectors.
+
+    Determinism: subspace distances are the same left-fold doubles as every
+    other similarity op; per-subspace argmin ties break to the lowest
+    codeword id; the ADC sum folds the {PQ_M} terms in subspace order from
+    0.0 — all mirrored exactly in the oracle, so values are bit-identical.
+    """
+    em = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = [
+        [float(v) for v in r.embedding]
+        for r in em.orderBy("vec_id").limit(PQ_KSUB).collect()
+    ]
+    if not cb:
+        return spark.createDataFrame([], "qid bigint, cid bigint, adc double")
+    _guard_finite_cents(cb, "ann_pq_topk")
+
+    def sub_cw(j: int, m: int) -> "list[float]":
+        return cb[j][m * PQ_DSUB : (m + 1) * PQ_DSUB]
+
+    def code_expr(m: int) -> str:
+        structs = ",".join(
+            f"named_struct('d2', {_sub_d2_sql('embedding', sub_cw(j, m), m)}, "
+            f"'j', {j})"
+            for j in range(len(cb))
+        )
+        return f"array_min(array({structs}))['j']"
+
+    def lut_expr(m: int) -> str:
+        cells = ",".join(
+            _sub_d2_sql("embedding", sub_cw(j, m), m) for j in range(len(cb))
+        )
+        return f"array({cells})"
+
+    codes = em.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"),
+        *[F.expr(code_expr(m)).alias(f"c{m}") for m in range(PQ_M)],
+    )
+    qlut = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        *[F.expr(lut_expr(m)).alias(f"lut{m}") for m in range(PQ_M)],
+    )
+    adc = F.expr(
+        "aggregate(array("
+        + ",".join(f"element_at(lut{m}, c{m} + 1)" for m in range(PQ_M))
+        + "), 0.0D, (acc, x) -> acc + x)"
+    )
+    scored = codes.crossJoin(F.broadcast(qlut)).select(
+        "qid", "cid", adc.alias("adc")
+    )
+    w = W.partitionBy("qid").orderBy("adc", "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "cid", "adc")
+    )

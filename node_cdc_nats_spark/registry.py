@@ -39,9 +39,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # Absolute head of round 10's verification order: every op whose code or
 # oracle changed in r10, plus the brand-new r10 ops. Budget math: 50
-# driver slots − 16 head = 34; the walk then clears ALL 12 remaining
+# driver slots − 19 head = 31; the walk then clears ALL 12 remaining
 # r5-era greens (VERDICT r9 item 1: "no op whose latest green is older
-# than r6") and the first 22 of the 47 r6-era greens, leaving a 25-op r6
+# than r6") and the first 19 of the 47 r6-era greens, leaving a 28-op r6
 # tail for r11.
 _VERIFY_HEAD = (
     # r10: impl changed — spool reader offsets now encode the drained-
@@ -77,6 +77,15 @@ _VERIFY_HEAD = (
     "stream_downsample_ohlc",
     "stream_stream_join",
     "stream_stream_left_join",
+    # r10: new op — PageRank over the part co-purchase graph (quantized
+    # integer contributions make the 3 unrolled supersteps hash-checkable)
+    "graph_pagerank",
+    # r10: new op — PQ/ADC top-k (fixed 8x16 codebooks, literal-matrix
+    # encode, broadcast per-query lookup tables)
+    "ann_pq_topk",
+    # r10: new op — binned interval-overlap self-join (equi-join on
+    # (suppkey, 28d bin), pair deduped at the later start's bin)
+    "join_interval_overlap",
 )
 
 
@@ -195,6 +204,7 @@ def load_all() -> None:
         analytics,
         flagships,
         functions_pack,
+        graph,
         pipeline,
         relational,
         window,

@@ -98,6 +98,9 @@ EMB_BOUND = [
     # r10 addition (embeddings-bound; 2 quantized Lloyd rounds + the
     # shared IVF serve path — per-round driver traffic is K*D sums)
     "ann_ivf_learned",
+    # r10 addition (embeddings-bound; literal-codebook encode projection +
+    # broadcast ADC lookup tables — the compression-path scan)
+    "ann_pq_topk",
 ]
 # The fact-bound ops (r5): the TPC-H flagships' 100 TB story was argued
 # from plan shape but only measured to sf0.1; a true sf1-equivalent
@@ -138,6 +141,10 @@ FACT_BOUND = [
     # orders-bound LTV triangle)
     "events_hourly_cusum",
     "orders_market_basket",
+    # r10 additions (lineitem-bound: 3-superstep quantized PageRank over
+    # the co-purchase graph; binned interval-overlap self-join)
+    "graph_pagerank",
+    "join_interval_overlap",
     "orders_cohort_ltv",
     # r6 addition (events-bound; activity-value census + Lorenz window)
     "events_user_concentration",

@@ -1,0 +1,211 @@
+"""Semantic unit tests for the r10 ops (graph_pagerank, ann_pq_topk,
+join_interval_overlap) against independent pure-Python references on
+hand-built adversarial fixtures — hub/leaf graphs, codeword-pure PQ
+candidates with a known exact ranking, and interval sets dense enough to
+guarantee cross-bin pairs — cases the uniform driver fixture never
+isolates."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from collections import Counter, defaultdict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from node_cdc_nats_spark import registry
+from node_cdc_nats_spark.operators.graph import PR_DAMPING, PR_ITERS, PR_QUANTUM
+from node_cdc_nats_spark.operators.similarity import DIM, PQ_DSUB, PQ_KSUB, PQ_M, TOP_K
+
+registry.load_all()
+
+
+# ---------------------------------------------------------------------------
+# graph_pagerank
+# ---------------------------------------------------------------------------
+
+def _write_lineitem(tmp_path, rows):
+    """rows: list of (l_orderkey, l_partkey, l_suppkey, l_linenumber, ship)."""
+    table = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            "l_suppkey": pa.array([r[2] for r in rows], pa.int64()),
+            "l_linenumber": pa.array([r[3] for r in rows], pa.int32()),
+            "l_shipdate": pa.array([r[4] for r in rows], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "lineitem.parquet"))
+    return str(tmp_path)
+
+
+def _ref_pagerank(edges):
+    """Independent quantized PageRank: same picounit floor, plain dicts."""
+    outdeg = Counter(s for s, _ in edges)
+    nodes = sorted(outdeg)
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(PR_ITERS):
+        sums: dict[int, int] = defaultdict(int)
+        for s, d in edges:
+            sums[d] += math.floor((r[s] / outdeg[s]) * PR_QUANTUM)
+        r = {v: 0.15 / n + PR_DAMPING * (sums[v] / PR_QUANTUM) for v in nodes}
+    return r
+
+
+def test_pagerank_hub_graph_matches_reference(spark, tmp_path):
+    # Orders: {1,2}, {1,3}, {1,4}, {2,3} -> part 1 is the hub. A part in a
+    # single-item order (99) never enters the graph.
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for ok, parts in enumerate([(1, 2), (1, 3), (1, 4), (2, 3), (99,)], start=1):
+        for ln, pk in enumerate(parts, start=1):
+            rows.append((ok, pk, 1, ln, t0))
+    sf = _write_lineitem(tmp_path, rows)
+    got = {
+        r.part_key: r.pagerank
+        for r in registry.QUERIES["graph_pagerank"](spark, sf).collect()
+    }
+    edges = set()
+    for ok, parts in enumerate([(1, 2), (1, 3), (1, 4), (2, 3)], start=1):
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    edges.add((a, b))
+    want = _ref_pagerank(sorted(edges))
+    assert set(got) == {1, 2, 3, 4}
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])  # bit-exact
+    # The hub strictly outranks symmetric mid nodes, which outrank the leaf.
+    assert got[1] > got[2] == got[3] > got[4]
+    # Quantized mass conservation: floors only ever LOSE picounits.
+    assert sum(got.values()) <= 1.0 + 1e-12
+
+
+def test_pagerank_empty_graph_is_empty(spark, tmp_path):
+    # Only single-item orders: no co-purchase edge, well-typed empty result.
+    t0 = dt.datetime(2024, 1, 1)
+    sf = _write_lineitem(tmp_path, [(1, 1, 1, 1, t0), (2, 2, 1, 1, t0)])
+    df = registry.QUERIES["graph_pagerank"](spark, sf)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["part_key", "pagerank"]
+
+
+# ---------------------------------------------------------------------------
+# ann_pq_topk
+# ---------------------------------------------------------------------------
+
+def _write_embeddings(tmp_path, vecs):
+    """vecs: dict vec_id -> list[float] (float32-rounded on write)."""
+    ids = sorted(vecs)
+    table = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [np.asarray(vecs[i], dtype=np.float32).tolist() for i in ids],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * len(ids), pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def _d2_fold(a, b):
+    """Left-fold double d2, exactly the engine's evaluation order."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
+def test_pq_codeword_pure_candidates_rank_exactly(spark, tmp_path):
+    # 16 codeword-source vectors (ids 0..15) + 10 DB vectors (ids 16..25)
+    # that each EXACTLY copy one codeword source. A copy encodes to that
+    # codeword in every subspace (d2 = 0), so its ADC distance to any query
+    # equals the TRUE squared distance — the PQ ranking over codeword-pure
+    # candidates must equal the exact brute-force ranking, bit for bit.
+    rng = np.random.default_rng(7)
+    base = {i: rng.uniform(-1, 1, DIM).astype(np.float32) for i in range(PQ_KSUB)}
+    vecs = {i: base[i].tolist() for i in base}
+    copies = {16 + k: base[(3 * k + 1) % PQ_KSUB] for k in range(10)}
+    vecs.update({i: v.tolist() for i, v in copies.items()})
+    sf = _write_embeddings(tmp_path, vecs)
+
+    out = registry.QUERIES["ann_pq_topk"](spark, sf).collect()
+    got = defaultdict(list)
+    for r in sorted(out, key=lambda r: (r.qid, r.adc, r.cid)):
+        got[r.qid].append((r.cid, r.adc))
+
+    # EVERY candidate here is codeword-pure: ids 5..15 are codeword sources
+    # themselves (their per-subspace nearest codeword is themselves at
+    # d2=0), ids 16..25 are exact copies — so the PQ ranking must equal the
+    # exact brute-force ranking over the whole 21-candidate DB side.
+    f64 = {
+        i: np.asarray(v, dtype=np.float32).astype(np.float64)
+        for i, v in vecs.items()
+    }
+    for qid in range(5):
+        want = []
+        for cid in sorted(i for i in vecs if i >= 5):
+            acc = 0.0
+            for m in range(PQ_M):
+                s = slice(m * PQ_DSUB, (m + 1) * PQ_DSUB)
+                acc = acc + _d2_fold(f64[qid][s], f64[cid][s])
+            want.append((acc, cid))
+        want = [(cid, adc) for adc, cid in sorted(want)[:TOP_K]]
+        assert got[qid] == want, (qid, got[qid], want)
+    assert all(len(v) == TOP_K for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# join_interval_overlap
+# ---------------------------------------------------------------------------
+
+def test_interval_overlap_matches_bruteforce(spark, tmp_path):
+    # 20 shipments per supplier spread over ~120 days: durations 7..27d via
+    # the operator's key formula, so plenty of pairs overlap and some
+    # necessarily straddle 28-day bin boundaries (any offset). Brute-force
+    # reference over all pairs.
+    t0 = dt.datetime(1995, 3, 1)
+    rows = []
+    for sk in (1, 2):
+        for i in range(20):
+            ok = 100 * sk + i
+            ln = (i % 7) + 1
+            ship = t0 + dt.timedelta(days=(i * 13 + sk * 5) % 120)
+            rows.append((ok, 1, sk, ln, ship))
+    # touching-interval control: the second interval starts exactly where
+    # the first ends (strict overlap is required, so supplier 3 emits no
+    # pair).
+    dur900 = (900 * 7 + 1) % 21 + 7
+    rows.append((900, 1, 3, 1, t0))
+    rows.append((901, 1, 3, 1, t0 + dt.timedelta(days=dur900)))
+    sf = _write_lineitem(tmp_path, rows)
+
+    got = {
+        r.s_suppkey: (r.overlap_pairs, r.overlap_days)
+        for r in registry.QUERIES["join_interval_overlap"](spark, sf).collect()
+    }
+
+    ivs = defaultdict(list)
+    for ok, _pk, sk, ln, ship in rows:
+        dur = (ok * 7 + ln) % 21 + 7
+        ivs[sk].append((ok * 10 + ln, ship, ship + dt.timedelta(days=dur)))
+    want = {}
+    for sk, lst in ivs.items():
+        pairs = days = 0
+        for i, (l1, s1, e1) in enumerate(lst):
+            for l2, s2, e2 in lst[i + 1 :]:
+                assert l1 != l2
+                if s1 < e2 and s2 < e1:
+                    pairs += 1
+                    days += (min(e1, e2) - max(s1, s2)).days
+        if pairs:
+            want[sk] = (pairs, days)
+    assert got == want
+    assert 3 not in got  # touching intervals don't overlap
+    assert got[1][0] > 0 and got[2][0] > 0

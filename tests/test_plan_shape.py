@@ -561,6 +561,9 @@ _CARTESIAN_OK = {
     # composes sim_topk's bounded-probe cross join (5 probes × corpus —
     # the exact-truth side of the recall audit, probe-budget bounded)
     "embed_recall_at_k",
+    # bounded query-side broadcast (5 queries × their 8×16 ADC lookup
+    # tables) crossed against the code table — the PQ scan shape
+    "ann_pq_topk",
     # 1-row horizon timestamp broadcast (the churn cutoff scalar)
     "events_inactivity_churn",
     # 1-row token-totals scalar broadcast (the DSIR normalizer)

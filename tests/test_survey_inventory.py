@@ -80,10 +80,11 @@ def test_survey_matrix_count_matches_registry():
         f"{sorted(set(registry.QUERIES) - matrix - extras)}; "
         f"stale names: {sorted((matrix | extras) - set(registry.QUERIES))}"
     )
-    # The split quoted in SURVEY §2.2 and the verdicts: 187 matrix ops
-    # (incl. ann_ivf_learned + stream_dedup_incremental, new in r10) + 18
-    # extras = 205 registry queries.
-    assert (len(matrix), len(extras), len(registry.QUERIES)) == (187, 18, 205)
+    # The split quoted in SURVEY §2.2 and the verdicts: 190 matrix ops
+    # (incl. the r10 additions ann_ivf_learned, stream_dedup_incremental,
+    # graph_pagerank, ann_pq_topk, join_interval_overlap) + 18 extras
+    # = 208 registry queries.
+    assert (len(matrix), len(extras), len(registry.QUERIES)) == (190, 18, 208)
 
 
 def test_green_demotion_lists_are_sound():
@@ -157,6 +158,15 @@ def test_green_demotion_lists_are_sound():
         "stream_downsample_ohlc",
         "stream_stream_join",
         "stream_stream_left_join",
+        # new in r10 — quantized-contribution PageRank over the part
+        # co-purchase graph (3 unrolled supersteps, oracle-checked):
+        "graph_pagerank",
+        # new in r10 — product-quantization ADC top-k (fixed codebooks,
+        # literal-matrix encode, broadcast lookup tables):
+        "ann_pq_topk",
+        # new in r10 — binned interval-overlap self-join (equi-join on
+        # (suppkey, 28-day bin), pair deduped at the later start's bin):
+        "join_interval_overlap",
     }
     assert changed_in_r10 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
@@ -180,8 +190,8 @@ def test_oldest_evidence_fills_the_driver_budget():
     assert names[: len(priority)] == priority[: len(priority)]
     # The walk must clear ALL remaining r5-era greens this round (VERDICT
     # r9 item 1's Done bar: no op's latest green older than r6) and still
-    # bite into the r6 block: head + 12 r5 + >=20 r6 <= 50.
-    assert len(_VERIFY_HEAD) + len(_R5_GREEN) + 20 <= 50, (
+    # bite into the r6 block: head + 12 r5 + >=19 r6 <= 50.
+    assert len(_VERIFY_HEAD) + len(_R5_GREEN) + 19 <= 50, (
         "head too large — the 50-slot walk would leave r5-era greens "
         "unrefreshed"
     )
