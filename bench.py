@@ -152,11 +152,14 @@ HEADLINE = [
     # maintenance + learned Bloom filter).
     "ann_ivf_learned",
     "stream_dedup_incremental",
-    # r10 additions: quantized-contribution PageRank, PQ/ADC top-k, and
-    # the binned interval-overlap join.
+    # r10 additions: quantized-contribution PageRank, degree-ordered
+    # triangle census, PQ/ADC top-k, the binned interval-overlap join,
+    # and byte-exact media-payload dedup.
     "graph_pagerank",
+    "graph_triangles",
     "ann_pq_topk",
     "join_interval_overlap",
+    "multimodal_dedup",
 ]
 
 

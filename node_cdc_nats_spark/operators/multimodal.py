@@ -215,3 +215,54 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ",",
     )
     return resized.select("doc_id", csv.alias("resized_csv"), "orig_bytes")
+
+
+@register(
+    "multimodal_dedup",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             -- DuckDB's md5 takes VARCHAR and hashes its UTF-8 bytes,
+             -- which are exactly the engine's payload bytes
+             MD5(text) AS payload_md5,
+             CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_bytes
+      FROM documents),
+    k AS (
+      SELECT doc_id, payload_md5, n_bytes,
+             ROW_NUMBER() OVER (PARTITION BY payload_md5 ORDER BY doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY payload_md5) AS n_copies
+      FROM h)
+    SELECT doc_id, payload_md5, n_bytes, CAST(n_copies AS BIGINT) AS n_copies
+    FROM k WHERE rn = 1
+    """,
+)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact dedup over the opaque media payload column: keep the
+    lowest doc_id per distinct payload, reporting its md5, size, and how
+    many copies it had — the media-side twin of ``dedup_exact`` (re-crawled
+    images/audio are byte-identical far more often than text).
+
+    Scale plan: the md5 is computed map-side over the binary column (never
+    the decoded media), so the ONE shuffle carries 16-byte digests + ids,
+    not payloads — at 100 TB of media this is the difference between
+    shuffling 100 TB and shuffling ~50 GB of digests. Keep-first and the
+    copy census share the same hash partitioning (one window, one
+    exchange). The payloads themselves never leave their input partitions.
+    """
+    media = as_media(load_table(spark, sf_dir, "documents"))
+    from pyspark.sql import Window as W
+
+    h = media.select(
+        "doc_id",
+        F.md5("payload").alias("payload_md5"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+    win = W.partitionBy("payload_md5")
+    k = h.select(
+        "doc_id", "payload_md5", "n_bytes",
+        F.row_number().over(win.orderBy("doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(win).alias("n_copies"),
+    )
+    return k.filter(F.col("rn") == 1).select(
+        "doc_id", "payload_md5", "n_bytes", "n_copies"
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..cache import managed_persist
 from ..io import load_table
 from ..registry import register
 from .exact import DEC, davg, dsum, sql_davg, sql_dsum
@@ -1657,7 +1658,12 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Binning is Spark-internal (any fixed monotone bucketing yields the same
     final pairs — the oracle has no bins), so session-TZ epoch arithmetic
-    is safe here.
+    is safe here. The epoch seconds are projected ONCE per interval before
+    the join (persisted with the exploded bins), so the join residuals —
+    including the later-start dedupe — are pure integer comparisons; a
+    first draft re-derived ``unix_timestamp(greatest(s1, s2))`` per
+    candidate pair and ran ~4× slower. Date math on timestamps survives
+    only in the final per-PAIR day count, where the oracle needs it.
     """
     li = load_table(spark, sf_dir, "lineitem")
     iv = li.select(
@@ -1668,37 +1674,39 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "timestampadd(DAY, CAST((l_orderkey * 7 + l_linenumber) % 21 + 7"
             " AS INT), l_shipdate)"
         ).alias("e"),
+    ).select(
+        "*",
+        F.unix_timestamp("s").alias("ss"),
+        F.unix_timestamp("e").alias("es"),
     )
-    binned = iv.select(
-        "sk", "lid", "s", "e",
-        F.explode(
-            F.sequence(
-                F.floor(F.unix_timestamp("s") / F.lit(_IV_BIN_SECS)),
-                F.floor(F.unix_timestamp("e") / F.lit(_IV_BIN_SECS)),
-            )
-        ).alias("bin"),
+    binned = managed_persist(
+        iv.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.expr(f"ss DIV {_IV_BIN_SECS}"),
+                    F.expr(f"es DIV {_IV_BIN_SECS}"),
+                )
+            ).alias("bin"),
+        )
     )
     x, y = binned.alias("x"), binned.alias("y")
-    later_start = F.greatest(F.col("x.s"), F.col("y.s"))
     pairs = x.join(
         y,
         (F.col("x.sk") == F.col("y.sk"))
         & (F.col("x.bin") == F.col("y.bin"))
         & (F.col("x.lid") < F.col("y.lid"))
-        & (F.col("x.s") < F.col("y.e"))
-        & (F.col("y.s") < F.col("x.e"))
+        & (F.col("x.ss") < F.col("y.es"))
+        & (F.col("y.ss") < F.col("x.es"))
         # dedupe across bins: count the pair only in the later start's bin
-        & (
-            F.col("x.bin")
-            == F.floor(F.unix_timestamp(later_start) / F.lit(_IV_BIN_SECS))
-        ),
+        & (F.col("x.bin") == F.expr(f"greatest(x.ss, y.ss) DIV {_IV_BIN_SECS}")),
     )
     return pairs.groupBy(F.col("x.sk").alias("s_suppkey")).agg(
         F.count(F.lit(1)).alias("overlap_pairs"),
         F.sum(
             F.datediff(
                 F.to_date(F.least(F.col("x.e"), F.col("y.e"))),
-                F.to_date(later_start),
+                F.to_date(F.greatest(F.col("x.s"), F.col("y.s"))),
             )
         ).alias("overlap_days"),
     )

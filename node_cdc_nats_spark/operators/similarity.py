@@ -1261,19 +1261,6 @@ PQ_DSUB = DIM // PQ_M
 PQ_KSUB = 16    # codewords per subspace (4-bit codes)
 
 
-def _sub_d2_sql(col: str, cw: "list[float]", m: int) -> str:
-    """Spark SQL fragment: left-fold squared distance between subspace ``m``
-    of array column ``col`` and the literal codeword slice ``cw`` (exact
-    double literals via repr, same as :func:`_d2_structs_expr`)."""
-    lits = ",".join(repr(v) + "D" for v in cw)
-    return (
-        f"aggregate(zip_with(slice({col}, {m * PQ_DSUB + 1}, {PQ_DSUB}), "
-        f"array({lits}), "
-        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-        f"0.0D, (acc, x) -> acc + x)"
-    )
-
-
 def _sql_sub_d2_dyn(a: str, ce: str, m: str, dsub: int = PQ_DSUB) -> str:
     """DuckDB mirror of :func:`_sub_d2_sql` with a dynamic subspace index
     expression ``m`` (same element order, same left fold)."""
@@ -1337,17 +1324,23 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale plan — this is the 100 TB MEMORY story of the ANN family: codes
     are {PQ_M} small ints (4 bits each packable) vs {DIM}×4 B floats — a
     32× compression, so a corpus whose raw embeddings need a 25 TB cluster
-    fits the codes in executor memory. Encoding is one map-side projection
-    (codegen'd literal codebook folds, evaluated once per row — no explode
-    above it, the r10 Lloyd lesson); the ADC scan reads ONLY the code
-    columns (parquet column pruning drops the raw vectors), broadcasts the
-    bounded query side with its precomputed lookup tables, and ends in a
-    TakeOrderedAndProject-shaped window. No shuffle touches raw vectors.
+    fits the codes in executor memory. Encoding and the per-query lookup
+    tables run as ONE vectorized Arrow pass each (the subspace-distance
+    tensor is numpy accumulations looping the dim axis sequentially — the
+    engine-standard left-fold order of ``bucket_norm_udf``, so values are
+    bit-identical to the HOF definition and the oracle; a first draft
+    spelled the 8×16 codeword folds as interpreted ``aggregate`` HOFs and
+    paid ~16 s at sf0.1 for what the Arrow pass does in ~0.3 s). The ADC
+    scan reads ONLY the code columns (parquet column pruning drops the raw
+    vectors), broadcasts the bounded query side with its precomputed
+    lookup tables, and ends in a TakeOrderedAndProject-shaped window. No
+    shuffle touches raw vectors.
 
-    Determinism: subspace distances are the same left-fold doubles as every
-    other similarity op; per-subspace argmin ties break to the lowest
-    codeword id; the ADC sum folds the {PQ_M} terms in subspace order from
-    0.0 — all mirrored exactly in the oracle, so values are bit-identical.
+    Determinism: subspace distances fold (x−y)² in dim order from 0.0;
+    per-subspace argmin ties break to the lowest codeword id (numpy
+    argmin's first-match on exactly-equal doubles); the ADC sum folds the
+    {PQ_M} terms in subspace order from 0.0 — all mirrored exactly in the
+    oracle, so values are bit-identical.
     """
     em = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cb = [
@@ -1357,32 +1350,60 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not cb:
         return spark.createDataFrame([], "qid bigint, cid bigint, adc double")
     _guard_finite_cents(cb, "ann_pq_topk")
+    cbm = [[float(v) for v in row] for row in cb]
+    n_m, dsub = PQ_M, PQ_DSUB
 
-    def sub_cw(j: int, m: int) -> "list[float]":
-        return cb[j][m * PQ_DSUB : (m + 1) * PQ_DSUB]
+    @F.pandas_udf(", ".join(f"c{m} int" for m in range(PQ_M)))
+    def _enc(embs):
+        # Self-contained: executors don't have the repo on sys.path.
+        import numpy as np
+        import pandas as pd
 
-    def code_expr(m: int) -> str:
-        structs = ",".join(
-            f"named_struct('d2', {_sub_d2_sql('embedding', sub_cw(j, m), m)}, "
-            f"'j', {j})"
-            for j in range(len(cb))
-        )
-        return f"array_min(array({structs}))['j']"
+        if len(embs) == 0:
+            return pd.DataFrame(
+                {f"c{m}": pd.Series([], dtype="int32") for m in range(n_m)}
+            )
+        CW = np.array(cbm)  # (K, DIM) exact doubles
+        A = np.vstack(embs.to_numpy()).astype(np.float64)  # (n, DIM)
+        out = {}
+        for m in range(n_m):
+            d2 = np.zeros((A.shape[0], CW.shape[0]))
+            for d in range(dsub):  # sequential in d == the left fold
+                i = m * dsub + d
+                diff = A[:, i, None] - CW[None, :, i]
+                d2 += diff * diff
+            # first-match argmin == ties to the lowest codeword id
+            out[f"c{m}"] = pd.Series(np.argmin(d2, axis=1).astype("int32"))
+        return pd.DataFrame(out)
 
-    def lut_expr(m: int) -> str:
-        cells = ",".join(
-            _sub_d2_sql("embedding", sub_cw(j, m), m) for j in range(len(cb))
-        )
-        return f"array({cells})"
+    @F.pandas_udf(", ".join(f"lut{m} array<double>" for m in range(PQ_M)))
+    def _lut(embs):
+        # Self-contained: executors don't have the repo on sys.path.
+        import numpy as np
+        import pandas as pd
+
+        if len(embs) == 0:
+            return pd.DataFrame(
+                {f"lut{m}": pd.Series([], dtype="object") for m in range(n_m)}
+            )
+        CW = np.array(cbm)
+        A = np.vstack(embs.to_numpy()).astype(np.float64)
+        out = {}
+        for m in range(n_m):
+            d2 = np.zeros((A.shape[0], CW.shape[0]))
+            for d in range(dsub):  # sequential in d == the left fold
+                i = m * dsub + d
+                diff = A[:, i, None] - CW[None, :, i]
+                d2 += diff * diff
+            out[f"lut{m}"] = pd.Series(list(d2))
+        return pd.DataFrame(out)
 
     codes = em.filter(F.col("vec_id") >= 5).select(
-        F.col("vec_id").alias("cid"),
-        *[F.expr(code_expr(m)).alias(f"c{m}") for m in range(PQ_M)],
-    )
+        F.col("vec_id").alias("cid"), _enc("embedding").alias("cs")
+    ).select("cid", "cs.*")
     qlut = em.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"),
-        *[F.expr(lut_expr(m)).alias(f"lut{m}") for m in range(PQ_M)],
-    )
+        F.col("vec_id").alias("qid"), _lut("embedding").alias("ls")
+    ).select("qid", "ls.*")
     adc = F.expr(
         "aggregate(array("
         + ",".join(f"element_at(lut{m}, c{m} + 1)" for m in range(PQ_M))

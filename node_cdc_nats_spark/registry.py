@@ -39,9 +39,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # Absolute head of round 10's verification order: every op whose code or
 # oracle changed in r10, plus the brand-new r10 ops. Budget math: 50
-# driver slots − 19 head = 31; the walk then clears ALL 12 remaining
+# driver slots − 24 head = 26; the walk then clears ALL 12 remaining
 # r5-era greens (VERDICT r9 item 1: "no op whose latest green is older
-# than r6") and the first 19 of the 47 r6-era greens, leaving a 28-op r6
+# than r6") and the first 14 of the 47 r6-era greens, leaving a 33-op r6
 # tail for r11.
 _VERIFY_HEAD = (
     # r10: impl changed — spool reader offsets now encode the drained-
@@ -86,6 +86,12 @@ _VERIFY_HEAD = (
     # r10: new op — binned interval-overlap self-join (equi-join on
     # (suppkey, 28d bin), pair deduped at the later start's bin)
     "join_interval_overlap",
+    # r10: new op — degree-ordered triangle participation census (edge
+    # iterator over oriented adjacency arrays)
+    "graph_triangles",
+    # r10: new op — byte-exact media-payload dedup (map-side md5, digest
+    # shuffle only)
+    "multimodal_dedup",
 )
 
 

@@ -142,8 +142,10 @@ FACT_BOUND = [
     "events_hourly_cusum",
     "orders_market_basket",
     # r10 additions (lineitem-bound: 3-superstep quantized PageRank over
-    # the co-purchase graph; binned interval-overlap self-join)
+    # the co-purchase graph; degree-ordered triangle census; binned
+    # interval-overlap self-join)
     "graph_pagerank",
+    "graph_triangles",
     "join_interval_overlap",
     "orders_cohort_ltv",
     # r6 addition (events-bound; activity-value census + Lorenz window)

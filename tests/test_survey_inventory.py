@@ -82,9 +82,9 @@ def test_survey_matrix_count_matches_registry():
     )
     # The split quoted in SURVEY §2.2 and the verdicts: 190 matrix ops
     # (incl. the r10 additions ann_ivf_learned, stream_dedup_incremental,
-    # graph_pagerank, ann_pq_topk, join_interval_overlap) + 18 extras
-    # = 208 registry queries.
-    assert (len(matrix), len(extras), len(registry.QUERIES)) == (190, 18, 208)
+    # graph_pagerank, graph_triangles, ann_pq_topk, join_interval_overlap,
+    # multimodal_dedup) + 18 extras = 210 registry queries.
+    assert (len(matrix), len(extras), len(registry.QUERIES)) == (192, 18, 210)
 
 
 def test_green_demotion_lists_are_sound():
@@ -167,6 +167,10 @@ def test_green_demotion_lists_are_sound():
         # new in r10 — binned interval-overlap self-join (equi-join on
         # (suppkey, 28-day bin), pair deduped at the later start's bin):
         "join_interval_overlap",
+        # new in r10 — degree-ordered triangle participation census:
+        "graph_triangles",
+        # new in r10 — byte-exact media-payload dedup (digest-only shuffle):
+        "multimodal_dedup",
     }
     assert changed_in_r10 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
@@ -190,8 +194,8 @@ def test_oldest_evidence_fills_the_driver_budget():
     assert names[: len(priority)] == priority[: len(priority)]
     # The walk must clear ALL remaining r5-era greens this round (VERDICT
     # r9 item 1's Done bar: no op's latest green older than r6) and still
-    # bite into the r6 block: head + 12 r5 + >=19 r6 <= 50.
-    assert len(_VERIFY_HEAD) + len(_R5_GREEN) + 19 <= 50, (
+    # bite into the r6 block: head + 12 r5 + >=14 r6 <= 50.
+    assert len(_VERIFY_HEAD) + len(_R5_GREEN) + 14 <= 50, (
         "head too large — the 50-slot walk would leave r5-era greens "
         "unrefreshed"
     )
