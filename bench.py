@@ -160,6 +160,7 @@ HEADLINE = [
     "ann_pq_topk",
     "join_interval_overlap",
     "multimodal_dedup",
+    "stream_funnel",
 ]
 
 

@@ -94,9 +94,9 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "funnel_conversion",
-    oracle="""
+# Shared with the streaming twin (streaming/funnel.py), which splices this
+# exact SQL as its oracle so the two registrations can never drift.
+FUNNEL_ORACLE = """
     WITH staged AS (
       SELECT user_id, ts, event_id, event_type,
              MIN(CASE WHEN event_type = 'signup' THEN ts END) OVER w AS first_signup
@@ -127,8 +127,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(s2) AS BIGINT) AS n_click_after_signup,
            CAST(SUM(s3) AS BIGINT) AS n_purchase_after_click
     FROM per_user
-    """,
-)
+    """
+
+
+@register("funnel_conversion", oracle=FUNNEL_ORACLE)
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel signup → click → purchase: running first-stage
     minima inside one user_id window pass, then per-user flags and a

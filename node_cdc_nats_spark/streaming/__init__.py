@@ -16,6 +16,7 @@ from . import (  # noqa: F401
     bounded,
     cdc_diff,
     errors,
+    funnel,
     ingest_dedup,
     joins,
     ohlc,

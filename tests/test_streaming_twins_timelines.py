@@ -224,3 +224,64 @@ def test_stream_dedup_incremental_rejects_cross_round_duplicates(
     # 5 (echo); 1 dies intra-round, 6 and 7 die cross-round.
     assert [d for d, _ in rows] == [0, 2, 3, 4, 5]
     assert len({h for _, h in rows}) == 5
+
+
+# -- streaming funnel ----------------------------------------------------------
+FUNNEL_TL = [
+    # (event_id, ts_min, user_id, event_type) — event_id is ARRIVAL order
+    # (staging buckets 0-2 / 3-4 / 5-7 / 8-9), deliberately decoupled from
+    # event time to force cross-batch promotions; the whole span is 20m, so
+    # under the 30m watermark delay nothing is ever dropped and the result
+    # must equal the batch funnel exactly.
+    (0, 10, 1, "click"),      # batch 0: click before its signup ARRIVES
+    (1, 8, 2, "purchase"),    # batch 0: purchase pending for 3 batches
+    (2, 3, 3, "purchase"),    # batch 0: early purchase — must NOT count
+    (3, 6, 2, "click"),       # batch 1: click pending (no signup yet)
+    (4, 15, 4, "signup"),     # batch 1
+    (5, 5, 1, "signup"),      # batch 2: LATE signup qualifies user 1's click
+    (6, 20, 3, "click"),      # batch 2
+    (7, 18, 4, "purchase"),   # batch 2: purchase without any click
+    (8, 2, 2, "signup"),      # batch 3: qualifies click 6m, then purchase 8m
+    (9, 12, 3, "signup"),     # batch 3: click 20m qualifies; purchase 3m < C
+]
+
+
+@pytest.fixture(scope="module")
+def funnel_dir(tmp_path_factory) -> str:
+    out = tmp_path_factory.mktemp("timeline_funnel_sf")
+    ids, tss, users, types = zip(
+        *[(i, _m(t), u, ty) for i, t, u, ty in FUNNEL_TL]
+    )
+    table = pa.table(
+        {
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array(tss, pa.timestamp("us")),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array([1.0] * len(ids), pa.float64()),
+            "props": pa.array([None] * len(ids), pa.string()),
+        }
+    )
+    pq.write_table(table, f"{out}/events.parquet")
+    return str(out)
+
+
+def test_stream_funnel_promotes_across_batches(spark, funnel_dir):
+    """Cross-batch monotone promotions: user 1's click is qualified by a
+    signup arriving two batches later with an EARLIER event time; user 2's
+    purchase waits three batches for its click→signup chain to complete;
+    user 3's early purchase must never count (it precedes the first
+    qualified click in event time); user 4 has no click at all."""
+    row = registry.QUERIES["stream_funnel"](spark, funnel_dir).collect()[0]
+    assert (
+        row.n_signup,
+        row.n_click_after_signup,
+        row.n_purchase_after_click,
+    ) == (4, 3, 1)
+    # twin equivalence on the same timeline
+    batch = registry.QUERIES["funnel_conversion"](spark, funnel_dir).collect()[0]
+    assert (
+        batch.n_signup,
+        batch.n_click_after_signup,
+        batch.n_purchase_after_click,
+    ) == (4, 3, 1)
