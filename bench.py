@@ -161,6 +161,7 @@ HEADLINE = [
     "join_interval_overlap",
     "multimodal_dedup",
     "stream_funnel",
+    "embed_pca_power",
 ]
 
 

@@ -1418,3 +1418,114 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("qid", "cid", "adc")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spectral: dominant principal direction via quantized power iteration.
+# ---------------------------------------------------------------------------
+
+POW_ITERS = 2
+POW_QUANTUM = 1e9  # |d·x_j| <= 8·1 here; 1e9 keeps int64 safe to ~1e9 rows
+
+
+def _sql_dot_list(vec_expr: str, lst_expr: str, dim: int = DIM) -> str:
+    """DuckDB left-fold dot of an embedding against a LIST-valued scalar
+    subquery (same element order and fold shape as :func:`dot_exact`)."""
+    return (
+        f"LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), "
+        f"LIST_TRANSFORM(RANGE({dim}), i -> "
+        f"CAST({vec_expr}[i+1] AS DOUBLE) * {lst_expr}[i+1])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _sql_pow_step(i: int) -> str:
+    """One unrolled power-iteration step as DuckDB CTEs: per-(row, pos)
+    contributions ``d·x_pos`` floored to integer nano-units BEFORE the
+    cross-row sum (order-independent), then the L2 normalization whose
+    64-term fold runs in pos order."""
+    return f"""
+    l{i - 1} AS (SELECT LIST(v ORDER BY pos) AS vl FROM v{i - 1}),
+    s{i} AS (
+      SELECT p.pos,
+             SUM(CAST(FLOOR((dd.d * CAST(dd.embedding[p.pos + 1] AS DOUBLE))
+                            * {POW_QUANTUM:.1f}) AS BIGINT)) AS s
+      FROM (SELECT e.embedding, {_sql_dot_list('e.embedding', 'l.vl')} AS d
+            FROM embeddings e CROSS JOIN l{i - 1} l) dd
+      CROSS JOIN (SELECT UNNEST(RANGE({DIM})) AS pos) p
+      GROUP BY p.pos),
+    w{i} AS (SELECT pos, CAST(s AS DOUBLE) / {POW_QUANTUM:.1f} AS w FROM s{i}),
+    n{i} AS (SELECT SQRT(LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+                                                  LIST(w * w ORDER BY pos)),
+                                     (acc, x) -> acc + x)) AS nrm FROM w{i}),
+    v{i} AS (SELECT pos, w / (SELECT nrm FROM n{i}) AS v FROM w{i})"""
+
+
+@register(
+    "embed_pca_power",
+    oracle=f"""
+    WITH v0 AS (SELECT UNNEST(RANGE({DIM})) AS pos, CAST(0.125 AS DOUBLE) AS v),
+    {",".join(_sql_pow_step(i).strip() for i in range(1, POW_ITERS + 1))}
+    SELECT CAST(pos AS INT) AS pos, v AS loading FROM v{POW_ITERS}
+    """,
+)
+def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus (uncentered
+    PCA / top right-singular vector) via {POW_ITERS} matrix-free power
+    iterations: v ← normalize(Aᵀ(A·v)) starting from the uniform unit
+    vector — the spectral telemetry behind whitening, drift axes, and
+    anisotropy scores ("all embeddings share one dominant direction" is
+    the classic representation-collapse smell).
+
+    Scale plan: Aᵀ(Av) never materializes a {DIM}×{DIM} matrix or ships
+    vectors anywhere — per row the scalar d = x·v folds map-side against
+    the v literal (projected BELOW the posexplode, so it's computed once
+    per vector, not once per element — the r10 Lloyd lesson), and the only
+    exchange per iteration is the partial+final integer SUM over (pos) —
+    {DIM} groups. Per iteration the driver sees exactly {DIM} quantized
+    sums (the ann_ivf_learned budget), normalizes in plain IEEE doubles,
+    and re-embeds v as literals.
+
+    Determinism: per-(row, pos) contributions d·x_pos are floored to
+    integer nano-units BEFORE the cross-row sum; the normalization folds
+    the {DIM} squared loadings in pos order and SQRT is correctly rounded
+    by IEEE-754 — every step mirrored exactly in the oracle's unrolled
+    CTEs, so the iterated doubles are bit-identical cross-engine.
+    """
+    import math
+
+    em = load_table(spark, sf_dir, "embeddings").select("embedding")
+    v = [0.125] * DIM
+    for _ in range(POW_ITERS):
+        vlits = "array(" + ",".join(repr(x) + "D" for x in v) + ")"
+        d_expr = F.expr(
+            f"aggregate(zip_with(embedding, {vlits}, "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
+        )
+        rows = em.select(d_expr.alias("d"), "embedding")
+        pe = rows.select("d", F.posexplode("embedding").alias("pos", "x"))
+        sums = (
+            pe.groupBy("pos")
+            .agg(
+                F.sum(
+                    F.floor(
+                        (F.col("d") * F.col("x").cast("double"))
+                        * F.lit(POW_QUANTUM)
+                    )
+                ).alias("s")
+            )
+            .collect()  # DIM-row fetch, the ann_ivf_learned budget
+        )
+        if not sums:
+            return spark.createDataFrame([], "pos int, loading double")
+        w = [0.0] * DIM
+        for r in sums:
+            w[r.pos] = r.s / POW_QUANTUM
+        acc = 0.0
+        for x in w:  # pos-order fold, mirroring the oracle's LIST_REDUCE
+            acc = acc + x * x
+        nrm = math.sqrt(acc)
+        v = [x / nrm for x in w]
+    return spark.createDataFrame(
+        [(j, v[j]) for j in range(DIM)], "pos int, loading double"
+    )

@@ -101,6 +101,9 @@ EMB_BOUND = [
     # r10 addition (embeddings-bound; literal-codebook encode projection +
     # broadcast ADC lookup tables — the compression-path scan)
     "ann_pq_topk",
+    # r10 addition (embeddings-bound; 2 quantized power iterations, one
+    # DIM-group integer SUM exchange each)
+    "embed_pca_power",
 ]
 # The fact-bound ops (r5): the TPC-H flagships' 100 TB story was argued
 # from plan shape but only measured to sf0.1; a true sf1-equivalent

@@ -209,3 +209,28 @@ def test_interval_overlap_matches_bruteforce(spark, tmp_path):
     assert got == want
     assert 3 not in got  # touching intervals don't overlap
     assert got[1][0] > 0 and got[2][0] > 0
+
+
+# ---------------------------------------------------------------------------
+# embed_pca_power
+# ---------------------------------------------------------------------------
+
+def test_pca_power_recovers_planted_direction(spark, tmp_path):
+    # Corpus = planted direction u scaled by ±[1, 2] plus small noise: the
+    # dominant (uncentered) principal direction must align with u (sign is
+    # whatever the uniform start converges to — compare |cosine|), and the
+    # loading vector must be unit-norm.
+    rng = np.random.default_rng(11)
+    u = rng.uniform(-1, 1, DIM)
+    u /= np.linalg.norm(u)
+    vecs = {}
+    for i in range(40):
+        scale = (1.0 + (i % 3)) * (1 if i % 2 else -1)
+        vecs[i] = (scale * u + 0.01 * rng.uniform(-1, 1, DIM)).tolist()
+    sf = _write_embeddings(tmp_path, vecs)
+    rows = registry.QUERIES["embed_pca_power"](spark, sf).collect()
+    v = np.zeros(DIM)
+    for r in rows:
+        v[r.pos] = r.loading
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+    assert abs(float(v @ u)) > 0.999

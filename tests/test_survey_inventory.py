@@ -83,8 +83,9 @@ def test_survey_matrix_count_matches_registry():
     # The split quoted in SURVEY §2.2 and the verdicts: 190 matrix ops
     # (incl. the r10 additions ann_ivf_learned, stream_dedup_incremental,
     # graph_pagerank, graph_triangles, ann_pq_topk, join_interval_overlap,
-    # multimodal_dedup, stream_funnel) + 18 extras = 211 registry queries.
-    assert (len(matrix), len(extras), len(registry.QUERIES)) == (193, 18, 211)
+    # multimodal_dedup, stream_funnel, embed_pca_power) + 18 extras = 212
+    # registry queries.
+    assert (len(matrix), len(extras), len(registry.QUERIES)) == (194, 18, 212)
 
 
 def test_green_demotion_lists_are_sound():
@@ -174,6 +175,9 @@ def test_green_demotion_lists_are_sound():
         # new in r10 — continuous ordered-funnel census (monotone per-user
         # stage flags; oracle = the batch funnel's, spliced verbatim):
         "stream_funnel",
+        # new in r10 — dominant principal direction via quantized power
+        # iteration (unrolled-CTE oracle, DIM-row driver traffic per step):
+        "embed_pca_power",
     }
     assert changed_in_r10 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
@@ -197,8 +201,8 @@ def test_oldest_evidence_fills_the_driver_budget():
     assert names[: len(priority)] == priority[: len(priority)]
     # The walk must clear ALL remaining r5-era greens this round (VERDICT
     # r9 item 1's Done bar: no op's latest green older than r6) and still
-    # bite into the r6 block: head + 12 r5 + >=13 r6 <= 50.
-    assert len(_VERIFY_HEAD) + len(_R5_GREEN) + 13 <= 50, (
+    # bite into the r6 block: head + 12 r5 + >=12 r6 <= 50.
+    assert len(_VERIFY_HEAD) + len(_R5_GREEN) + 12 <= 50, (
         "head too large — the 50-slot walk would leave r5-era greens "
         "unrefreshed"
     )
