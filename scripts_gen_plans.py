@@ -195,6 +195,26 @@ SHOWCASE = [
         "bm25_topk",
         "Okapi BM25 retrieval with ZERO corpus shuffles: per-doc tf/dl are higher-order-function projections (no explode), the corpus constants (N, df, avgdl) reduce to ONE row and broadcast back, scoring is a map-side IEEE expression, and the top-50 is TakeOrderedAndProject.",
     ),
+    (
+        "graph_pagerank",
+        "Pregel in DataFrame ops: each superstep is a node-sized adjacency x ranks join (rank side AQE-broadcast), a map-side explode of neighbor arrays (per-node share projected BELOW the generate), and one partial+final integer SUM keyed on dst — the only |E|-sized exchange per step.",
+    ),
+    (
+        "graph_triangles",
+        "Degree-ordered edge iterator: oriented adjacency arrays (out-degree <= sqrt(2|E|)) hash-join onto the edge list and intersect MAP-side; the 41M-row wedge set is never materialized or shuffled — shuffled bytes are |E| ids + |V| bounded arrays + per-edge credits.",
+    ),
+    (
+        "ann_pq_topk",
+        "PQ/ADC scan: encode and per-query lookup tables are ONE Arrow pass each; the ADC scan reads only the 8 code columns (vectors pruned at the parquet scan), the 5-query LUT side broadcasts, and the top-k is a bounded window — no shuffle ever touches raw vectors.",
+    ),
+    (
+        "join_interval_overlap",
+        "Interval overlap WITHOUT a theta join: intervals explode to <= 2 fixed 28-day bins, the self-join is an EQUI-join on (suppkey, bin) with integer residuals (epoch seconds projected once, before the join), and each pair is counted exactly once at the later start's bin.",
+    ),
+    (
+        "embed_pca_power",
+        "Matrix-free power iteration: x.v folds map-side against the v literal (projected BELOW the posexplode — once per vector), contributions quantize to integer nano-units, and the only exchange per iteration is a DIM-group integer SUM; no DxD matrix, no vector shuffle.",
+    ),
 ]
 
 
