@@ -162,6 +162,8 @@ HEADLINE = [
     "multimodal_dedup",
     "stream_funnel",
     "embed_pca_power",
+    "graph_jaccard_neighbors",
+    "events_ab_lift",
 ]
 
 

@@ -912,3 +912,111 @@ def events_session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(PATH_TOPK)
     )
+
+
+@register(
+    "events_ab_lift",
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             CASE WHEN SUBSTRING(MD5(CAST(user_id AS VARCHAR)), 1, 1)
+                       BETWEEN '0' AND '7'
+                  THEN 'A' ELSE 'B' END AS variant,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 200
+                      THEN 1 ELSE 0 END) AS cv
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN variant = 'A' THEN cv ELSE 0 END) AS BIGINT) AS conv_a,
+             CAST(SUM(CASE WHEN variant = 'B' THEN cv ELSE 0 END) AS BIGINT) AS conv_b
+      FROM per),
+    r AS (
+      SELECT n_a, n_b, conv_a, conv_b,
+             conv_a / n_a AS rate_a,
+             conv_b / n_b AS rate_b,
+             (conv_a + conv_b) / (n_a + n_b) AS p
+      FROM s)
+    SELECT n_a, n_b, conv_a, conv_b, rate_a, rate_b,
+           rate_b - rate_a AS lift,
+           (rate_b - rate_a)
+             / SQRT((p * (CAST(1 AS DOUBLE) - p))
+                    * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+             AS zscore
+    FROM r
+    """,
+)
+def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B conversion-lift report — the experimentation staple a consumer
+    of the CDC event stream runs first: users are assigned to variants by
+    a deterministic md5 bucket of their id (the standard hash-bucketing,
+    NOT user_id parity — id parity correlates with assignment schemes),
+    conversion = at least one HIGH-VALUE purchase (value > 200 — at the
+    fixture's event density every user has some purchase, so the raw
+    purchase flag saturates at p = 1 and the pooled variance collapses to
+    0; a rare conversion is also the realistic shape), and the 1-row
+    report carries both rates, the absolute lift, and the pooled
+    two-proportion z-score.
+
+    Scale plan: the per-user conversion flag is one partial+final MAX
+    aggregate keyed on user_id — the single corpus-sized exchange; the
+    variant census is a second, |users|-sized aggregate to ONE row, and
+    every derived statistic is a map-side expression over that row.
+
+    Determinism: all censuses are exact integers; the rates, pooled
+    variance, and z-score are double divisions/products in expression
+    shapes mirrored exactly by the oracle (integer/integer division is
+    double in both engines; SQRT is IEEE correctly-rounded), so the
+    report is bit-identical cross-engine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 200),
+                1,
+            ).otherwise(0)
+        ).alias("cv")
+    )
+    variant = F.when(
+        F.substring(
+            F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1
+        ).between("0", "7"),
+        "A",
+    ).otherwise("B")
+    tagged = per.select(variant.alias("variant"), "cv")
+    s = tagged.agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == "A", F.col("cv")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("variant") == "B", F.col("cv")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    one = F.lit(1).cast("double")
+    r = s.select(
+        "*",
+        (F.col("conv_a") / F.col("n_a")).alias("rate_a"),
+        (F.col("conv_b") / F.col("n_b")).alias("rate_b"),
+        (
+            (F.col("conv_a") + F.col("conv_b"))
+            / (F.col("n_a") + F.col("n_b"))
+        ).alias("p"),
+    )
+    return r.select(
+        "n_a", "n_b", "conv_a", "conv_b", "rate_a", "rate_b",
+        (F.col("rate_b") - F.col("rate_a")).alias("lift"),
+        (
+            (F.col("rate_b") - F.col("rate_a"))
+            / F.sqrt(
+                (F.col("p") * (one - F.col("p")))
+                * (one / F.col("n_a") + one / F.col("n_b"))
+            )
+        ).alias("zscore"),
+    )

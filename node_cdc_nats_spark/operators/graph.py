@@ -280,3 +280,100 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TRI_TOPN)
         .select(F.col("node").alias("part_key"), "triangles")
     )
+
+
+JAC_TOPN = 20
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+    WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    und AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+            FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk),
+    e AS (SELECT u AS a, v AS b FROM und
+          UNION ALL SELECT v AS a, u AS b FROM und),
+    deg AS (SELECT a, COUNT(*) AS d FROM e GROUP BY a),
+    cw AS (SELECT x.a AS u, y.a AS v, COUNT(*) AS c
+           FROM e x JOIN e y ON x.b = y.b AND x.a < y.a
+           JOIN und ed ON ed.u = x.a AND ed.v = y.a
+           GROUP BY x.a, y.a),
+    scored AS (
+      SELECT ed.u AS part1, ed.v AS part2,
+             CAST(COALESCE(cw.c, 0) AS BIGINT) AS common_neighbors,
+             CAST(COALESCE(cw.c, 0) AS DOUBLE)
+               / (du.d + dv.d - COALESCE(cw.c, 0)) AS jaccard
+      FROM und ed
+      JOIN deg du ON du.a = ed.u
+      JOIN deg dv ON dv.a = ed.v
+      LEFT JOIN cw ON cw.u = ed.u AND cw.v = ed.v)
+    SELECT part1, part2, common_neighbors, jaccard
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            ORDER BY jaccard DESC, part1, part2) AS rn
+          FROM scored)
+    WHERE rn <= {JAC_TOPN}
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard part similarity — "customers who bought X also
+    bought Y": for every co-purchased pair, |N(u) ∩ N(v)| / |N(u) ∪ N(v)|
+    over full co-purchase neighborhoods, top {JAC_TOPN} pairs. This is the
+    item-item collaborative-filtering score (SimRank's first hop /
+    LinkedIn-style "people also viewed"), restricted — as production
+    recommenders do — to pairs that co-occur at least once, which keeps
+    the candidate set edge-bounded instead of all-pairs.
+
+    Scale plan: same skeleton as ``graph_triangles`` — per-node adjacency
+    arrays hash-joined onto the edge list, intersected MAP-side (no wedge
+    set is ever materialized or shuffled; the oracle states the wedge-join
+    truth declaratively). The similarity arithmetic is one exact integer
+    triple (c, deg_u, deg_v) per edge and one double division, so the
+    ranking is bit-stable cross-engine; ties break on (part1, part2).
+    Degrees here are UNORIENTED (full neighborhoods) — the orientation
+    trick doesn't apply because Jaccard needs |N(u)|, not out-degrees;
+    at the far-hub tail the adjacency-row chunking mitigation is the same
+    as PageRank's.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    # und feeds BOTH the adjacency build and the pair join below — persist
+    # it once or the basket/explode/distinct chain runs twice.
+    und = managed_persist(_copurchase_und(li))
+    e = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        und.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    adj = managed_persist(
+        e.groupBy("a").agg(
+            F.collect_list("b").alias("ns"), F.count(F.lit(1)).alias("d")
+        )
+    )
+    au = adj.select(
+        F.col("a").alias("uk"), F.col("ns").alias("ns_u"), F.col("d").alias("du")
+    )
+    av = adj.select(
+        F.col("a").alias("vk"), F.col("ns").alias("ns_v"), F.col("d").alias("dv")
+    )
+    scored = (
+        und.join(au, F.col("u") == F.col("uk"))
+        .join(av, F.col("v") == F.col("vk"))
+        .select(
+            F.col("u").alias("part1"),
+            F.col("v").alias("part2"),
+            F.size(F.array_intersect("ns_u", "ns_v"))
+            .cast("long")
+            .alias("common_neighbors"),
+            "du",
+            "dv",
+        )
+        .select(
+            "part1", "part2", "common_neighbors",
+            (
+                F.col("common_neighbors").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("common_neighbors"))
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("jaccard").desc(), "part1", "part2")
+        .limit(JAC_TOPN)
+        .select("part1", "part2", "common_neighbors", "jaccard")
+    )

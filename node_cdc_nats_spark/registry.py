@@ -39,9 +39,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # Absolute head of round 10's verification order: every op whose code or
 # oracle changed in r10, plus the brand-new r10 ops. Budget math: 50
-# driver slots − 26 head = 24; the walk then clears ALL 12 remaining
+# driver slots − 28 head = 22; the walk then clears ALL 12 remaining
 # r5-era greens (VERDICT r9 item 1: "no op whose latest green is older
-# than r6") and the first 12 of the 47 r6-era greens, leaving a 35-op r6
+# than r6") and the first 10 of the 47 r6-era greens, leaving a 37-op r6
 # tail for r11.
 _VERIFY_HEAD = (
     # r10: impl changed — spool reader offsets now encode the drained-
@@ -98,6 +98,12 @@ _VERIFY_HEAD = (
     # r10: new op — dominant principal direction via quantized power
     # iteration (per-iteration driver traffic is DIM quantized sums)
     "embed_pca_power",
+    # r10: new op — neighborhood-Jaccard part similarity (edge-bounded
+    # candidates, map-side adjacency intersection)
+    "graph_jaccard_neighbors",
+    # r10: new op — A/B conversion-lift report (md5 variant bucketing,
+    # exact censuses, mirrored IEEE rate/z-score tree)
+    "events_ab_lift",
 )
 
 

@@ -212,6 +212,14 @@ SHOWCASE = [
         "Interval overlap WITHOUT a theta join: intervals explode to <= 2 fixed 28-day bins, the self-join is an EQUI-join on (suppkey, bin) with integer residuals (epoch seconds projected once, before the join), and each pair is counted exactly once at the later start's bin.",
     ),
     (
+        "graph_jaccard_neighbors",
+        "Item-item similarity without an all-pairs join: candidates are the EDGE set, full-neighborhood adjacency arrays hash-join on and intersect map-side, and the Jaccard arithmetic is one exact integer triple + one double division per edge.",
+    ),
+    (
+        "events_ab_lift",
+        "A/B lift in one corpus exchange: the per-user conversion flag is a partial+final MAX on user_id, the variant census reduces to ONE row, and rates/lift/pooled z-score are map-side IEEE expressions over that row.",
+    ),
+    (
         "embed_pca_power",
         "Matrix-free power iteration: x.v folds map-side against the v literal (projected BELOW the posexplode — once per vector), contributions quantize to integer nano-units, and the only exchange per iteration is a DIM-group integer SUM; no DxD matrix, no vector shuffle.",
     ),

@@ -140,6 +140,8 @@ FACT_BOUND = [
     "agg_histogram",
     # r6 addition (events-bound; shares funnel_conversion's window spec)
     "funnel_latency_stats",
+    # r10 addition (events-bound; one user_id exchange + a 1-row census)
+    "events_ab_lift",
     # r6 additions (events-bound dense-grid CUSUM; lineitem basket mining;
     # orders-bound LTV triangle)
     "events_hourly_cusum",
@@ -149,6 +151,7 @@ FACT_BOUND = [
     # interval-overlap self-join)
     "graph_pagerank",
     "graph_triangles",
+    "graph_jaccard_neighbors",
     "join_interval_overlap",
     "orders_cohort_ltv",
     # r6 addition (events-bound; activity-value census + Lorenz window)
@@ -348,6 +351,13 @@ Notes:
   explode + token census, and the sf1 inflation grows the VOCABULARY
   10x by construction (token-suffixed replicas), so the census itself
   is 10x the groups.
+- r10: `graph_jaccard_neighbors` sits right at the linear boundary
+  (~10x per 10x at the sf1-equivalent) by construction, not defect:
+  its work model is |E|·d̄ (one adjacency intersection per edge), and
+  the sf1 inflation grows parts AND orders together, so |E| grows 10x
+  while the mean degree d̄ stays ~120 — exactly-linear growth with a
+  constant per-edge term. Sub-linear would require shrinking d̄, i.e.
+  a different graph, not a different plan.
 """
 
 

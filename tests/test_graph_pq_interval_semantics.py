@@ -234,3 +234,33 @@ def test_pca_power_recovers_planted_direction(spark, tmp_path):
         v[r.pos] = r.loading
     assert abs(np.linalg.norm(v) - 1.0) < 1e-9
     assert abs(float(v @ u)) > 0.999
+
+
+# ---------------------------------------------------------------------------
+# graph_jaccard_neighbors
+# ---------------------------------------------------------------------------
+
+def test_jaccard_neighbors_matches_reference(spark, tmp_path):
+    # Orders {1,2}, {1,3}, {1,4}, {2,3}: N(1)={2,3,4}, N(2)={1,3},
+    # N(3)={1,2}, N(4)={1}. Edge (2,3): common={1}, union 3 -> 1/3; edges
+    # (1,2)/(1,3): common={3}/{2} -> 1/4; edge (1,4): common={} -> 0.
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for ok, parts in enumerate([(1, 2), (1, 3), (1, 4), (2, 3)], start=1):
+        for ln, pk in enumerate(parts, start=1):
+            rows.append((ok, pk, 1, ln, t0))
+    sf = _write_lineitem(tmp_path, rows)
+    got = [
+        (r.part1, r.part2, r.common_neighbors, r.jaccard)
+        for r in registry.QUERIES["graph_jaccard_neighbors"](spark, sf).collect()
+    ]
+    nbrs = {1: {2, 3, 4}, 2: {1, 3}, 3: {1, 2}, 4: {1}}
+    want = []
+    for u, v in [(1, 2), (1, 3), (1, 4), (2, 3)]:
+        c = len(nbrs[u] & nbrs[v])
+        want.append((u, v, c, c / (len(nbrs[u]) + len(nbrs[v]) - c)))
+    want.sort(key=lambda r: (-r[3], r[0], r[1]))
+    assert got == want
+    assert got[0][:2] == (2, 3) and got[0][3] == 1 / 3
+    assert got[-1][3] == 0.0  # zero-common edge still ranks (candidate set
+    # is the edge set, not the positive-similarity set)

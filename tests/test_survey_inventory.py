@@ -83,9 +83,10 @@ def test_survey_matrix_count_matches_registry():
     # The split quoted in SURVEY §2.2 and the verdicts: 190 matrix ops
     # (incl. the r10 additions ann_ivf_learned, stream_dedup_incremental,
     # graph_pagerank, graph_triangles, ann_pq_topk, join_interval_overlap,
-    # multimodal_dedup, stream_funnel, embed_pca_power) + 18 extras = 212
-    # registry queries.
-    assert (len(matrix), len(extras), len(registry.QUERIES)) == (194, 18, 212)
+    # multimodal_dedup, stream_funnel, embed_pca_power,
+    # graph_jaccard_neighbors, events_ab_lift) + 18 extras = 214 registry
+    # queries.
+    assert (len(matrix), len(extras), len(registry.QUERIES)) == (196, 18, 214)
 
 
 def test_green_demotion_lists_are_sound():
@@ -178,6 +179,12 @@ def test_green_demotion_lists_are_sound():
         # new in r10 — dominant principal direction via quantized power
         # iteration (unrolled-CTE oracle, DIM-row driver traffic per step):
         "embed_pca_power",
+        # new in r10 — neighborhood-Jaccard part similarity (edge-bounded
+        # candidate set, map-side adjacency intersection):
+        "graph_jaccard_neighbors",
+        # new in r10 — A/B conversion-lift report (md5 bucketing, exact
+        # censuses, mirrored IEEE z-score tree):
+        "events_ab_lift",
     }
     assert changed_in_r10 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
@@ -201,8 +208,8 @@ def test_oldest_evidence_fills_the_driver_budget():
     assert names[: len(priority)] == priority[: len(priority)]
     # The walk must clear ALL remaining r5-era greens this round (VERDICT
     # r9 item 1's Done bar: no op's latest green older than r6) and still
-    # bite into the r6 block: head + 12 r5 + >=12 r6 <= 50.
-    assert len(_VERIFY_HEAD) + len(_R5_GREEN) + 12 <= 50, (
+    # bite into the r6 block: head + 12 r5 + >=10 r6 <= 50.
+    assert len(_VERIFY_HEAD) + len(_R5_GREEN) + 10 <= 50, (
         "head too large — the 50-slot walk would leave r5-era greens "
         "unrefreshed"
     )
