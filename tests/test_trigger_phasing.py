@@ -64,6 +64,11 @@ def _rows(df):
         # new in r9: complete-mode ranking — final table is a pure function
         # of all data, phasing-independent by construction
         ("topk", "stream_topk", 4),
+        # new in r10: monotone per-user stage flags — the per-user MAX over
+        # emissions is phasing-independent because every flag only ever
+        # flips false→true; this pins it mechanically on the fixture
+        # (the hand timeline test pins the cross-batch promotions)
+        ("funnel", "stream_funnel", 4),
     ],
 )
 def test_result_set_is_trigger_phasing_independent(
