@@ -33,6 +33,32 @@ PR_TOPN = 20
 # keep >= 12 significant digits per contribution while any realistic
 # in-degree sum stays far below int64 range (1e12 * degree << 9.2e18).
 PR_QUANTUM = 1e12
+# Max neighbors per adjacency row: a hub's neighbor list is hash-split
+# into ceil(deg / PR_CHUNK) rows, so no single row ever materializes an
+# unbounded array (the skew hazard r10's docstring deferred). 4096 ids
+# ≈ 32 KB per row — far under any row-size or task-skew threshold, while
+# the non-hub common case (deg <= 4096) stays exactly one row per node.
+PR_CHUNK = 4096
+
+
+def _chunked_adjacency(both: DataFrame, deg: DataFrame) -> DataFrame:
+    """Grouped adjacency with BOUNDED rows: ``both`` is the symmetric edge
+    list (node, nb), ``deg`` the per-node out-degree. Each node's neighbors
+    are hash-partitioned into ``ceil(outdeg / PR_CHUNK)`` chunk rows, so a
+    100M-degree hub becomes ~24k rows of ≤~4k ids instead of one 800 MB
+    array row that no executor can hold. Non-hub nodes (the overwhelming
+    majority) get ``nchunks = 1`` and exactly the pre-chunking layout.
+    Chunking is invisible to consumers that key on ``node`` and carry
+    ``outdeg``: per-node shares are computed per chunk row from the same
+    (rank, outdeg) pair, so downstream sums are bit-identical."""
+    nchunks = F.greatest(F.lit(1), F.ceil(F.col("outdeg") / F.lit(PR_CHUNK)))
+    return (
+        both.join(deg, "node")  # deg is |V|-sized: AQE broadcasts it
+        .withColumn("ck", F.pmod(F.hash("nb"), nchunks).cast("int"))
+        .groupBy("node", "ck")
+        .agg(F.collect_list("nb").alias("ns"), F.first("outdeg").alias("outdeg"))
+        .drop("ck")
+    )
 
 
 def _copurchase_und(li: DataFrame) -> DataFrame:
@@ -101,39 +127,48 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     NODE-sized equi-join of adjacency with the current rank vector (two
     |V|-sized sides — AQE broadcasts the rank side), a map-side explode of
     the neighbor arrays (the per-node share q is projected BELOW the
-    generate, so it's computed once per node, not once per edge — the r10
-    Lloyd lesson), and a partial+final integer SUM keyed on ``dst``
-    (map-side combine applies because the quantized contributions are
-    BIGINTs). The only |E|-sized exchange per superstep is the combine's —
-    a flat edge-list ⋈ ranks join per step measured ~3× slower at sf0.1.
-    An extreme hub's adjacency row is a skew hazard at the far tail; the
-    mitigation (chunking hub rows, same credits) is mechanical and the
-    explode stays map-side either way. Nothing materializes driver-side
-    except the 1-row node count. At 100 TB the superstep count is the
-    knob; the per-step cost stays |edges|-linear.
+    generate, so it's computed once per adjacency row, not once per edge —
+    the r10 Lloyd lesson), and a partial+final integer SUM keyed on
+    ``dst`` (map-side combine applies because the quantized contributions
+    are BIGINTs). The only |E|-sized exchange per superstep is the
+    combine's — a flat edge-list ⋈ ranks join per step measured ~3×
+    slower at sf0.1. Hub skew is BOUNDED by construction: adjacency rows
+    are hash-chunked to ≤~``PR_CHUNK`` neighbors (see
+    :func:`_chunked_adjacency`), so the far-tail hub becomes many small
+    rows spread across tasks instead of one unboundedly wide row — chunk
+    rows carry the node's outdeg, shares are identical per chunk, and the
+    dst-keyed sum is bit-identical to the unchunked plan. Nothing
+    materializes driver-side except the 1-row node count. At 100 TB the
+    superstep count is the knob; the per-step cost stays |edges|-linear.
 
     Determinism: contributions are floored to integer picounits before the
     cross-row sum (see module docstring); the quantization is mirrored in
     the oracle, so the iterated doubles are bit-identical cross-engine.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    und = _copurchase_und(li)
-    both = und.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
-        und.select(F.col("v").alias("node"), F.col("u").alias("nb"))
-    )
-    # One row per node: neighbor array + out-degree, reused by every
-    # superstep, so persist once.
-    adj = managed_persist(
-        both.groupBy("node").agg(
-            F.collect_list("nb").alias("ns"), F.count(F.lit(1)).alias("outdeg")
+    # und feeds both union branches; both feeds the degree census AND the
+    # chunked-adjacency build (the basket/explode/distinct chain would
+    # otherwise run once per consumer); deg feeds the chunk join, the
+    # node count, and the rank init.
+    und = managed_persist(_copurchase_und(li))
+    both = managed_persist(
+        und.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
+            und.select(F.col("v").alias("node"), F.col("u").alias("nb"))
         )
     )
-    n = adj.count()  # 1-row fetch
+    deg = managed_persist(
+        both.groupBy("node").agg(F.count(F.lit(1)).alias("outdeg"))
+    )
+    # Bounded adjacency rows (≤~PR_CHUNK ids each), reused by every
+    # superstep, so persist once.
+    adj = managed_persist(_chunked_adjacency(both, deg))
+    n = deg.count()  # 1-row fetch
     if not n:
         # No order carries two distinct parts: an empty graph is a
         # well-typed empty leaderboard, not a division by zero.
         return spark.createDataFrame([], "part_key bigint, pagerank double")
-    ranks = adj.select("node", (F.lit(1.0) / F.lit(float(n))).alias("r"))
+    # Rank init keys on deg, NOT adj: chunked hubs have >1 adjacency row.
+    ranks = deg.select("node", (F.lit(1.0) / F.lit(float(n))).alias("r"))
     for _ in range(PR_ITERS):
         shares = adj.join(ranks, "node").select(
             "ns",
@@ -155,6 +190,53 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRI_TOPN = 20
+
+
+def _oriented_closures(und: DataFrame) -> DataFrame:
+    """Shared degree-oriented wedge-closure skeleton (``graph_triangles``
+    and ``graph_jaccard_neighbors``): orient every undirected edge from its
+    (degree, id)-smaller endpoint to the larger one — bounding every
+    out-degree, and hence every materialized adjacency array, by
+    ~√(2·|E|) regardless of raw hub degree — then find each triangle
+    a≺b≺c exactly once at its lowest edge (a, b) as the MAP-side
+    intersection N_out(a) ∩ N_out(b). Returns the persisted closure table
+    ``(src, dst, common array, k = |common|)`` filtered to k > 0 (a
+    zero-closure edge credits nothing in either consumer). Shuffled bytes
+    are |E| ids + |V| bounded arrays — never the wedge set (measured 20 s
+    → ~2 s at sf0.1 vs the wedge equi-join)."""
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    with_deg = und.join(du, F.col("u") == F.col("du.node")).join(
+        dv, F.col("v") == F.col("dv.node")
+    )
+    u_first = (F.col("du.d") < F.col("dv.d")) | (
+        (F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))
+    )
+    de = managed_persist(
+        with_deg.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    nbrs = managed_persist(
+        de.groupBy("src").agg(F.collect_list("dst").alias("ns"))
+    )
+    nu = nbrs.select(F.col("src").alias("uk"), F.col("ns").alias("ns_u"))
+    nv = nbrs.select(F.col("src").alias("vk"), F.col("ns").alias("ns_v"))
+    # Inner joins: an edge whose endpoint has no out-neighbors closes no
+    # triangle, so dropping it is exact.
+    return managed_persist(
+        de.join(nu, F.col("src") == F.col("uk"))
+        .join(nv, F.col("dst") == F.col("vk"))
+        .select("src", "dst", F.array_intersect("ns_u", "ns_v").alias("common"))
+        .withColumn("k", F.size("common"))
+        .filter(F.col("k") > 0)
+    )
 
 
 @register(
@@ -218,40 +300,11 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregate before the final TakeOrderedAndProject.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    und = _copurchase_und(li)
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    du, dv = deg.alias("du"), deg.alias("dv")
-    with_deg = und.join(du, F.col("u") == F.col("du.node")).join(
-        dv, F.col("v") == F.col("dv.node")
-    )
-    u_first = (F.col("du.d") < F.col("dv.d")) | (
-        (F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))
-    )
-    de = managed_persist(
-        with_deg.select(
-            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        )
-    )
-    nbrs = managed_persist(
-        de.groupBy("src").agg(F.collect_list("dst").alias("ns"))
-    )
-    nu = nbrs.select(F.col("src").alias("uk"), F.col("ns").alias("ns_u"))
-    nv = nbrs.select(F.col("src").alias("vk"), F.col("ns").alias("ns_v"))
-    # Inner joins: an edge whose endpoint has no out-neighbors closes no
-    # triangle, so dropping it is exact.
-    j = managed_persist(
-        de.join(nu, F.col("src") == F.col("uk"))
-        .join(nv, F.col("dst") == F.col("vk"))
-        .select("src", "dst", F.array_intersect("ns_u", "ns_v").alias("common"))
-        .withColumn("k", F.size("common"))
-        .filter(F.col("k") > 0)
-    )
+    # und feeds the degree census (twice, via the symmetric union) and the
+    # orientation join inside _oriented_closures — persist or the
+    # basket/explode/distinct chain runs three times.
+    und = managed_persist(_copurchase_und(li))
+    j = _oriented_closures(und)
     lc = F.lit(1).cast("long")
     credits = j.select(
         F.explode(
@@ -323,44 +376,91 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     recommenders do — to pairs that co-occur at least once, which keeps
     the candidate set edge-bounded instead of all-pairs.
 
-    Scale plan: same skeleton as ``graph_triangles`` — per-node adjacency
-    arrays hash-joined onto the edge list, intersected MAP-side (no wedge
-    set is ever materialized or shuffled; the oracle states the wedge-join
-    truth declaratively). The similarity arithmetic is one exact integer
-    triple (c, deg_u, deg_v) per edge and one double division, so the
-    ranking is bit-stable cross-engine; ties break on (part1, part2).
-    Degrees here are UNORIENTED (full neighborhoods) — the orientation
-    trick doesn't apply because Jaccard needs |N(u)|, not out-degrees;
-    at the far-hub tail the adjacency-row chunking mitigation is the same
-    as PageRank's.
+    Scale plan — ORIENTED intersection, scalar degrees (the r10 verdict's
+    de-weak): |N(u) ∩ N(v)| for a co-purchase edge (u, v) is exactly the
+    number of triangles containing that edge, so the count is taken from
+    the shared degree-oriented closure skeleton (:func:`_oriented_closures`
+    — every materialized adjacency array is ≤ ~√(2·|E|) ids no matter how
+    big a hub's raw degree is): each closure row (a, b, common C) credits
+    all three edges of each triangle {a, b, c∈C} in one struct-explode
+    pass. |N(u)| itself is a SCALAR per-node count joined onto the edge
+    list — no unoriented neighbor array is ever built, removing the
+    unbounded hub-row skew the r10 plan carried. The per-edge arithmetic
+    is one exact integer triple (c, deg_u, deg_v) and one double division,
+    so the ranking stays bit-stable cross-engine (the oracle states the
+    same truth as a declarative wedge join); ties break on (part1, part2).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    # und feeds BOTH the adjacency build and the pair join below — persist
-    # it once or the basket/explode/distinct chain runs twice.
+    # und feeds the closure skeleton (3 consumers inside), the degree
+    # census, and the final pair join — persist it once or the
+    # basket/explode/distinct chain recomputes per consumer.
     und = managed_persist(_copurchase_und(li))
-    e = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
-        und.select(F.col("v").alias("a"), F.col("u").alias("b"))
-    )
-    adj = managed_persist(
-        e.groupBy("a").agg(
-            F.collect_list("b").alias("ns"), F.count(F.lit(1)).alias("d")
-        )
-    )
-    au = adj.select(
-        F.col("a").alias("uk"), F.col("ns").alias("ns_u"), F.col("d").alias("du")
-    )
-    av = adj.select(
-        F.col("a").alias("vk"), F.col("ns").alias("ns_v"), F.col("d").alias("dv")
+    j = _oriented_closures(und)
+    one = F.lit(1).cast("long")
+    # Triangle {a,b,c} (found once, at closure row (a,b) with c ∈ common)
+    # credits +1 common-neighbor to EACH of its three undirected edges,
+    # canonicalized to (least, greatest) partkey order to match und's
+    # u < v layout. Emitted in one struct-explode pass over the persisted
+    # closure table (three union branches would recompute it three times).
+    credits = j.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.least("src", "dst").alias("p1"),
+                        F.greatest("src", "dst").alias("p2"),
+                        F.col("k").cast("long").alias("c"),
+                    )
+                ),
+                F.transform(
+                    "common",
+                    lambda w: F.struct(
+                        F.least(F.col("src"), w).alias("p1"),
+                        F.greatest(F.col("src"), w).alias("p2"),
+                        one.alias("c"),
+                    ),
+                ),
+                F.transform(
+                    "common",
+                    lambda w: F.struct(
+                        F.least(F.col("dst"), w).alias("p1"),
+                        F.greatest(F.col("dst"), w).alias("p2"),
+                        one.alias("c"),
+                    ),
+                ),
+            )
+        ).alias("x")
+    ).select("x.p1", "x.p2", "x.c")
+    # Exact BIGINT credits: partial-aggregates map-side before the
+    # edge-keyed exchange.
+    cw = credits.groupBy("p1", "p2").agg(F.sum("c").alias("cn"))
+    # Scalar unoriented degrees — a count per node, never an array.
+    deg = managed_persist(
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
     )
     scored = (
-        und.join(au, F.col("u") == F.col("uk"))
-        .join(av, F.col("v") == F.col("vk"))
+        und.join(
+            deg.select(F.col("node").alias("uk"), F.col("d").alias("du")),
+            F.col("u") == F.col("uk"),
+        )
+        .join(
+            deg.select(F.col("node").alias("vk"), F.col("d").alias("dv")),
+            F.col("v") == F.col("vk"),
+        )
+        # Left join: a triangle-free edge still ranks with 0 common (the
+        # candidate set is the edge set, not the positive-closure set).
+        .join(
+            cw,
+            (F.col("u") == F.col("p1")) & (F.col("v") == F.col("p2")),
+            "left",
+        )
         .select(
             F.col("u").alias("part1"),
             F.col("v").alias("part2"),
-            F.size(F.array_intersect("ns_u", "ns_v"))
-            .cast("long")
-            .alias("common_neighbors"),
+            F.coalesce(F.col("cn"), F.lit(0)).cast("long").alias("common_neighbors"),
             "du",
             "dv",
         )
