@@ -164,6 +164,7 @@ HEADLINE = [
     "embed_pca_power",
     "graph_jaccard_neighbors",
     "events_ab_lift",
+    "multimodal_dedup_perceptual",
 ]
 
 

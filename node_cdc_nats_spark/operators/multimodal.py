@@ -266,3 +266,143 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k.filter(F.col("rn") == 1).select(
         "doc_id", "payload_md5", "n_bytes", "n_copies"
     )
+
+
+# --- Perceptual near-dup (r10 verdict item 6) -------------------------------
+#
+# dHash over the stubbed decode grid: sample PHASH_GRID "luma" values at
+# evenly spaced payload offsets (the same deterministic stand-in for a
+# decoded/resized grayscale grid that multimodal_resize uses — swap the
+# sampler for a real decode+resize and the hash/banding pipeline is
+# unchanged), then one bit per ADJACENT-sample comparison. Classic dHash is
+# robust to exactly what re-encoding perturbs — global brightness/contrast
+# and small local noise shift absolute values but rarely flip the ORDER of
+# adjacent cells — while distinct media average ~PHASH_BITS/2 flipped bits.
+PHASH_GRID = 61  # samples; PHASH_GRID - 1 comparisons = the hash bits
+PHASH_BITS = 60  # 60 keeps the hash positive in an int64 (house style:
+#                  dedup_simhash's 60-bit fingerprints)
+PHASH_CHUNKS = 5  # 5 x 12-bit bands
+PHASH_HAMMING_MAX = 4  # pigeonhole: <= 4 flips => some 12-bit band intact
+
+
+@register(
+    "multimodal_dedup_perceptual",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(RANGE({PHASH_GRID}),
+               k -> ASCII(SUBSTR(text,
+                      CAST((k * LENGTH(text)) // {PHASH_GRID} AS INT) + 1,
+                      1))) AS s
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             CAST(LIST_SUM(LIST_TRANSFORM(RANGE({PHASH_BITS}),
+               k -> CASE WHEN s[CAST(k AS INT) + 1] > s[CAST(k AS INT) + 2]
+                         THEN CAST(1 AS BIGINT) << CAST(k AS INT)
+                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+      FROM g)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(BIT_COUNT(XOR(a.phash, b.phash)) AS INT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE BIT_COUNT(XOR(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}
+    """,
+)
+def multimodal_dedup_perceptual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs over the media payload column (Hamming ≤
+    {PHASH_HAMMING_MAX} over 60-bit dHash fingerprints) — the near-dup
+    complement of byte-exact ``multimodal_dedup``: a re-encode of the same
+    image (different compressor, same pixels) changes every byte, so its
+    md5 differs, but the ORDER of adjacent cells in the decoded grid — and
+    hence the dHash — survives.
+
+    Spark plan (the ``dedup_simhash`` banded skeleton): fingerprint
+    projection map-side → explode into 5×12-bit bands → groupBy band
+    bucket, collect (doc_id, phash) → in-bucket pair generation with the
+    Hamming filter INSIDE the generator (candidates never materialize) →
+    exact Hamming verify on the carried 8-byte fingerprints. Pigeonhole
+    guarantees any pair within Hamming ≤ {PHASH_HAMMING_MAX} shares an
+    exact band, so the banded plan returns EXACTLY the oracle's quadratic
+    join result while shuffling only digests + ids (the payloads never
+    leave their input partitions — at 100 TB of media the only corpus-
+    sized cost is the map-side decode pass). The decode grid is the same
+    deterministic stub contract as ``multimodal_features``/``_resize``
+    (bytes sampled at evenly spaced offsets); a real deployment swaps the
+    sampler for decode+resize-to-grid and nothing downstream changes.
+    """
+    # UDF defined in-function: @pandas_udf parses its return type against
+    # the ACTIVE session, so a module-level definition would break plain
+    # imports (registry.load_all runs before any SparkSession exists) —
+    # same placement as dedup_simhash's fingerprint UDF.
+    @F.pandas_udf("long")
+    def _phash_dhash60(texts: pd.Series) -> pd.Series:
+        """The 60-bit dHash, Arrow-vectorized (the dedup_simhash lesson,
+        re-learned here by measurement: the 61-substr + 60-comparison built-in
+        expression tree collapses into one duplicated interpreted projection —
+        ~0.7 s for 5k docs — while this numpy version does the identical
+        integer arithmetic in ~0.05 s). Self-contained: executors don't have
+        the repo on sys.path. Byte-offset sampling == the oracle's char-offset
+        ASCII(SUBSTR(...)) because the fixture text is ASCII (byte k == char
+        k) — the same stub contract multimodal_resize documents."""
+        import numpy as np
+        import pandas as pd  # noqa: F811 — by-value closure for executors
+
+        grid, bits = 61, 60
+        ks = np.arange(grid, dtype=np.int64)
+        shifts = np.arange(bits, dtype=np.int64)
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            n = len(b)
+            if n == 0:
+                continue  # ASCII('') == 0 on every sample -> no bit set
+            s = b[(ks * n) // grid].astype(np.int64)
+            out[i] = int(((s[:-1] > s[1:]).astype(np.int64) << shifts).sum())
+        return pd.Series(out)
+
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.select("doc_id", _phash_dhash60(F.col("text")).alias("phash"))
+    chunk_w = PHASH_BITS // PHASH_CHUNKS
+    chunks = hashed.select(
+        F.struct("doc_id", "phash").alias("dh"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("c"),
+                    (F.shiftright("phash", c * chunk_w) % (1 << chunk_w)).alias("v"),
+                )
+                for c in range(PHASH_CHUNKS)
+            ])
+        ).alias("ch"),
+    ).select("dh", "ch.c", "ch.v")
+    buckets = (
+        chunks.groupBy("c", "v")
+        .agg(F.array_sort(F.collect_list("dh")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    ds = F.col("ds")
+
+    def near(x):
+        return lambda y: (
+            F.bit_count(x["phash"].bitwiseXOR(y["phash"])) <= PHASH_HAMMING_MAX
+        )
+
+    survivors = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.filter(F.slice(ds, i + F.lit(2), F.size(ds)), near(x)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = buckets.select(F.explode(survivors).alias("p"))
+    hamming = F.bit_count(F.col("p.a.phash").bitwiseXOR(F.col("p.b.phash")))
+    return (
+        pairs.select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()  # a pair can share several intact bands
+    )

@@ -37,108 +37,53 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# Absolute head of round 10's verification order: every op whose code or
-# oracle changed in r10, plus the brand-new r10 ops. Budget math: 50
-# driver slots − 28 head = 22; the walk then clears ALL 12 remaining
-# r5-era greens (VERDICT r9 item 1: "no op whose latest green is older
-# than r6") and the first 10 of the 47 r6-era greens, leaving a 37-op r6
-# tail for r11.
+# Absolute head of round 11's verification order: every op whose code or
+# oracle changed in r11, plus the brand-new r11 op. Kept MINIMAL on
+# purpose (r10 verdict item 1): 50 driver slots − 6 head = 44, which
+# covers the ENTIRE 35-op r6 evidence tail (the oldest in the registry)
+# and the first 9 r7-era greens, leaving no op with evidence older
+# than r7.
 _VERIFY_HEAD = (
-    # r10: impl changed — spool reader offsets now encode the drained-
-    # segment SET (frontier gated below pending writer intents + an
-    # exception list), fixing the out-of-order-rename loss (ADVICE r9
-    # high); drain loop re-raises subscriber failures
+    # r11: impl changed — reader offsets now carry their listing snapshot
+    # (partitions() reuses it instead of re-listing the spool) and both
+    # readers decode CDCMsg frames with the flat tuple parser
     "nats_roundtrip",
-    # r10: new op — learned-centroid IVF made oracle-checkable by
-    # quantizing the Lloyd means to integer micro-units (2 unrolled
-    # refinement CTEs in the oracle)
-    "ann_ivf_learned",
-    # r10: impl changed — serve path factored into the shared
-    # _ivf_probe_topk + isfinite centroid guard (ADVICE r9 low)
-    "ann_ivf_topk",
-    # r10: new op — continuous incremental-ingest dedup (foreachBatch
-    # kept-table maintenance + incrementally learned Bloom filter)
+    # r11: impl changed — the Bloom filter update rides the survivor
+    # write's observe metrics (the per-batch readback job is gone)
     "stream_dedup_incremental",
-    # r10: impl changed — pending state rides ONE pickled-numpy blob
-    # (list-typed state columns paid per-element conversion), cdc_diff
-    # additionally vectorizes changed_cols via LUT + 8 shards
-    "stream_cdc_column_diff",
-    "stream_rpc_state",
-    "stream_join_asof_nearest",
-    # r10: impl changed — every retunable op ingests all 4 staged files
-    # in ONE data trigger (1-vs-4 phasing identity re-pinned by
-    # tests/test_trigger_phasing.py)
-    "stream_tumble",
-    "stream_slide",
-    "stream_session",
-    "stream_dedup",
-    "stream_upsert",
-    "stream_scd2",
-    "stream_downsample_ohlc",
-    "stream_stream_join",
-    "stream_stream_left_join",
-    # r10: new op — PageRank over the part co-purchase graph (quantized
-    # integer contributions make the 3 unrolled supersteps hash-checkable)
+    # r11: impl changed — adjacency rows hash-chunked to ≤~PR_CHUNK
+    # neighbors (bounded hub rows); rank init keys on the degree census
     "graph_pagerank",
-    # r10: new op — PQ/ADC top-k (fixed 8x16 codebooks, literal-matrix
-    # encode, broadcast per-query lookup tables)
-    "ann_pq_topk",
-    # r10: new op — binned interval-overlap self-join (equi-join on
-    # (suppkey, 28d bin), pair deduped at the later start's bin)
-    "join_interval_overlap",
-    # r10: new op — degree-ordered triangle participation census (edge
-    # iterator over oriented adjacency arrays)
+    # r11: impl changed — closure skeleton factored into the shared
+    # _oriented_closures; und persisted (the chain ran 3× before)
     "graph_triangles",
-    # r10: new op — byte-exact media-payload dedup (map-side md5, digest
-    # shuffle only)
-    "multimodal_dedup",
-    # r10: new op — continuous ordered-funnel census (monotone per-user
-    # stage flags in sharded state; oracle = the batch funnel's, verbatim)
-    "stream_funnel",
-    # r10: new op — dominant principal direction via quantized power
-    # iteration (per-iteration driver traffic is DIM quantized sums)
-    "embed_pca_power",
-    # r10: new op — neighborhood-Jaccard part similarity (edge-bounded
-    # candidates, map-side adjacency intersection)
+    # r11: impl changed — common-neighbor counts rewritten as per-edge
+    # triangle credits on the ORIENTED arrays + scalar degree joins (the
+    # unbounded unoriented hub adjacency is gone — the r10 `weak`)
     "graph_jaccard_neighbors",
-    # r10: new op — A/B conversion-lift report (md5 variant bucketing,
-    # exact censuses, mirrored IEEE rate/z-score tree)
-    "events_ab_lift",
+    # r11: new op — perceptual media near-dup (60-bit dHash over the
+    # stubbed decode grid, dedup_simhash's banded skeleton)
+    "multimodal_dedup_perceptual",
 )
 
 
 # The budgeted walk (50 driver slots per round) then refreshes the OLDEST
-# evidence first. Round 9's 50 slots covered its 14-op head + all 7
-# remaining r4-era greens + the first 29 of the 41 r5-era greens; those
-# now carry r9-fresh evidence (_R9_GREEN, minus the ops redefined in this
-# round's head). The oldest remaining evidence is r5 (12 ops), then r6.
-# r5 greens — oldest remaining evidence, verified first after the head.
-_R5_GREEN = (
-    "agg_mode", "downsample_ohlc", "dedup_span",
-    "agg_count", "agg_cube", "agg_distinct", "agg_grouping_sets",
-    "agg_multi", "agg_pivot", "agg_rollup", "agg_stats", "agg_sum",
-)
-# r6 greens — the r6-verified head (minus the ops redefined in r7), the
-# safety-net-caught events_inactivity_churn, and the 11 r1-era ops the r6
-# budget refreshed. Freshest evidence, verified last.
+# evidence first. Round 10's 50 slots covered its 25-op head + all 12
+# remaining r5-era greens + the first 13 of the 48 r6-era greens; those
+# carry r10-fresh evidence (_R10_GREEN, minus the ops redefined in this
+# round's head). The oldest remaining evidence is r6 (35 ops), then r7.
+# r6 greens — oldest remaining evidence, verified first after the head.
 _R6_GREEN = (
-    "q12_late_priority", "sessionize_events", "funnel_conversion",
-    "agg_corr", "join_range", "q5_local_supplier_volume",
-    "dedup_embedding_cosine", "join_bucketed", "perplexity_bucket",
-    "events_anomaly_zscore", "tfidf_topk_terms",
-    "quality_classifier_linear", "dedup_incremental", "doc_chunk_overlap",
-    "layout_zorder", "agg_weighted_avg", "agg_string_agg",
-    "orders_rfm_segments", "events_transition_matrix",
+    "doc_chunk_overlap", "layout_zorder", "agg_weighted_avg",
+    "agg_string_agg", "orders_rfm_segments", "events_transition_matrix",
     "rolling_active_users", "agg_histogram", "source_dup_rate",
-    "ngram_novelty_curve", "source_overlap_matrix",
-    "lang_confusion_matrix", "seq_len_histogram", "embed_label_centroids",
-    "funnel_latency_stats", "knn_label_purity", "events_hourly_cusum",
-    "orders_market_basket", "dedup_minhash_calibration",
-    "embed_drift_by_batch", "orders_cohort_ltv",
+    "ngram_novelty_curve", "source_overlap_matrix", "lang_confusion_matrix",
+    "seq_len_histogram", "embed_label_centroids", "funnel_latency_stats",
+    "knn_label_purity", "events_hourly_cusum", "orders_market_basket",
+    "dedup_minhash_calibration", "embed_drift_by_batch", "orders_cohort_ltv",
     "events_user_concentration", "embed_recall_at_k",
-    "events_inactivity_churn",
-    "date_ops", "filter_predicate", "join_cross", "join_full",
-    "join_inner", "join_left", "join_right", "join_semi",
+    "events_inactivity_churn", "date_ops", "filter_predicate", "join_cross",
+    "join_full", "join_inner", "join_left", "join_right", "join_semi",
     "join_skew_salted", "join_theta", "json_schema_projection",
 )
 # r7 greens — the full 50-op CORRECTNESS_r07 key set (r7's 11-op head,
@@ -199,13 +144,32 @@ _R9_GREEN = (
     "decontaminate_containment", "bpe_pair_stats", "win_range_frame",
     "unpivot_melt",
 )
+# r10 greens — the full 50-op CORRECTNESS_r10 key set (r10's 25-op head,
+# all 12 remaining r5-era greens, and the first 13 r6 ops), minus the
+# five ops redefined in this round's head. Freshest evidence, verified
+# last.
+_R10_GREEN = (
+    "ann_ivf_learned", "ann_ivf_topk", "stream_cdc_column_diff",
+    "stream_rpc_state", "stream_join_asof_nearest", "stream_tumble",
+    "stream_slide", "stream_session", "stream_dedup", "stream_upsert",
+    "stream_scd2", "stream_downsample_ohlc", "stream_stream_join",
+    "stream_stream_left_join", "ann_pq_topk", "join_interval_overlap",
+    "multimodal_dedup", "stream_funnel", "embed_pca_power", "events_ab_lift",
+    "agg_mode", "downsample_ohlc", "dedup_span", "agg_count", "agg_cube",
+    "agg_distinct", "agg_grouping_sets", "agg_multi", "agg_pivot",
+    "agg_rollup", "agg_stats", "agg_sum", "q12_late_priority",
+    "sessionize_events", "funnel_conversion", "agg_corr", "join_range",
+    "q5_local_supplier_volume", "dedup_embedding_cosine", "join_bucketed",
+    "perplexity_bucket", "events_anomaly_zscore", "tfidf_topk_terms",
+    "quality_classifier_linear", "dedup_incremental",
+)
 
 
 def load_all() -> None:
     """Import every operator module so registrations run, then order the
     registry for the driver's budgeted walk (50 verification slots per
-    round, head first): round-10-redefined/new ops, then any unlisted op,
-    then proven greens oldest-evidence-first (r5 → r6 → r7 → r8 → r9)."""
+    round, head first): round-11-redefined/new ops, then any unlisted op,
+    then proven greens oldest-evidence-first (r6 → r7 → r8 → r9 → r10)."""
     from .operators import (  # noqa: F401
         dedup,
         similarity,
@@ -229,11 +193,11 @@ def load_all() -> None:
     )
     listed = (
         set(_VERIFY_HEAD)
-        | set(_R5_GREEN)
         | set(_R6_GREEN)
         | set(_R7_GREEN)
         | set(_R8_GREEN)
         | set(_R9_GREEN)
+        | set(_R10_GREEN)
     )
     blocks = (
         _VERIFY_HEAD,
@@ -242,11 +206,11 @@ def load_all() -> None:
         # a future round that registers an op but forgets the head list
         # still gets it verified (and test_survey_inventory flags it).
         tuple(n for n in QUERIES if n not in listed),
-        _R5_GREEN,
         _R6_GREEN,
         _R7_GREEN,
         _R8_GREEN,
         _R9_GREEN,
+        _R10_GREEN,
     )
     ordered: list[str] = []
     for block in blocks:

@@ -13,8 +13,13 @@ key ``C`` only decreases), and a decreasing ``C`` can only qualify more
 purchases (s3 only flips false→true). So state per user is tiny — ``S``,
 ``C``, the s3 bit, and the clicks/purchases that are not yet qualified but
 still could be — and the LAST emission per user equals the batch answer
-over all data, with NO watermark cutoff in the result semantics (the
-oracle is the batch operator's oracle, spliced verbatim).
+over all data (the oracle is the batch operator's oracle, spliced
+verbatim). Equivalence caveat (ADVICE r10, the same caveat the other
+streaming twins carry): Spark's stateful operator drops input rows older
+than the current watermark, so the batch-oracle identity holds while
+replay disorder stays within the 30-minute ``DELAY`` — which the staged
+fixture guarantees; an event arriving MORE than DELAY out of event-time
+order would be silently excluded from the census.
 
 Pruning (the 100 TB story): a pending click can only be qualified by a
 future signup, and future arrivals sit at-or-above the watermark — so a

@@ -222,6 +222,25 @@ def build_sf1(spark) -> None:
         fh.write("ok")
 
 
+
+def _ratio_verdict(worst_ratio: float, label: str) -> str:
+    """One consistent narrative per band (r10 verdict item 7): the prose
+    may never claim "<= ~10" while printing a value above 10, and values
+    inside the measurement-tolerance band are named as such, not rounded
+    into the claim."""
+    if worst_ratio <= 10.0:
+        return f"every {label}10x ratio is <= 10: no super-linear op."
+    if worst_ratio <= 10.5:
+        return (
+            f"the worst {label}ratio sits just ABOVE 10 but inside the "
+            "10.5 measurement-tolerance band (min-of-3 on a shared box): "
+            "treated as linear, not flagged."
+        )
+    return (
+        "RATIO ABOVE THE LINEAR BAND (> 10.5) — investigate before "
+        "claiming linearity."
+    )
+
 def build_sf1_embeddings(spark) -> None:
     """10x-inflate sf0.1's embeddings: replica k circularly shifts every
     vector's dimensions by k. A dimension permutation applied uniformly
@@ -475,11 +494,18 @@ def main() -> None:
     worst = max(ok, key=lambda r: r[3])
     cap_ops = {"dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash"}
     cap_worst = max((r for r in ok if r[0] in cap_ops), key=lambda r: r[3])
-    verdict_line = (
-        "every 10x ratio is <= ~10: no super-linear op."
-        if worst[3] <= 10.5
-        else "RATIO ABOVE 10 — investigate before claiming linearity."
-    )
+    if worst[0] == "corpus_vocab_stats" and worst[3] > 10.0:
+        # This op has a COMPUTED closure paragraph right below (its honest
+        # normalizer is token volume, not SF) — defer to it instead of
+        # printing a naked flag the next paragraph then contradicts.
+        verdict_line = (
+            "the worst op is `corpus_vocab_stats`, whose honest normalizer "
+            "is TOKEN volume, not SF — the per-token paragraph below "
+            "re-judges it from this same run and prints its own "
+            "closed/flagged verdict."
+        )
+    else:
+        verdict_line = _ratio_verdict(worst[3], "")
     out += [
         "",
         f"Computed from this run: worst 10x ratio {worst[3]:.2f} "
@@ -569,11 +595,7 @@ def main() -> None:
     )
     eok = [r for r in emb_rows if r[3] == r[3]]
     eworst = max(eok, key=lambda r: r[3])
-    everdict = (
-        "every embedding-op 10x ratio is <= ~10: no super-linear op."
-        if eworst[3] <= 10.5
-        else "RATIO ABOVE 10 — investigate before claiming linearity."
-    )
+    everdict = _ratio_verdict(eworst[3], "embedding-op ")
     out += [
         "",
         f"Computed from this run: worst embedding-op 10x ratio "
@@ -630,11 +652,7 @@ def main() -> None:
     fok = [r for r in fact_rows if r[3] == r[3]]
     if fok:  # all-NaN (every query failed) must still write the file
         fworst = max(fok, key=lambda r: r[3])
-        fverdict = (
-            "every fact-op 10x ratio is <= ~10: no super-linear op."
-            if fworst[3] <= 10.5
-            else "RATIO ABOVE 10 — investigate before claiming linearity."
-        )
+        fverdict = _ratio_verdict(fworst[3], "fact-op ")
         out += [
             "",
             f"Computed from this run: worst fact-op 10x ratio "

@@ -80,13 +80,10 @@ def test_survey_matrix_count_matches_registry():
         f"{sorted(set(registry.QUERIES) - matrix - extras)}; "
         f"stale names: {sorted((matrix | extras) - set(registry.QUERIES))}"
     )
-    # The split quoted in SURVEY §2.2 and the verdicts: 190 matrix ops
-    # (incl. the r10 additions ann_ivf_learned, stream_dedup_incremental,
-    # graph_pagerank, graph_triangles, ann_pq_topk, join_interval_overlap,
-    # multimodal_dedup, stream_funnel, embed_pca_power,
-    # graph_jaccard_neighbors, events_ab_lift) + 18 extras = 214 registry
-    # queries.
-    assert (len(matrix), len(extras), len(registry.QUERIES)) == (196, 18, 214)
+    # The split quoted in SURVEY §2.2 and the verdicts: 197 matrix ops
+    # (incl. the r11 addition multimodal_dedup_perceptual) + 18 extras
+    # = 215 registry queries.
+    assert (len(matrix), len(extras), len(registry.QUERIES)) == (197, 18, 215)
 
 
 def test_green_demotion_lists_are_sound():
@@ -96,21 +93,21 @@ def test_green_demotion_lists_are_sound():
     # per-round evidence lists must be mutually disjoint and cover the
     # whole registry.
     from node_cdc_nats_spark.registry import (
-        _R5_GREEN,
         _R6_GREEN,
         _R7_GREEN,
         _R8_GREEN,
         _R9_GREEN,
+        _R10_GREEN,
         _VERIFY_HEAD,
     )
 
     lists = (
         (_VERIFY_HEAD, "_VERIFY_HEAD"),
-        (_R5_GREEN, "_R5_GREEN"),
         (_R6_GREEN, "_R6_GREEN"),
         (_R7_GREEN, "_R7_GREEN"),
         (_R8_GREEN, "_R8_GREEN"),
         (_R9_GREEN, "_R9_GREEN"),
+        (_R10_GREEN, "_R10_GREEN"),
     )
     for lst, label in lists:
         unknown = [n for n in lst if n not in registry.QUERIES]
@@ -118,7 +115,7 @@ def test_green_demotion_lists_are_sound():
         assert len(set(lst)) == len(lst), f"{label} has duplicates"
     seen: set[str] = set()
     for lst in (
-        _R5_GREEN, _R6_GREEN, _R7_GREEN, _R8_GREEN, _R9_GREEN,
+        _R6_GREEN, _R7_GREEN, _R8_GREEN, _R9_GREEN, _R10_GREEN,
     ):
         dup = seen & set(lst)
         assert not dup, f"evidence lists overlap: {dup}"
@@ -131,62 +128,26 @@ def test_green_demotion_lists_are_sound():
     assert not unlisted, (
         f"ops with no verification status (add to _VERIFY_HEAD): {unlisted}"
     )
-    changed_in_r10 = {
-        # impl changed — spool reader drained-set offsets (out-of-order
-        # rename fix, ADVICE r9 high) + drain-loop failure surfacing:
+    changed_in_r11 = {
+        # impl changed — offset-carried listing snapshot + flat tuple
+        # CDCMsg decoders in both readers:
         "nats_roundtrip",
-        # new in r10 — learned-centroid IVF, oracle-checkable via
-        # integer-quantized Lloyd means:
-        "ann_ivf_learned",
-        # impl changed — serve path factored into shared _ivf_probe_topk
-        # + isfinite centroid guard (ADVICE r9 low):
-        "ann_ivf_topk",
-        # new in r10 — continuous incremental-ingest dedup (foreachBatch
-        # kept-table maintenance + learned Bloom filter):
+        # impl changed — Bloom update via observe metrics on the survivor
+        # write (readback job removed):
         "stream_dedup_incremental",
-        # impl changed — pickled-numpy state blob (cdc_diff also LUT
-        # changed_cols + 8 shards):
-        "stream_cdc_column_diff",
-        "stream_rpc_state",
-        "stream_join_asof_nearest",
-        # impl changed — single data trigger (1-vs-4 phasing identity
-        # re-pinned by tests/test_trigger_phasing.py):
-        "stream_tumble",
-        "stream_slide",
-        "stream_session",
-        "stream_dedup",
-        "stream_upsert",
-        "stream_scd2",
-        "stream_downsample_ohlc",
-        "stream_stream_join",
-        "stream_stream_left_join",
-        # new in r10 — quantized-contribution PageRank over the part
-        # co-purchase graph (3 unrolled supersteps, oracle-checked):
+        # impl changed — hash-chunked bounded adjacency rows; rank init
+        # keys on the degree census:
         "graph_pagerank",
-        # new in r10 — product-quantization ADC top-k (fixed codebooks,
-        # literal-matrix encode, broadcast lookup tables):
-        "ann_pq_topk",
-        # new in r10 — binned interval-overlap self-join (equi-join on
-        # (suppkey, 28-day bin), pair deduped at the later start's bin):
-        "join_interval_overlap",
-        # new in r10 — degree-ordered triangle participation census:
+        # impl changed — shared _oriented_closures skeleton; und persisted:
         "graph_triangles",
-        # new in r10 — byte-exact media-payload dedup (digest-only shuffle):
-        "multimodal_dedup",
-        # new in r10 — continuous ordered-funnel census (monotone per-user
-        # stage flags; oracle = the batch funnel's, spliced verbatim):
-        "stream_funnel",
-        # new in r10 — dominant principal direction via quantized power
-        # iteration (unrolled-CTE oracle, DIM-row driver traffic per step):
-        "embed_pca_power",
-        # new in r10 — neighborhood-Jaccard part similarity (edge-bounded
-        # candidate set, map-side adjacency intersection):
+        # impl changed — oriented triangle-credit rewrite + scalar degrees
+        # (de-weaks the r10 unbounded hub adjacency):
         "graph_jaccard_neighbors",
-        # new in r10 — A/B conversion-lift report (md5 bucketing, exact
-        # censuses, mirrored IEEE z-score tree):
-        "events_ab_lift",
+        # new in r11 — perceptual media near-dup (dHash-60 over the
+        # stubbed decode grid, banded à la dedup_simhash):
+        "multimodal_dedup_perceptual",
     }
-    assert changed_in_r10 == set(_VERIFY_HEAD)
+    assert changed_in_r11 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
     names = list(registry.QUERIES)
     assert names[: len(_VERIFY_HEAD)] == list(_VERIFY_HEAD)
@@ -198,19 +159,19 @@ def test_oldest_evidence_fills_the_driver_budget():
     # evidence (the remaining r5 greens, then r6), refreshing stale rows
     # before fresh r7/r8/r9 rows burn slots.
     from node_cdc_nats_spark.registry import (
-        _R5_GREEN,
         _R6_GREEN,
+        _R7_GREEN,
         _VERIFY_HEAD,
     )
 
     names = list(registry.QUERIES)
-    priority = list(_VERIFY_HEAD) + list(_R5_GREEN) + list(_R6_GREEN)
+    priority = list(_VERIFY_HEAD) + list(_R6_GREEN) + list(_R7_GREEN)
     assert names[: len(priority)] == priority[: len(priority)]
-    # The walk must clear ALL remaining r5-era greens this round (VERDICT
-    # r9 item 1's Done bar: no op's latest green older than r6) and still
-    # bite into the r6 block: head + 12 r5 + >=10 r6 <= 50.
-    assert len(_VERIFY_HEAD) + len(_R5_GREEN) + 10 <= 50, (
-        "head too large — the 50-slot walk would leave r5-era greens "
+    # The walk must clear the ENTIRE r6 evidence tail this round (VERDICT
+    # r10 item 1's Done bar: no op's latest green older than r7):
+    # head + all 35 r6 <= 50.
+    assert len(_VERIFY_HEAD) + len(_R6_GREEN) <= 50, (
+        "head too large — the 50-slot walk would leave r6-era greens "
         "unrefreshed"
     )
     # The 50-slot budget must at least cover the head (never-verified or
@@ -237,14 +198,10 @@ def test_bench_headline_names_are_registered_and_cover_new_ops():
     from node_cdc_nats_spark.registry import _VERIFY_HEAD
 
     # Retuned/redefined ops keep their existing bench placement; the rule
-    # binds genuinely NEW ops only (r10: ann_ivf_learned,
-    # stream_dedup_incremental).
+    # binds genuinely NEW ops only (r11: multimodal_dedup_perceptual).
     retuned = {
-        "nats_roundtrip", "stream_cdc_column_diff",
-        "stream_join_asof_nearest", "stream_downsample_ohlc",
-        "stream_rpc_state", "stream_tumble", "stream_slide",
-        "stream_session", "stream_dedup", "stream_upsert", "stream_scd2",
-        "ann_ivf_topk", "stream_stream_join", "stream_stream_left_join",
+        "nats_roundtrip", "stream_dedup_incremental", "graph_pagerank",
+        "graph_triangles", "graph_jaccard_neighbors",
     }
     missing = sorted(set(_VERIFY_HEAD) - retuned - set(bench.HEADLINE))
-    assert not missing, f"r10 ops absent from the bench headline: {missing}"
+    assert not missing, f"r11 ops absent from the bench headline: {missing}"
