@@ -165,6 +165,7 @@ HEADLINE = [
     "graph_jaccard_neighbors",
     "events_ab_lift",
     "multimodal_dedup_perceptual",
+    "graph_label_propagation",
 ]
 
 

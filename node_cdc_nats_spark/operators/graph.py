@@ -477,3 +477,107 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(JAC_TOPN)
         .select("part1", "part2", "common_neighbors", "jaccard")
     )
+
+
+LPA_ITERS = 3
+LPA_TOPN = 20
+
+
+def _sql_lpa_step(i: int) -> str:
+    """One unrolled synchronous label-propagation superstep as DuckDB CTEs:
+    per node, the new label is the MODE of its neighbors' current labels,
+    ties broken by the SMALLEST label — expressed as an arg-max over the
+    lexicographically compared pair [count, -label], the same (cnt, -lab)
+    struct-max the Spark plan aggregates, so both engines pick the
+    identical winner with no window sort."""
+    return f"""
+    c{i} AS (SELECT e.dst AS node, p.lab AS lab, COUNT(*) AS cnt
+             FROM e JOIN l{i - 1} p ON p.node = e.src
+             GROUP BY e.dst, p.lab),
+    l{i} AS (SELECT node, CAST(-(MAX([cnt, -lab])[2]) AS BIGINT) AS lab
+             FROM c{i} GROUP BY node)"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+          FROM it a JOIN it b ON a.ok = b.ok AND a.pk <> b.pk),
+    -- superstep 1 in closed form: with all-distinct initial labels
+    -- (lab0(v) = v), every neighbor label occurs exactly once, so the
+    -- mode tie rule (smallest label) reduces to MIN over neighbors
+    l1 AS (SELECT dst AS node, MIN(src) AS lab FROM e GROUP BY dst),
+    {",".join(_sql_lpa_step(i).strip() for i in range(2, LPA_ITERS + 1))}
+    SELECT community, members
+    FROM (SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS members,
+                 ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, lab) AS rn
+          FROM l{LPA_ITERS} GROUP BY lab)
+    WHERE rn <= {LPA_TOPN}
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the part co-purchase graph via synchronous
+    label propagation (Raghavan et al.'s LPA): every node starts as its
+    own community, and for {LPA_ITERS} supersteps adopts the MODE of its
+    neighbors' labels (ties → smallest label); output is the top
+    {LPA_TOPN} communities by member count — the product-family signal
+    behind assortment planning and recommendation candidate pools.
+
+    Scale plan — the PageRank superstep skeleton, integer end to end:
+    superstep 1 collapses algebraically to MIN(neighbor) per node
+    (all-distinct initial labels make the mode's tie rule a plain MIN —
+    one map-side-reducible aggregate, no join, no init pass; a naive
+    step 1 shuffles the FULL edge set because unique labels cannot
+    partial-reduce). Each later superstep is one |E|-sized equi-join of
+    the persisted edge list with the |V|-sized label vector (AQE
+    broadcasts the label side) and ONE exchange: a deterministic MODE
+    aggregate keyed on dst whose partial buffers combine map-side — and
+    by step 2 label consensus makes that reduction real. Unlike PageRank
+    there is nothing to quantize: labels and counts are BIGINTs, so
+    determinism is free — mode(deterministic=True) breaks ties on the
+    lowest label, and the oracle's arg-max over the pair [cnt, -lab]
+    picks the identical winner; the tie rule IS the cross-engine
+    contract. Nothing materializes driver-side. At 100 TB the superstep
+    count is the knob; each step stays |edges|-linear.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    # und feeds both union branches; ed feeds every superstep's join.
+    und = managed_persist(_copurchase_und(li))
+    ed = managed_persist(
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+            und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+    )
+    # Superstep 1 in closed form (mirrored in the oracle): initial labels
+    # are all-distinct node ids, so the mode degenerates to MIN(neighbor)
+    # — one map-side-reducible aggregate instead of a join + an exchange
+    # that (labels still being unique) could not partial-reduce at all.
+    # This also covers every node (the edge set is symmetric) and
+    # replaces the separate distinct-nodes init pass.
+    # Each step's label vector is persisted (|V| rows — tiny): without
+    # it, every later step's BROADCAST BUILD re-executes all prior steps
+    # as nested jobs (measured ~2 extra |E| passes at 3 supersteps).
+    labels = managed_persist(
+        ed.groupBy("dst").agg(F.min("src").alias("lab")).select(
+            F.col("dst").alias("node"), "lab"
+        )
+    )
+    for _ in range(1, LPA_ITERS):
+        contrib = ed.join(labels, ed["src"] == labels["node"]).select("dst", "lab")
+        # mode(deterministic=True) breaks frequency ties on the LOWEST
+        # value — exactly the oracle's arg-max over [cnt, -lab]; its
+        # partial buffers combine map-side, and by step 2 label consensus
+        # makes that reduction real.
+        labels = managed_persist(
+            contrib.groupBy("dst").agg(
+                F.mode("lab", True).alias("lab")
+            ).select(F.col("dst").alias("node"), "lab")
+        )
+    return (
+        labels.groupBy("lab")
+        .agg(F.count(F.lit(1)).alias("members"))
+        .orderBy(F.col("members").desc(), "lab")
+        .limit(LPA_TOPN)
+        .select(F.col("lab").alias("community"), "members")
+    )

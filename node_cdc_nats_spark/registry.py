@@ -39,9 +39,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # Absolute head of round 11's verification order: every op whose code or
 # oracle changed in r11, plus the brand-new r11 op. Kept MINIMAL on
-# purpose (r10 verdict item 1): 50 driver slots − 6 head = 44, which
+# purpose (r10 verdict item 1): 50 driver slots − 7 head = 43, which
 # covers the ENTIRE 35-op r6 evidence tail (the oldest in the registry)
-# and the first 9 r7-era greens, leaving no op with evidence older
+# and the first 8 r7-era greens, leaving no op with evidence older
 # than r7.
 _VERIFY_HEAD = (
     # r11: impl changed — reader offsets now carry their listing snapshot
@@ -64,6 +64,9 @@ _VERIFY_HEAD = (
     # r11: new op — perceptual media near-dup (60-bit dHash over the
     # stubbed decode grid, dedup_simhash's banded skeleton)
     "multimodal_dedup_perceptual",
+    # r11: new op — label-propagation communities on the co-purchase
+    # graph (integer superstep skeleton, arg-max tie rule as contract)
+    "graph_label_propagation",
 )
 
 

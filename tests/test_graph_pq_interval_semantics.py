@@ -341,3 +341,54 @@ def test_oriented_closures_star_arrays_stay_tiny(spark):
     assert widths.mx == 1  # every leaf points at the hub; hub emits nothing
     # And the closure table itself is empty: a star has no triangles.
     assert _oriented_closures(und).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# graph_label_propagation
+# ---------------------------------------------------------------------------
+
+def _ref_lpa(edges, iters):
+    """Independent synchronous LPA: mode of neighbor labels, ties to the
+    smallest label; plain dicts."""
+    from collections import defaultdict
+
+    nbrs = defaultdict(set)
+    for u, v in edges:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    lab = {n: n for n in nbrs}
+    for _ in range(iters):
+        new = {}
+        for n in nbrs:
+            cnt = Counter(lab[m] for m in nbrs[n])
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        lab = new
+    return lab
+
+
+def test_label_propagation_two_cliques_with_bridge(spark, tmp_path):
+    # Two 3-cliques {1,2,3} and {10,11,12} joined by one bridge edge
+    # (3,10): LPA must converge each clique to its own smallest label and
+    # never merge them across the single bridge.
+    from node_cdc_nats_spark.operators.graph import LPA_ITERS
+
+    t0 = dt.datetime(2024, 1, 1)
+    orders = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)]
+    rows = []
+    for ok, parts in enumerate(orders, start=1):
+        for ln, pk in enumerate(parts, start=1):
+            rows.append((ok, pk, 1, ln, t0))
+    sf = _write_lineitem(tmp_path, rows)
+    got = {
+        r.community: r.members
+        for r in registry.QUERIES["graph_label_propagation"](spark, sf).collect()
+    }
+    want_lab = _ref_lpa(orders, LPA_ITERS)
+    want = Counter(want_lab.values())
+    assert got == dict(want)
+    # Clique structure survives: nodes 1-3 share a community, 10-12 share
+    # a (different) one.
+    assert len({want_lab[n] for n in (1, 2, 3)}) == 1
+    assert len({want_lab[n] for n in (10, 11, 12)}) == 1
+    assert want_lab[1] != want_lab[11]

@@ -81,9 +81,9 @@ def test_survey_matrix_count_matches_registry():
         f"stale names: {sorted((matrix | extras) - set(registry.QUERIES))}"
     )
     # The split quoted in SURVEY §2.2 and the verdicts: 197 matrix ops
-    # (incl. the r11 addition multimodal_dedup_perceptual) + 18 extras
-    # = 215 registry queries.
-    assert (len(matrix), len(extras), len(registry.QUERIES)) == (197, 18, 215)
+    # (incl. the r11 additions multimodal_dedup_perceptual and
+    # graph_label_propagation) + 18 extras = 216 registry queries.
+    assert (len(matrix), len(extras), len(registry.QUERIES)) == (198, 18, 216)
 
 
 def test_green_demotion_lists_are_sound():
@@ -146,6 +146,9 @@ def test_green_demotion_lists_are_sound():
         # new in r11 — perceptual media near-dup (dHash-60 over the
         # stubbed decode grid, banded à la dedup_simhash):
         "multimodal_dedup_perceptual",
+        # new in r11 — label-propagation communities (integer superstep
+        # skeleton, arg-max tie rule mirrored in the oracle):
+        "graph_label_propagation",
     }
     assert changed_in_r11 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
@@ -198,7 +201,8 @@ def test_bench_headline_names_are_registered_and_cover_new_ops():
     from node_cdc_nats_spark.registry import _VERIFY_HEAD
 
     # Retuned/redefined ops keep their existing bench placement; the rule
-    # binds genuinely NEW ops only (r11: multimodal_dedup_perceptual).
+    # binds genuinely NEW ops only (r11: multimodal_dedup_perceptual,
+    # graph_label_propagation).
     retuned = {
         "nats_roundtrip", "stream_dedup_incremental", "graph_pagerank",
         "graph_triangles", "graph_jaccard_neighbors",
