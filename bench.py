@@ -166,6 +166,7 @@ HEADLINE = [
     "events_ab_lift",
     "multimodal_dedup_perceptual",
     "graph_label_propagation",
+    "stream_ab_lift",
 ]
 
 

@@ -914,9 +914,7 @@ def events_session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_ab_lift",
-    oracle="""
+AB_LIFT_ORACLE = """
     WITH per AS (
       SELECT user_id,
              CASE WHEN SUBSTRING(MD5(CAST(user_id AS VARCHAR)), 1, 1)
@@ -944,40 +942,16 @@ def events_session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
              AS zscore
     FROM r
-    """,
-)
-def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A/B conversion-lift report — the experimentation staple a consumer
-    of the CDC event stream runs first: users are assigned to variants by
-    a deterministic md5 bucket of their id (the standard hash-bucketing,
-    NOT user_id parity — id parity correlates with assignment schemes),
-    conversion = at least one HIGH-VALUE purchase (value > 200 — at the
-    fixture's event density every user has some purchase, so the raw
-    purchase flag saturates at p = 1 and the pooled variance collapses to
-    0; a rare conversion is also the realistic shape), and the 1-row
-    report carries both rates, the absolute lift, and the pooled
-    two-proportion z-score.
+"""
 
-    Scale plan: the per-user conversion flag is one partial+final MAX
-    aggregate keyed on user_id — the single corpus-sized exchange; the
-    variant census is a second, |users|-sized aggregate to ONE row, and
-    every derived statistic is a map-side expression over that row.
 
-    Determinism: all censuses are exact integers; the rates, pooled
-    variance, and z-score are double divisions/products in expression
-    shapes mirrored exactly by the oracle (integer/integer division is
-    double in both engines; SQRT is IEEE correctly-rounded), so the
-    report is bit-identical cross-engine.
-    """
-    ev = load_table(spark, sf_dir, "events")
-    per = ev.groupBy("user_id").agg(
-        F.max(
-            F.when(
-                (F.col("event_type") == "purchase") & (F.col("value") > 200),
-                1,
-            ).otherwise(0)
-        ).alias("cv")
-    )
+def ab_lift_report(per: DataFrame) -> DataFrame:
+    """The variant census + lift/z-score tree over a per-user conversion
+    table ``(user_id, cv)`` — shared verbatim by ``events_ab_lift`` and
+    its streaming twin ``stream_ab_lift`` so the two can never drift.
+    All censuses are exact integers; every derived statistic is a
+    map-side IEEE expression over the single census row, mirrored
+    operation-for-operation by AB_LIFT_ORACLE."""
     variant = F.when(
         F.substring(
             F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1
@@ -1020,3 +994,39 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("zscore"),
     )
+
+
+@register("events_ab_lift", oracle=AB_LIFT_ORACLE)
+def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B conversion-lift report — the experimentation staple a consumer
+    of the CDC event stream runs first: users are assigned to variants by
+    a deterministic md5 bucket of their id (the standard hash-bucketing,
+    NOT user_id parity — id parity correlates with assignment schemes),
+    conversion = at least one HIGH-VALUE purchase (value > 200 — at the
+    fixture's event density every user has some purchase, so the raw
+    purchase flag saturates at p = 1 and the pooled variance collapses to
+    0; a rare conversion is also the realistic shape), and the 1-row
+    report carries both rates, the absolute lift, and the pooled
+    two-proportion z-score.
+
+    Scale plan: the per-user conversion flag is one partial+final MAX
+    aggregate keyed on user_id — the single corpus-sized exchange; the
+    variant census is a second, |users|-sized aggregate to ONE row, and
+    every derived statistic is a map-side expression over that row.
+
+    Determinism: all censuses are exact integers; the rates, pooled
+    variance, and z-score are double divisions/products in expression
+    shapes mirrored exactly by the oracle (integer/integer division is
+    double in both engines; SQRT is IEEE correctly-rounded), so the
+    report is bit-identical cross-engine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 200),
+                1,
+            ).otherwise(0)
+        ).alias("cv")
+    )
+    return ab_lift_report(per)

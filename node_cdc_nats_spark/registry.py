@@ -39,9 +39,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # Absolute head of round 11's verification order: every op whose code or
 # oracle changed in r11, plus the brand-new r11 op. Kept MINIMAL on
-# purpose (r10 verdict item 1): 50 driver slots − 7 head = 43, which
+# purpose (r10 verdict item 1): 50 driver slots − 9 head = 41, which
 # covers the ENTIRE 35-op r6 evidence tail (the oldest in the registry)
-# and the first 8 r7-era greens, leaving no op with evidence older
+# and the first 6 r7-era greens, leaving no op with evidence older
 # than r7.
 _VERIFY_HEAD = (
     # r11: impl changed — reader offsets now carry their listing snapshot
@@ -67,6 +67,13 @@ _VERIFY_HEAD = (
     # r11: new op — label-propagation communities on the co-purchase
     # graph (integer superstep skeleton, arg-max tie rule as contract)
     "graph_label_propagation",
+    # r11: new op — continuous experiment monitor (update-mode monotone
+    # conversion flags folded by the batch op's shared report tree)
+    "stream_ab_lift",
+    # r11: impl refactored — report tree extracted into the shared
+    # ab_lift_report (plan unchanged, but the green row predates the
+    # refactor, so it re-verifies)
+    "events_ab_lift",
 )
 
 
@@ -157,7 +164,7 @@ _R10_GREEN = (
     "stream_slide", "stream_session", "stream_dedup", "stream_upsert",
     "stream_scd2", "stream_downsample_ohlc", "stream_stream_join",
     "stream_stream_left_join", "ann_pq_topk", "join_interval_overlap",
-    "multimodal_dedup", "stream_funnel", "embed_pca_power", "events_ab_lift",
+    "multimodal_dedup", "stream_funnel", "embed_pca_power",
     "agg_mode", "downsample_ohlc", "dedup_span", "agg_count", "agg_cube",
     "agg_distinct", "agg_grouping_sets", "agg_multi", "agg_pivot",
     "agg_rollup", "agg_stats", "agg_sum", "q12_late_priority",

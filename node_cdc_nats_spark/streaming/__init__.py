@@ -12,6 +12,7 @@ results stay collectable AND oracle-checkable.
 """
 
 from . import (  # noqa: F401
+    ab_lift,
     asof,
     bounded,
     cdc_diff,

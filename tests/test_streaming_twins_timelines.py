@@ -285,3 +285,67 @@ def test_stream_funnel_promotes_across_batches(spark, funnel_dir):
         batch.n_click_after_signup,
         batch.n_purchase_after_click,
     ) == (4, 3, 1)
+
+
+# ---------------------------------------------------------------------------
+# stream_ab_lift — cross-batch conversion promotion
+# ---------------------------------------------------------------------------
+
+AB_TL = [
+    # (event_id, ts_min, user_id, event_type, value) — event_id is ARRIVAL
+    # order (staging buckets 0-2 / 3-4 / 5-7 / 8-9). Users chosen so both
+    # md5 variants are populated: md5('6')[0]='1', md5('9')[0]='4' → A;
+    # md5('1')[0]='c', md5('2')[0]='c' → B.
+    (0, 1, 6, "click", 500.0),       # batch 0: high VALUE but not purchase
+    (1, 2, 1, "purchase", 50.0),     # batch 0: purchase but low value
+    (2, 3, 2, "click", 1.0),         # batch 0
+    (3, 4, 9, "purchase", 150.0),    # batch 1: still below the 200 bar
+    (4, 5, 6, "purchase", 199.0),    # batch 1: just below — no conversion
+    (5, 6, 1, "click", 999.0),       # batch 2: value high, type wrong
+    (6, 7, 2, "purchase", 201.0),    # batch 2: B-user converts LATE
+    (7, 8, 9, "purchase", 1000.0),   # batch 2: A-user converts
+    (8, 9, 6, "click", 1.0),         # batch 3: post-decision noise
+    (9, 10, 1, "click", 1.0),        # batch 3
+]
+
+
+@pytest.fixture(scope="module")
+def ab_dir(tmp_path_factory) -> str:
+    out = tmp_path_factory.mktemp("timeline_ab_sf")
+    ids, tss, users, types, values = zip(
+        *[(i, _m(t), u, ty, v) for i, t, u, ty, v in AB_TL]
+    )
+    table = pa.table(
+        {
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array(tss, pa.timestamp("us")),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array(values, pa.float64()),
+            "props": pa.array([None] * len(ids), pa.string()),
+        }
+    )
+    pq.write_table(table, f"{out}/events.parquet")
+    return str(out)
+
+
+def test_stream_ab_lift_promotes_across_batches(spark, ab_dir):
+    """Cross-batch monotone conversion: every user emits cv=0 in early
+    batches (high value on the wrong type, purchases below the 200 bar)
+    and two users flip to cv=1 in a LATER batch — the per-user MAX over
+    update-mode emissions must keep exactly those flips, and the variant
+    census must match the md5 bucketing. Twin equivalence is asserted on
+    the same timeline."""
+    import hashlib
+
+    variants = {
+        u: "A" if hashlib.md5(str(u).encode()).hexdigest()[0] <= "7" else "B"
+        for u in (6, 9, 1, 2)
+    }
+    assert sorted(variants.values()) == ["A", "A", "B", "B"]
+    got = registry.QUERIES["stream_ab_lift"](spark, ab_dir).collect()[0]
+    # converters: user 2 (B, late), user 9 (A); non: 6 (A), 1 (B)
+    assert (got.n_a, got.n_b, got.conv_a, got.conv_b) == (2, 2, 1, 1)
+    assert got.rate_a == 0.5 and got.rate_b == 0.5 and got.lift == 0.0
+    batch = registry.QUERIES["events_ab_lift"](spark, ab_dir).collect()[0]
+    assert tuple(got) == tuple(batch)  # bit-identical twin report

@@ -82,8 +82,9 @@ def test_survey_matrix_count_matches_registry():
     )
     # The split quoted in SURVEY §2.2 and the verdicts: 197 matrix ops
     # (incl. the r11 additions multimodal_dedup_perceptual and
-    # graph_label_propagation) + 18 extras = 216 registry queries.
-    assert (len(matrix), len(extras), len(registry.QUERIES)) == (198, 18, 216)
+    # graph_label_propagation, stream_ab_lift) + 18 extras = 217
+    # registry queries.
+    assert (len(matrix), len(extras), len(registry.QUERIES)) == (199, 18, 217)
 
 
 def test_green_demotion_lists_are_sound():
@@ -149,6 +150,12 @@ def test_green_demotion_lists_are_sound():
         # new in r11 — label-propagation communities (integer superstep
         # skeleton, arg-max tie rule mirrored in the oracle):
         "graph_label_propagation",
+        # new in r11 — continuous experiment monitor (native update-mode
+        # monotone flags + the batch op's shared report tree):
+        "stream_ab_lift",
+        # refactored in r11 — report tree extracted into ab_lift_report
+        # (shared with the streaming twin); prior green predates it:
+        "events_ab_lift",
     }
     assert changed_in_r11 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
@@ -205,7 +212,7 @@ def test_bench_headline_names_are_registered_and_cover_new_ops():
     # graph_label_propagation).
     retuned = {
         "nats_roundtrip", "stream_dedup_incremental", "graph_pagerank",
-        "graph_triangles", "graph_jaccard_neighbors",
+        "graph_triangles", "graph_jaccard_neighbors", "events_ab_lift",
     }
     missing = sorted(set(_VERIFY_HEAD) - retuned - set(bench.HEADLINE))
     assert not missing, f"r11 ops absent from the bench headline: {missing}"

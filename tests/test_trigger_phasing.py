@@ -69,6 +69,10 @@ def _rows(df):
         # flips false→true; this pins it mechanically on the fixture
         # (the hand timeline test pins the cross-batch promotions)
         ("funnel", "stream_funnel", 4),
+        # new in r11: monotone per-user conversion flag via a NATIVE
+        # update-mode streaming MAX — phasing-independent for the same
+        # monotonicity reason as stream_funnel
+        ("ab_lift", "stream_ab_lift", 4),
     ],
 )
 def test_result_set_is_trigger_phasing_independent(
