@@ -213,7 +213,7 @@ SHOWCASE = [
     ),
     (
         "graph_jaccard_neighbors",
-        "Item-item similarity without an all-pairs join: candidates are the EDGE set, full-neighborhood adjacency arrays hash-join on and intersect map-side, and the Jaccard arithmetic is one exact integer triple + one double division per edge.",
+        "Item-item similarity without an all-pairs join OR a hub array (r11): common neighbors = per-edge triangle credits off the degree-ORIENTED closure skeleton (every array <= sqrt(2|E|)), |N(u)| is a scalar count join, and the Jaccard arithmetic is one exact integer triple + one double division per edge.",
     ),
     (
         "events_ab_lift",
@@ -222,6 +222,14 @@ SHOWCASE = [
     (
         "embed_pca_power",
         "Matrix-free power iteration: x.v folds map-side against the v literal (projected BELOW the posexplode — once per vector), contributions quantize to integer nano-units, and the only exchange per iteration is a DIM-group integer SUM; no DxD matrix, no vector shuffle.",
+    ),
+    (
+        "graph_label_propagation",
+        "Integer LPA supersteps: step 1 is a closed-form MIN(neighbor) aggregate (all-distinct init labels cannot partial-reduce through a naive mode); later steps join the persisted edge list with the AQE-broadcast per-step label vector and reduce through ONE deterministic-mode exchange with map-side partial buffers.",
+    ),
+    (
+        "multimodal_dedup_perceptual",
+        "Perceptual near-dup: Arrow dHash-60 fingerprints (one corpus pass, no shuffle), banded 5x12-bit bucket groupBy, in-bucket pair generation with the Hamming filter INSIDE the generator — shuffled bytes are digests + ids, payloads never leave their partitions.",
     ),
 ]
 

@@ -77,6 +77,9 @@ DOC_BOUND = [
     # DSIR vote fused into the per-language curation data-card; r9
     # shipped the op, this round adds its scaling row)
     "curation_funnel",
+    # r11 addition (documents-bound; Arrow dHash fingerprints + banded
+    # pair generation — the perceptual complement of multimodal_dedup)
+    "multimodal_dedup_perceptual",
 ]
 # The embedding-reading ops (r5): the adaptive-planes claim on
 # dedup_embedding_cosine ("EMBED_BUCKET_CAP only ever trims degenerate
@@ -153,6 +156,9 @@ FACT_BOUND = [
     "graph_triangles",
     "graph_jaccard_neighbors",
     "join_interval_overlap",
+    # r11 addition (lineitem-bound; integer LPA supersteps on the same
+    # co-purchase skeleton, per-step label vectors persisted)
+    "graph_label_propagation",
     "orders_cohort_ltv",
     # r6 addition (events-bound; activity-value census + Lorenz window)
     "events_user_concentration",
@@ -370,13 +376,15 @@ Notes:
   explode + token census, and the sf1 inflation grows the VOCABULARY
   10x by construction (token-suffixed replicas), so the census itself
   is 10x the groups.
-- r10: `graph_jaccard_neighbors` sits right at the linear boundary
-  (~10x per 10x at the sf1-equivalent) by construction, not defect:
-  its work model is |E|·d̄ (one adjacency intersection per edge), and
-  the sf1 inflation grows parts AND orders together, so |E| grows 10x
-  while the mean degree d̄ stays ~120 — exactly-linear growth with a
-  constant per-edge term. Sub-linear would require shrinking d̄, i.e.
-  a different graph, not a different plan.
+- r10/r11: `graph_jaccard_neighbors`'s r10 plan sat right at the
+  linear boundary (~10x per 10x at the sf1-equivalent): its work model
+  was |E|·d̄ with UNORIENTED adjacency arrays, so the hub rows grew
+  with raw degree. The r11 rewrite takes the common-neighbor count from
+  the degree-ORIENTED triangle closures (arrays bounded by ~sqrt(2|E|))
+  with scalar degree joins — the measured sf1 ratio dropped to ~4x per
+  10x (see the fact-op table), and no unbounded per-row array remains
+  anywhere in the graph family (PageRank hub rows are hash-chunked to
+  <=~4096 ids).
 """
 
 
