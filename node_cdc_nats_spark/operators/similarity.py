@@ -619,33 +619,49 @@ def _guard_finite_cents(cents: "list[list[float]]", opname: str) -> None:
                 )
 
 
-def _d2_structs_expr(cents: "list[list[float]]") -> Column:
-    """Per-row array of (d2-to-centroid, cell) structs, built as ONE SQL
-    string parsed JVM-side: composing it from F.lit/F.struct/F.zip_with
-    costs a py4j round trip per node (~1.1 s per call site for 16×64
-    literals — r9 profile: 2/3 of ann_ivf_topk's wall time was DRIVER-side
-    plan construction). repr(float) round-trips IEEE doubles exactly and
-    the 'D' suffix keeps every literal a double, so the folded values are
-    bit-identical to an F.lit tree (A/B-checked) and to the DuckDB
-    mirror. Struct ordering is (d2, cell), so array_min reproduces the
-    oracle's ORDER BY d2, cell tiebreak."""
+def _rank_cells_udf(cents: "list[list[float]]"):
+    """Per-row cell ranking by (d2-to-centroid, cell) as an Arrow
+    ``pandas_udf`` returning the K cells sorted nearest-first.
 
-    def d2_sql(c: int) -> str:
-        lits = ",".join(repr(v) + "D" for v in cents[c])
-        return (
-            f"aggregate(zip_with(embedding, array({lits}), "
-            f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-            f"0.0D, (acc, x) -> acc + x)"
-        )
+    History: r9 built the K×D distance fold as one SQL string
+    (``aggregate(zip_with(...))`` per cell) because composing it from
+    F.lit/F.struct cost a py4j round trip per node (~1.1 s per call
+    site). r11 measurement showed the SQL-string tree still pays ~0.7 s
+    of FIXED analysis/optimization machinery per execution (size-
+    independent: 0.7 s at n=500 and 0.98 s at n=2000) because every
+    Lloyd round re-plans a fresh 16×64-literal tree. The udf closes over
+    the centroid matrix instead — a tiny constant plan — and reproduces
+    the fold BIT-EXACTLY: per cell, d2 accumulates over dims in array
+    order (acc = acc + (x−c)·(x−c), doubles, same IEEE sequence as the
+    SQL left fold with 0.0 init), and the ranking is a STABLE argsort on
+    d2, which equals the oracle's ORDER BY d2, cell tiebreak (cells are
+    generated in index order). float32 embedding elements upcast to
+    double exactly on both paths."""
+    cmat = [list(map(float, c)) for c in cents]
 
-    return F.expr(
-        "array("
-        + ",".join(
-            f"named_struct('d2', {d2_sql(c)}, 'cell', {c})"
-            for c in range(len(cents))
-        )
-        + ")"
-    )
+    @F.pandas_udf("array<int>")
+    def rank_cells(embs):
+        # Self-contained: executors don't have the repo on sys.path.
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.array(embs.tolist(), dtype=np.float64)
+        n = X.shape[0]
+        K, D = len(cmat), len(cmat[0])
+        d2 = np.empty((n, K), dtype=np.float64)
+        for c in range(K):
+            cc = cmat[c]
+            acc = np.zeros(n, dtype=np.float64)
+            for j in range(D):
+                diff = X[:, j] - cc[j]
+                acc = acc + diff * diff  # sequential-dim fold order
+            d2[:, c] = acc
+        order = np.argsort(d2, axis=1, kind="stable").astype(np.int32)
+        return pd.Series(list(order))
+
+    return rank_cells
 
 
 def _ivf_probe_topk(em: DataFrame, cents: "list[list[float]]") -> DataFrame:
@@ -656,19 +672,17 @@ def _ivf_probe_topk(em: DataFrame, cents: "list[list[float]]") -> DataFrame:
     folded through ``array_min`` on (d2, cell) structs, which reproduces
     the oracle's window-ordering tiebreak without shuffling the n×K cross
     join a window would need."""
-    d2s = _d2_structs_expr(cents)
+    rank = _rank_cells_udf(cents)(F.col("embedding"))
     cells = em.select(
         "vec_id", "embedding",
         norm(F.col("embedding")).alias("nrm"),
-        F.array_min(d2s)["cell"].alias("cell"),
+        F.element_at(rank, 1).alias("cell"),
     )
     qp = (
         em.filter(F.col("vec_id") < 5)
         .select(
             F.col("vec_id").alias("qid"),
-            F.explode(
-                F.slice(F.array_sort(d2s), 1, IVF_NPROBE)["cell"]
-            ).alias("cell"),
+            F.explode(F.slice(rank, 1, IVF_NPROBE)).alias("cell"),
         )
     )
     q = cells.filter(F.col("vec_id") < 5).select(
@@ -884,14 +898,13 @@ def ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").cast("double") * F.lit(_CENTROID_SCALE)
     ).cast("decimal(38,0)")
     for _ in range(IVF_ITERS):
-        # Assignment BELOW the generate: the K×D fold is interpreted
-        # (HOFs are CodegenFallback), so it must run once per VECTOR —
-        # spelled inside the posexplode projection it re-evaluates per
-        # exploded element, a silent D× blowup (measured 8.5 s at
-        # sf0.001; this shape is ~60× cheaper). mapInArrow-free: the
-        # barrier is just a pre-explode projection.
+        # Assignment BELOW the generate (once per VECTOR, never inside
+        # the posexplode projection — the r10 D×-blowup lesson), via the
+        # Arrow cell-ranking udf (_rank_cells_udf: constant-size plan,
+        # bit-exact fold order).
         assigned = em.select(
-            F.array_min(_d2_structs_expr(cents))["cell"].alias("cell"),
+            F.element_at(_rank_cells_udf(cents)(F.col("embedding")), 1)
+            .alias("cell"),
             "embedding",
         )
         stats = (

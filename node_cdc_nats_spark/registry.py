@@ -39,9 +39,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 # Absolute head of round 11's verification order: every op whose code or
 # oracle changed in r11, plus the brand-new r11 op. Kept MINIMAL on
-# purpose (r10 verdict item 1): 50 driver slots − 9 head = 41, which
+# purpose (r10 verdict item 1): 50 driver slots − 11 head = 39, which
 # covers the ENTIRE 35-op r6 evidence tail (the oldest in the registry)
-# and the first 6 r7-era greens, leaving no op with evidence older
+# and the first 4 r7-era greens, leaving no op with evidence older
 # than r7.
 _VERIFY_HEAD = (
     # r11: impl changed — reader offsets now carry their listing snapshot
@@ -74,6 +74,12 @@ _VERIFY_HEAD = (
     # ab_lift_report (plan unchanged, but the green row predates the
     # refactor, so it re-verifies)
     "events_ab_lift",
+    # r11: impl changed — the K×D centroid-distance fold is now the
+    # Arrow cell-ranking udf (constant-size plan vs ~0.7 s of per-
+    # execution machinery for the 1024-literal tree; bit-exact fold
+    # order), shared by the Lloyd rounds and the serve path
+    "ann_ivf_learned",
+    "ann_ivf_topk",
 )
 
 
@@ -159,7 +165,7 @@ _R9_GREEN = (
 # five ops redefined in this round's head. Freshest evidence, verified
 # last.
 _R10_GREEN = (
-    "ann_ivf_learned", "ann_ivf_topk", "stream_cdc_column_diff",
+    "stream_cdc_column_diff",
     "stream_rpc_state", "stream_join_asof_nearest", "stream_tumble",
     "stream_slide", "stream_session", "stream_dedup", "stream_upsert",
     "stream_scd2", "stream_downsample_ohlc", "stream_stream_join",

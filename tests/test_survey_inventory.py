@@ -156,6 +156,10 @@ def test_green_demotion_lists_are_sound():
         # refactored in r11 — report tree extracted into ab_lift_report
         # (shared with the streaming twin); prior green predates it:
         "events_ab_lift",
+        # impl changed in r11 — centroid-distance fold replaced by the
+        # Arrow cell-ranking udf (shared Lloyd + serve path):
+        "ann_ivf_learned",
+        "ann_ivf_topk",
     }
     assert changed_in_r11 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
@@ -213,6 +217,7 @@ def test_bench_headline_names_are_registered_and_cover_new_ops():
     retuned = {
         "nats_roundtrip", "stream_dedup_incremental", "graph_pagerank",
         "graph_triangles", "graph_jaccard_neighbors", "events_ab_lift",
+        "ann_ivf_learned", "ann_ivf_topk",
     }
     missing = sorted(set(_VERIFY_HEAD) - retuned - set(bench.HEADLINE))
     assert not missing, f"r11 ops absent from the bench headline: {missing}"
