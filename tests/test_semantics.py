@@ -597,3 +597,56 @@ def test_agg_corr_zero_variance_group_is_null_on_both_engines(spark, tmp_path):
     con.close()
     assert drows["A"][2] is None
     assert out["B"]["corr_qty_price"] == drows["B"][2]  # bit-identical
+
+
+def test_rank_cells_udf_matches_sql_fold_bitexactly(spark):
+    """The Arrow cell-ranking udf (r11) must reproduce the SQL
+    aggregate(zip_with(...)) left fold BIT-exactly — same IEEE add order
+    per dim, same (d2, cell) tiebreak — on adversarial float32 vectors
+    (denormal-ish magnitudes, exact ties via duplicated centroids)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from node_cdc_nats_spark.operators.similarity import _rank_cells_udf
+
+    rng = random.Random(11)
+    dim, k, n = 16, 6, 40
+    cents = [[rng.uniform(-2, 2) for _ in range(dim)] for _ in range(k)]
+    cents[3] = list(cents[1])  # exact duplicate centroid: forces d2 ties
+    rows = []
+    for i in range(n):
+        v = [rng.uniform(-2, 2) * (10 ** rng.randint(-4, 3)) for _ in range(dim)]
+        rows.append((i, v))
+    rows.append((n, list(cents[1])))  # sits exactly ON the tied centroids
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def d2_sql(c):
+        lits = ",".join(repr(v) + "D" for v in cents[c])
+        return (
+            f"aggregate(zip_with(embedding, array({lits}), "
+            f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
+
+    structs = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('d2', {d2_sql(c)}, 'cell', {c})" for c in range(k)
+        )
+        + ")"
+    )
+    want = {
+        r.vec_id: [s.cell for s in r.rk]
+        for r in df.select("vec_id", F.array_sort(structs).alias("rk")).collect()
+    }
+    got = {
+        r.vec_id: list(r.rk)
+        for r in df.select(
+            "vec_id", _rank_cells_udf(cents)(F.col("embedding")).alias("rk")
+        ).collect()
+    }
+    assert got == want  # full ranking, every row, ties included
+    # the tied pair must order (1, 3) — lowest cell first
+    full = got[n]
+    assert full.index(1) < full.index(3)
