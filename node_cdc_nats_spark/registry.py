@@ -37,77 +37,34 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# Absolute head of round 11's verification order: every op whose code or
-# oracle changed in r11, plus the brand-new r11 op. Kept MINIMAL on
-# purpose (r10 verdict item 1): 50 driver slots − 11 head = 39, which
-# covers the ENTIRE 35-op r6 evidence tail (the oldest in the registry)
-# and the first 4 r7-era greens, leaving no op with evidence older
-# than r7.
+# Absolute head of round 12's verification order: every op whose code or
+# oracle changed in r12, plus the brand-new r12 ops. Kept MINIMAL on
+# purpose (r10 verdict item 1, re-affirmed r11 item 2): 50 driver slots −
+# 5 head = 45, which covers the ENTIRE 45-op r7 evidence tail — after this
+# round no op's latest green is older than r8.
 _VERIFY_HEAD = (
-    # r11: impl changed — reader offsets now carry their listing snapshot
-    # (partitions() reuses it instead of re-listing the spool) and both
-    # readers decode CDCMsg frames with the flat tuple parser
-    "nats_roundtrip",
-    # r11: impl changed — the Bloom filter update rides the survivor
-    # write's observe metrics (the per-batch readback job is gone)
-    "stream_dedup_incremental",
-    # r11: impl changed — adjacency rows hash-chunked to ≤~PR_CHUNK
-    # neighbors (bounded hub rows); rank init keys on the degree census
-    "graph_pagerank",
-    # r11: impl changed — closure skeleton factored into the shared
-    # _oriented_closures; und persisted (the chain ran 3× before)
-    "graph_triangles",
-    # r11: impl changed — common-neighbor counts rewritten as per-edge
-    # triangle credits on the ORIENTED arrays + scalar degree joins (the
-    # unbounded unoriented hub adjacency is gone — the r10 `weak`)
-    "graph_jaccard_neighbors",
-    # r11: new op — perceptual media near-dup (60-bit dHash over the
-    # stubbed decode grid, dedup_simhash's banded skeleton)
+    # r12: impl changed — banding rewritten from 5×12-bit single-band keys
+    # (the r11 structural `weak`: 20k-bucket keyspace ⇒ Θ(n²/4096) checks)
+    # to pair-of-bands bucketing (6×10-bit bands, C(6,2)=15 tables of
+    # 20-bit keys, pigeonhole exactness preserved); fingerprint udf gains
+    # the NULL-text guard (oracle-exact: NULL → simhash 0)
+    "dedup_simhash",
+    # r12: impl changed — same banded-skeleton rewrite (now shared via
+    # dedup.banded_hamming_pairs) + the ADVICE r11 None.encode guard
     "multimodal_dedup_perceptual",
-    # r11: new op — label-propagation communities on the co-purchase
-    # graph (integer superstep skeleton, arg-max tie rule as contract)
-    "graph_label_propagation",
-    # r11: new op — continuous experiment monitor (update-mode monotone
-    # conversion flags folded by the batch op's shared report tree)
-    "stream_ab_lift",
-    # r11: impl refactored — report tree extracted into the shared
-    # ab_lift_report (plan unchanged, but the green row predates the
-    # refactor, so it re-verifies)
-    "events_ab_lift",
-    # r11: impl changed — the K×D centroid-distance fold is now the
-    # Arrow cell-ranking udf (constant-size plan vs ~0.7 s of per-
-    # execution machinery for the 1024-literal tree; bit-exact fold
-    # order), shared by the Lloyd rounds and the serve path
-    "ann_ivf_learned",
-    "ann_ivf_topk",
 )
 
 
 # The budgeted walk (50 driver slots per round) then refreshes the OLDEST
-# evidence first. Round 10's 50 slots covered its 25-op head + all 12
-# remaining r5-era greens + the first 13 of the 48 r6-era greens; those
-# carry r10-fresh evidence (_R10_GREEN, minus the ops redefined in this
-# round's head). The oldest remaining evidence is r6 (35 ops), then r7.
-# r6 greens — oldest remaining evidence, verified first after the head.
-_R6_GREEN = (
-    "doc_chunk_overlap", "layout_zorder", "agg_weighted_avg",
-    "agg_string_agg", "orders_rfm_segments", "events_transition_matrix",
-    "rolling_active_users", "agg_histogram", "source_dup_rate",
-    "ngram_novelty_curve", "source_overlap_matrix", "lang_confusion_matrix",
-    "seq_len_histogram", "embed_label_centroids", "funnel_latency_stats",
-    "knn_label_purity", "events_hourly_cusum", "orders_market_basket",
-    "dedup_minhash_calibration", "embed_drift_by_batch", "orders_cohort_ltv",
-    "events_user_concentration", "embed_recall_at_k",
-    "events_inactivity_churn", "date_ops", "filter_predicate", "join_cross",
-    "join_full", "join_inner", "join_left", "join_right", "join_semi",
-    "join_skew_salted", "join_theta", "json_schema_projection",
-)
+# evidence first. Round 11's 50 slots covered its 11-op head + the entire
+# 35-op r6 evidence tail + the first 4 r7-era greens; those carry
+# r11-fresh evidence (_R11_GREEN, minus the ops redefined in this round's
+# head). The oldest remaining evidence is r7 (45 ops), then r8.
 # r7 greens — the full 50-op CORRECTNESS_r07 key set (r7's 11-op head,
 # the 12 r1-era and 9 r2-era greens it refreshed, and the first 18 r3
-# ops), minus scan_binary which was redefined in r8's head.
+# ops), minus scan_binary (redefined in r8's head) and the first 4
+# (refreshed by r11's walk — they sit in _R11_GREEN now).
 _R7_GREEN = (
-    "collocation_lift_topk", "dedup_bloom_prefilter",
-    "dsir_importance_weights", "events_weekly_stickiness",
     "parts_pareto_abc", "doc_rarity_score", "join_asof_nearest",
     "cdc_column_diff", "dedup_edit_distance", "events_session_paths_topk",
     "limit", "math_ops", "project",
@@ -148,7 +105,7 @@ _R8_GREEN = (
 _R9_GREEN = (
     "stream_topk", "curation_funnel", "stream_watermark",
     "stream_bounded_subscription", "cdc_upsert_latest", "cdc_changelog",
-    "cdc_scd2", "fanout_dispatch", "bounded_subscription", "dedup_simhash",
+    "cdc_scd2", "fanout_dispatch", "bounded_subscription",
     "ann_lsh_topk", "scan_orc", "dedup_embedding_banded", "udtf_tokens",
     "dedup_substring", "split_leakage_report", "q6_forecast_revenue",
     "q9_nation_revenue", "q14_promo_effect", "q18_large_volume",
@@ -162,8 +119,10 @@ _R9_GREEN = (
 )
 # r10 greens — the full 50-op CORRECTNESS_r10 key set (r10's 25-op head,
 # all 12 remaining r5-era greens, and the first 13 r6 ops), minus the
-# five ops redefined in this round's head. Freshest evidence, verified
-# last.
+# EIGHT ops r11's head pulled for re-verification (nats_roundtrip,
+# stream_dedup_incremental, graph_pagerank, graph_triangles,
+# graph_jaccard_neighbors, events_ab_lift, ann_ivf_learned, ann_ivf_topk
+# — they sit in _R11_GREEN now; ADVICE r11 item 2 fixed the count here).
 _R10_GREEN = (
     "stream_cdc_column_diff",
     "stream_rpc_state", "stream_join_asof_nearest", "stream_tumble",
@@ -179,13 +138,35 @@ _R10_GREEN = (
     "perplexity_bucket", "events_anomaly_zscore", "tfidf_topk_terms",
     "quality_classifier_linear", "dedup_incremental",
 )
+# r11 greens — the full 50-op CORRECTNESS_r11 key set (r11's 11-op head,
+# the entire 35-op r6 evidence tail, and the first 4 r7 ops), minus
+# multimodal_dedup_perceptual which is redefined in this round's head
+# (pair-of-bands banding). Freshest evidence, verified last.
+_R11_GREEN = (
+    "nats_roundtrip", "stream_dedup_incremental", "graph_pagerank",
+    "graph_triangles", "graph_jaccard_neighbors", "graph_label_propagation",
+    "stream_ab_lift", "events_ab_lift", "ann_ivf_learned", "ann_ivf_topk",
+    "doc_chunk_overlap", "layout_zorder", "agg_weighted_avg",
+    "agg_string_agg", "orders_rfm_segments", "events_transition_matrix",
+    "rolling_active_users", "agg_histogram", "source_dup_rate",
+    "ngram_novelty_curve", "source_overlap_matrix", "lang_confusion_matrix",
+    "seq_len_histogram", "embed_label_centroids", "funnel_latency_stats",
+    "knn_label_purity", "events_hourly_cusum", "orders_market_basket",
+    "dedup_minhash_calibration", "embed_drift_by_batch", "orders_cohort_ltv",
+    "events_user_concentration", "embed_recall_at_k",
+    "events_inactivity_churn", "date_ops", "filter_predicate", "join_cross",
+    "join_full", "join_inner", "join_left", "join_right", "join_semi",
+    "join_skew_salted", "join_theta", "json_schema_projection",
+    "collocation_lift_topk", "dedup_bloom_prefilter",
+    "dsir_importance_weights", "events_weekly_stickiness",
+)
 
 
 def load_all() -> None:
     """Import every operator module so registrations run, then order the
     registry for the driver's budgeted walk (50 verification slots per
-    round, head first): round-11-redefined/new ops, then any unlisted op,
-    then proven greens oldest-evidence-first (r6 → r7 → r8 → r9 → r10)."""
+    round, head first): round-12-redefined/new ops, then any unlisted op,
+    then proven greens oldest-evidence-first (r7 → r8 → r9 → r10 → r11)."""
     from .operators import (  # noqa: F401
         dedup,
         similarity,
@@ -209,11 +190,11 @@ def load_all() -> None:
     )
     listed = (
         set(_VERIFY_HEAD)
-        | set(_R6_GREEN)
         | set(_R7_GREEN)
         | set(_R8_GREEN)
         | set(_R9_GREEN)
         | set(_R10_GREEN)
+        | set(_R11_GREEN)
     )
     blocks = (
         _VERIFY_HEAD,
@@ -222,11 +203,11 @@ def load_all() -> None:
         # a future round that registers an op but forgets the head list
         # still gets it verified (and test_survey_inventory flags it).
         tuple(n for n in QUERIES if n not in listed),
-        _R6_GREEN,
         _R7_GREEN,
         _R8_GREEN,
         _R9_GREEN,
         _R10_GREEN,
+        _R11_GREEN,
     )
     ordered: list[str] = []
     for block in blocks:

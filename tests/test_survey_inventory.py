@@ -80,11 +80,16 @@ def test_survey_matrix_count_matches_registry():
         f"{sorted(set(registry.QUERIES) - matrix - extras)}; "
         f"stale names: {sorted((matrix | extras) - set(registry.QUERIES))}"
     )
-    # The split quoted in SURVEY §2.2 and the verdicts: 197 matrix ops
-    # (incl. the r11 additions multimodal_dedup_perceptual and
-    # graph_label_propagation, stream_ab_lift) + 18 extras = 217
-    # registry queries.
-    assert (len(matrix), len(extras), len(registry.QUERIES)) == (199, 18, 217)
+    # The split quoted in SURVEY §2.2 and the verdicts. The prose of this
+    # comment drifted from the asserted tuple twice (r10: 190 vs 196,
+    # r11: 197 vs 199 — VERDICT r11 item 4), so the human-readable claim
+    # is now DERIVED from the same numbers the assert pins:
+    expected = (199, 18, 217)
+    assert (len(matrix), len(extras), len(registry.QUERIES)) == expected, (
+        f"SURVEY §2.2 split drifted: expected {expected[0]} matrix ops + "
+        f"{expected[1]} extras = {expected[2]} registry queries, got "
+        f"({len(matrix)}, {len(extras)}, {len(registry.QUERIES)})"
+    )
 
 
 def test_green_demotion_lists_are_sound():
@@ -94,21 +99,21 @@ def test_green_demotion_lists_are_sound():
     # per-round evidence lists must be mutually disjoint and cover the
     # whole registry.
     from node_cdc_nats_spark.registry import (
-        _R6_GREEN,
         _R7_GREEN,
         _R8_GREEN,
         _R9_GREEN,
         _R10_GREEN,
+        _R11_GREEN,
         _VERIFY_HEAD,
     )
 
     lists = (
         (_VERIFY_HEAD, "_VERIFY_HEAD"),
-        (_R6_GREEN, "_R6_GREEN"),
         (_R7_GREEN, "_R7_GREEN"),
         (_R8_GREEN, "_R8_GREEN"),
         (_R9_GREEN, "_R9_GREEN"),
         (_R10_GREEN, "_R10_GREEN"),
+        (_R11_GREEN, "_R11_GREEN"),
     )
     for lst, label in lists:
         unknown = [n for n in lst if n not in registry.QUERIES]
@@ -116,7 +121,7 @@ def test_green_demotion_lists_are_sound():
         assert len(set(lst)) == len(lst), f"{label} has duplicates"
     seen: set[str] = set()
     for lst in (
-        _R6_GREEN, _R7_GREEN, _R8_GREEN, _R9_GREEN, _R10_GREEN,
+        _R7_GREEN, _R8_GREEN, _R9_GREEN, _R10_GREEN, _R11_GREEN,
     ):
         dup = seen & set(lst)
         assert not dup, f"evidence lists overlap: {dup}"
@@ -129,39 +134,16 @@ def test_green_demotion_lists_are_sound():
     assert not unlisted, (
         f"ops with no verification status (add to _VERIFY_HEAD): {unlisted}"
     )
-    changed_in_r11 = {
-        # impl changed — offset-carried listing snapshot + flat tuple
-        # CDCMsg decoders in both readers:
-        "nats_roundtrip",
-        # impl changed — Bloom update via observe metrics on the survivor
-        # write (readback job removed):
-        "stream_dedup_incremental",
-        # impl changed — hash-chunked bounded adjacency rows; rank init
-        # keys on the degree census:
-        "graph_pagerank",
-        # impl changed — shared _oriented_closures skeleton; und persisted:
-        "graph_triangles",
-        # impl changed — oriented triangle-credit rewrite + scalar degrees
-        # (de-weaks the r10 unbounded hub adjacency):
-        "graph_jaccard_neighbors",
-        # new in r11 — perceptual media near-dup (dHash-60 over the
-        # stubbed decode grid, banded à la dedup_simhash):
+    changed_in_r12 = {
+        # impl changed — pair-of-bands banding (6×10-bit bands, C(6,2)=15
+        # tables of 20-bit keys) replacing the r11 structural-quadratic
+        # 5×12-bit single-band keys; NULL-text guard in the fingerprint udf:
+        "dedup_simhash",
+        # impl changed — same shared banded-skeleton rewrite
+        # (dedup.banded_hamming_pairs) + the ADVICE r11 None.encode guard:
         "multimodal_dedup_perceptual",
-        # new in r11 — label-propagation communities (integer superstep
-        # skeleton, arg-max tie rule mirrored in the oracle):
-        "graph_label_propagation",
-        # new in r11 — continuous experiment monitor (native update-mode
-        # monotone flags + the batch op's shared report tree):
-        "stream_ab_lift",
-        # refactored in r11 — report tree extracted into ab_lift_report
-        # (shared with the streaming twin); prior green predates it:
-        "events_ab_lift",
-        # impl changed in r11 — centroid-distance fold replaced by the
-        # Arrow cell-ranking udf (shared Lloyd + serve path):
-        "ann_ivf_learned",
-        "ann_ivf_topk",
     }
-    assert changed_in_r11 == set(_VERIFY_HEAD)
+    assert changed_in_r12 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
     names = list(registry.QUERIES)
     assert names[: len(_VERIFY_HEAD)] == list(_VERIFY_HEAD)
@@ -169,23 +151,23 @@ def test_green_demotion_lists_are_sound():
 
 def test_oldest_evidence_fills_the_driver_budget():
     # The point of the per-round reorder: the driver's 50 verification
-    # slots go to the round-10-redefined head and then the OLDEST
-    # evidence (the remaining r5 greens, then r6), refreshing stale rows
-    # before fresh r7/r8/r9 rows burn slots.
+    # slots go to the round-12-redefined head and then the OLDEST
+    # evidence (the remaining r7 greens), refreshing stale rows before
+    # fresh r8/r9/r10/r11 rows burn slots.
     from node_cdc_nats_spark.registry import (
-        _R6_GREEN,
         _R7_GREEN,
+        _R8_GREEN,
         _VERIFY_HEAD,
     )
 
     names = list(registry.QUERIES)
-    priority = list(_VERIFY_HEAD) + list(_R6_GREEN) + list(_R7_GREEN)
+    priority = list(_VERIFY_HEAD) + list(_R7_GREEN) + list(_R8_GREEN)
     assert names[: len(priority)] == priority[: len(priority)]
-    # The walk must clear the ENTIRE r6 evidence tail this round (VERDICT
-    # r10 item 1's Done bar: no op's latest green older than r7):
-    # head + all 35 r6 <= 50.
-    assert len(_VERIFY_HEAD) + len(_R6_GREEN) <= 50, (
-        "head too large — the 50-slot walk would leave r6-era greens "
+    # The walk must clear the ENTIRE r7 evidence tail this round (VERDICT
+    # r11 item 2's Done bar: no op's latest green older than r8):
+    # head + all 45 r7 <= 50.
+    assert len(_VERIFY_HEAD) + len(_R7_GREEN) <= 50, (
+        "head too large — the 50-slot walk would leave r7-era greens "
         "unrefreshed"
     )
     # The 50-slot budget must at least cover the head (never-verified or
