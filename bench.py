@@ -166,6 +166,7 @@ HEADLINE = [
     "events_ab_lift",
     "multimodal_dedup_perceptual",
     "graph_label_propagation",
+    "graph_connected_components",
     "stream_ab_lift",
 ]
 

@@ -581,3 +581,146 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(LPA_TOPN)
         .select(F.col("lab").alias("community"), "members")
     )
+
+
+# Superstep budget for connected components. Min-label propagation with
+# POINTER JUMPING doubles the propagation horizon per round (label chains
+# halve: lab <- lab[lab]), so 12 rounds cover component diameters up to
+# ~1000 (simulated: a 1000-node path fixpoints in exactly 12, a 2000-node
+# path needs 13) at ANY node count — co-occurrence graphs are small-world
+# (the sf0.1 co-purchase graph fixpoints in 4), and a >1000-diameter chain
+# is a pathology the loud guard names rather than silently mislabeling.
+CC_MAX_ITERS = 12
+
+
+def _sql_cc_step(i: int) -> str:
+    """One unrolled pointer-jumping min-label superstep as DuckDB CTEs,
+    mirroring the Spark loop join-for-join: ``p`` chases one pointer hop
+    (lab <- lab[lab] — every label IS a node id of the same component, so
+    the self-join always hits), ``n`` takes the neighbor min, ``l`` folds
+    both with the current label. Integer end-to-end; idempotent once the
+    fixpoint is reached, so unrolling past Spark's early-stopped round
+    count changes nothing."""
+    return f"""
+    p{i} AS (SELECT a.node, a.lab, b.lab AS plab
+             FROM l{i - 1} a JOIN l{i - 1} b ON a.lab = b.node),
+    n{i} AS (SELECT e.dst AS node, MIN(p.lab) AS nlab
+             FROM e JOIN l{i - 1} p ON p.node = e.src GROUP BY e.dst),
+    l{i} AS MATERIALIZED (SELECT p.node, LEAST(p.lab, p.plab, n.nlab) AS lab
+             FROM p{i} p JOIN n{i} n ON n.node = p.node)"""
+
+
+@register(
+    "graph_connected_components",
+    oracle=f"""
+    WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    -- MATERIALIZED throughout: DuckDB INLINES plain CTEs, and each
+    -- superstep references its predecessor three times, so 11 inlined
+    -- steps would expand to 3^11 copies of the lineitem scan (measured:
+    -- "Too many open files" before any row came back)
+    e AS MATERIALIZED (SELECT DISTINCT a.pk AS src, b.pk AS dst
+          FROM it a JOIN it b ON a.ok = b.ok AND a.pk <> b.pk),
+    -- superstep 1 in closed form: initial labels are the node ids, so
+    -- least(self, min neighbor) needs no prior label vector
+    l1 AS MATERIALIZED (SELECT dst AS node, LEAST(dst, MIN(src)) AS lab
+          FROM e GROUP BY dst),
+    {",".join(_sql_cc_step(i).strip() for i in range(2, CC_MAX_ITERS + 1))}
+    SELECT node, component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS csize
+    FROM (SELECT node, lab AS component FROM l{CC_MAX_ITERS})
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the part co-purchase graph — every node
+    labeled with its component's smallest part id plus the component size:
+    the substitute/compatibility clusters downstream assortment and
+    recommendation pipelines key on (and the canonical large-graph CC the
+    graph family was missing; ``dedup_clusters`` runs the same fixpoint
+    but only over the near-dup pair graph).
+
+    Scale plan — min-label propagation with POINTER JUMPING, the
+    Shiloach-Vishkin halving step expressed as DataFrame joins: each
+    superstep folds three integer signals per node — its label, its
+    label's label (one |V|-sized self-join on the label vector; every
+    label is a node id, so the join always hits), and its neighbors' min
+    label (one |E|-sized equi-join; AQE broadcasts the |V|-sized label
+    vector). Pointer chasing doubles the propagation horizon per round,
+    so fixpoint arrives in O(log diameter) supersteps — {CC_MAX_ITERS}
+    rounds cover diameters to ~1000 where plain propagation
+    (``dedup_clusters``' loop, fine for shallow near-dup cliques) would
+    need a round per hop. Labels only decrease and are BIGINTs end to
+    end, so determinism is free and the driver hash-checks exact values.
+    Each round's |V|-sized vector is localCheckpoint-ed (breaks lineage;
+    the LPA lesson: without it every later round's broadcast build
+    re-executes all prior rounds), convergence is a per-round count of
+    changed labels, and the loop FAILS LOUDLY past the budget — a silent
+    cap would emit split components. Component sizes come from a
+    groupBy + broadcast join rather than a window: a giant component (the
+    expected shape — sf0.1 is ONE 20k-node component) would funnel the
+    whole output through a single window partition, while the groupBy
+    reduces map-side. The oracle unrolls the SAME step {CC_MAX_ITERS}
+    times; supersteps past Spark's early stop are idempotent, so both
+    engines agree bit-for-bit whenever the guard passes. (The oracle's
+    step CTEs are MATERIALIZED — DuckDB inlines plain CTEs, and three
+    references per step would expand 3^11 copies of the scan.)
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    und = managed_persist(_copurchase_und(li))
+    ed = managed_persist(
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+            und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+    )
+    # Superstep 1 in closed form (mirrored in the oracle's l1): with
+    # all-distinct initial labels the fold is least(self, min neighbor) —
+    # one map-side-reducible aggregate, no init pass; symmetric edges
+    # mean every graph node appears as dst.
+    labels = (
+        ed.groupBy("dst")
+        .agg(F.min("src").alias("m"))
+        .select(
+            F.col("dst").alias("node"),
+            F.least(F.col("dst"), F.col("m")).alias("lab"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(2, CC_MAX_ITERS + 1):
+        ptr = labels.alias("a").join(
+            labels.select(
+                F.col("node").alias("lnode"), F.col("lab").alias("plab")
+            ),
+            F.col("a.lab") == F.col("lnode"),
+        ).select("node", "lab", "plab")
+        nmin = (
+            ed.join(labels, ed["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("lab").alias("nlab"))
+            .withColumnRenamed("dst", "node")
+        )
+        nxt = (
+            ptr.join(nmin, "node")
+            .select(
+                "node",
+                F.least("lab", "plab", "nlab").alias("new_lab"),
+                (F.least("lab", "plab", "nlab") < F.col("lab")).alias("chg"),
+            )
+            .withColumnRenamed("new_lab", "lab")
+            .localCheckpoint(eager=True)
+        )
+        changed = nxt.filter("chg").count()
+        labels = nxt.drop("chg")
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"graph_connected_components: pointer-jumping propagation did "
+            f"not converge in {CC_MAX_ITERS} rounds (component diameter "
+            f"beyond ~2^{CC_MAX_ITERS - 2})"
+        )
+    sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("csize"))
+    return (
+        labels.join(F.broadcast(sizes), "lab")
+        .select("node", F.col("lab").alias("component"), "csize")
+    )

@@ -52,6 +52,9 @@ _VERIFY_HEAD = (
     # r12: impl changed — same banded-skeleton rewrite (now shared via
     # dedup.banded_hamming_pairs) + the ADVICE r11 None.encode guard
     "multimodal_dedup_perceptual",
+    # r12: new op — connected components of the co-purchase graph
+    # (pointer-jumping min-label propagation, O(log diameter) supersteps)
+    "graph_connected_components",
 )
 
 

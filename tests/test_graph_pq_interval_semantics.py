@@ -392,3 +392,70 @@ def test_label_propagation_two_cliques_with_bridge(spark, tmp_path):
     assert len({want_lab[n] for n in (1, 2, 3)}) == 1
     assert len({want_lab[n] for n in (10, 11, 12)}) == 1
     assert want_lab[1] != want_lab[11]
+
+
+# -- connected components (round 12, r11 verdict item 6) ------------------------
+def test_cc_multi_component_hand_fixture(spark, tmp_path):
+    """Three separate co-purchase islands (a triangle, a 4-path, an edge)
+    must come back as three components labeled by their smallest part id,
+    each row carrying the right component size."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    orders = [
+        (1, 2), (2, 3), (1, 3),            # component {1,2,3}
+        (10, 11), (11, 12), (12, 13),      # path component {10..13}
+        (30, 31),                          # edge component {30,31}
+    ]
+    rows = []
+    for ok, pair in enumerate(orders, start=1):
+        for ln, pk in enumerate(pair, start=1):
+            rows.append((ok, pk, 1, ln, t0))
+    sf = _write_lineitem(tmp_path, rows)
+    got = {
+        r.node: (r.component, r.csize)
+        for r in registry.QUERIES["graph_connected_components"](spark, sf).collect()
+    }
+    want = {}
+    for comp, size in (( (1, 2, 3), 3), ((10, 11, 12, 13), 4), ((30, 31), 2)):
+        for n in comp:
+            want[n] = (comp[0], size)
+    assert got == want
+
+
+def test_cc_pointer_jumping_covers_deep_paths(spark, tmp_path):
+    """A 40-node path has diameter 39 — far beyond a per-hop budget of 12
+    rounds — but pointer jumping doubles the horizon each superstep
+    (simulated: fixpoint at round 8), so it must converge to ONE component
+    labeled by part 0. This is the test that fails if the lab[lab] hop is
+    dropped from the fold."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(39):
+        rows.append((i + 1, i, 1, 1, t0))
+        rows.append((i + 1, i + 1, 1, 2, t0))
+    sf = _write_lineitem(tmp_path, rows)
+    out = registry.QUERIES["graph_connected_components"](spark, sf).collect()
+    assert {r.component for r in out} == {0}
+    assert {r.csize for r in out} == {40}
+    assert len(out) == 40
+
+
+def test_cc_over_budget_diameter_raises_loudly(spark, tmp_path):
+    """A 4000-node path needs 14 pointer-jumping rounds (simulated) — past
+    the 12-round budget the guard must RAISE rather than emit silently
+    split components (the dedup_clusters loud-guard contract)."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(3999):
+        rows.append((i + 1, i, 1, 1, t0))
+        rows.append((i + 1, i + 1, 1, 2, t0))
+    sf = _write_lineitem(tmp_path, rows)
+    with _pytest.raises(RuntimeError, match="did not converge in 12 rounds"):
+        registry.QUERIES["graph_connected_components"](spark, sf).collect()

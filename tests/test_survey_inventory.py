@@ -84,7 +84,7 @@ def test_survey_matrix_count_matches_registry():
     # comment drifted from the asserted tuple twice (r10: 190 vs 196,
     # r11: 197 vs 199 — VERDICT r11 item 4), so the human-readable claim
     # is now DERIVED from the same numbers the assert pins:
-    expected = (199, 18, 217)
+    expected = (200, 18, 218)
     assert (len(matrix), len(extras), len(registry.QUERIES)) == expected, (
         f"SURVEY §2.2 split drifted: expected {expected[0]} matrix ops + "
         f"{expected[1]} extras = {expected[2]} registry queries, got "
@@ -142,6 +142,9 @@ def test_green_demotion_lists_are_sound():
         # impl changed — same shared banded-skeleton rewrite
         # (dedup.banded_hamming_pairs) + the ADVICE r11 None.encode guard:
         "multimodal_dedup_perceptual",
+        # new in r12 — pointer-jumping connected components (Shiloach-
+        # Vishkin halving on the LPA superstep skeleton):
+        "graph_connected_components",
     }
     assert changed_in_r12 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
@@ -194,12 +197,10 @@ def test_bench_headline_names_are_registered_and_cover_new_ops():
     from node_cdc_nats_spark.registry import _VERIFY_HEAD
 
     # Retuned/redefined ops keep their existing bench placement; the rule
-    # binds genuinely NEW ops only (r11: multimodal_dedup_perceptual,
-    # graph_label_propagation).
+    # binds genuinely NEW ops only (r12: graph_connected_components and the
+    # other r12 additions).
     retuned = {
-        "nats_roundtrip", "stream_dedup_incremental", "graph_pagerank",
-        "graph_triangles", "graph_jaccard_neighbors", "events_ab_lift",
-        "ann_ivf_learned", "ann_ivf_topk",
+        "dedup_simhash", "multimodal_dedup_perceptual",
     }
     missing = sorted(set(_VERIFY_HEAD) - retuned - set(bench.HEADLINE))
-    assert not missing, f"r11 ops absent from the bench headline: {missing}"
+    assert not missing, f"r12 ops absent from the bench headline: {missing}"
