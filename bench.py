@@ -167,6 +167,7 @@ HEADLINE = [
     "multimodal_dedup_perceptual",
     "graph_label_propagation",
     "graph_connected_components",
+    "multimodal_dedup_video",
     "stream_ab_lift",
 ]
 

@@ -375,3 +375,121 @@ def multimodal_dedup_perceptual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banded_hamming_pairs(
         hashed, "phash", bits=PHASH_BITS, hamming_max=PHASH_HAMMING_MAX
     )
+
+
+# Two videos are near-dups when at least this many sampled-frame pairs land
+# within PHASH_HAMMING_MAX of each other. 2-of-≤5 tolerates one corrupted /
+# retimed frame per clip while a single coincidental frame collision cannot
+# fabricate a video match.
+VIDEO_MIN_FRAME_MATCHES = 2
+
+
+@register(
+    "multimodal_dedup_video",
+    oracle=f"""
+    WITH fr AS (
+      SELECT doc_id, text,
+             OCTET_LENGTH(ENCODE(text)) AS n,
+             OCTET_LENGTH(ENCODE(text)) % 5 + 1 AS nf,
+             CAST(UNNEST(RANGE(OCTET_LENGTH(ENCODE(text)) % 5 + 1)) AS BIGINT) AS f
+      FROM documents),
+    g AS (
+      SELECT doc_id, f,
+             LIST_TRANSFORM(RANGE({PHASH_GRID}),
+               k -> ASCII(SUBSTR(text,
+                      CAST((f * n) // nf
+                           + (k * (((f + 1) * n) // nf - (f * n) // nf))
+                             // {PHASH_GRID} AS INT) + 1,
+                      1))) AS s
+      FROM fr),
+    h AS (
+      SELECT doc_id, f,
+             CAST(LIST_SUM(LIST_TRANSFORM(RANGE({PHASH_BITS}),
+               k -> CASE WHEN s[CAST(k AS INT) + 1] > s[CAST(k AS INT) + 2]
+                         THEN CAST(1 AS BIGINT) << CAST(k AS INT)
+                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ph
+      FROM g),
+    m AS (
+      SELECT a.doc_id AS video_a, b.doc_id AS video_b, COUNT(*) AS nm
+      FROM h a JOIN h b
+        ON a.doc_id < b.doc_id
+       AND BIT_COUNT(XOR(a.ph, b.ph)) <= {PHASH_HAMMING_MAX}
+      GROUP BY 1, 2)
+    SELECT video_a, video_b, CAST(nm AS BIGINT) AS n_frame_matches
+    FROM m WHERE nm >= {VIDEO_MIN_FRAME_MATCHES}
+    """,
+)
+def multimodal_dedup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup VIDEO detection: two media payloads are a pair when at
+    least {VIDEO_MIN_FRAME_MATCHES} of their sampled-frame fingerprints
+    land within Hamming ≤ {PHASH_HAMMING_MAX} — the re-crawled/re-encoded
+    clip detector that byte-exact ``multimodal_dedup`` and single-image
+    ``multimodal_dedup_perceptual`` both miss, composing
+    ``multimodal_frame_sample``'s sampling contract (``n_bytes % 5 + 1``
+    frames per payload — a real deployment swaps in fps-spaced decoded
+    frames and nothing downstream changes) with the per-frame 60-bit dHash
+    of the perceptual pipeline. Frames match CROSS-position, so a
+    re-ordered or trimmed clip still pairs.
+
+    Spark plan: ONE Arrow pandas_udf pass fingerprints every frame of a
+    payload map-side (the payload never shuffles; only nf × 8-byte hashes
+    + ids leave the scan) → posexplode to (video, frame) rows keyed by the
+    composite id video*8+frame → the shared pair-of-bands skeleton
+    (:func:`~node_cdc_nats_spark.operators.dedup.banded_hamming_pairs`,
+    C(6,2)=15 tables of 20-bit keys, Hamming filter inside the in-bucket
+    generator) emits matching FRAME pairs — the one-to-many frame relation
+    rides the same banded plan, multiplying rows by nf ≤ 5, not the
+    keyspace — → decompose composites, drop same-video pairs (composite
+    order preserves video order, so video_a < video_b survives), and one
+    count-per-video-pair aggregate with the ≥ {VIDEO_MIN_FRAME_MATCHES}
+    HAVING. The oracle states the quadratic frame-join truth; pigeonhole
+    keeps the banded plan exactly equal to it."""
+    @F.pandas_udf("array<long>")
+    def _frame_dhashes(texts):
+        # Self-contained (executors lack the repo on sys.path); NULL text
+        # yields an EMPTY frame list — the oracle's RANGE(NULL) unnests to
+        # zero rows — while an empty payload has one all-zero frame
+        # (ASCII('') = 0 on every sample).
+        import numpy as np
+        import pandas as pd
+
+        grid, bits = 61, 60  # PHASH_GRID/PHASH_BITS by value (self-contained)
+        ks = np.arange(grid, dtype=np.int64)
+        shifts = np.arange(bits, dtype=np.int64)
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            n = len(b)
+            nf = n % 5 + 1
+            hs = []
+            for f in range(nf):
+                start = (f * n) // nf
+                seg_len = ((f + 1) * n) // nf - start
+                if n == 0:
+                    hs.append(0)
+                    continue
+                s = b[start + (ks * seg_len) // grid].astype(np.int64)
+                hs.append(int(((s[:-1] > s[1:]).astype(np.int64) << shifts).sum()))
+            out.append(hs)
+        return pd.Series(out)
+
+    d = load_table(spark, sf_dir, "documents")
+    frames = d.select(
+        "doc_id", F.posexplode(_frame_dhashes(F.col("text"))).alias("f", "ph")
+    ).select((F.col("doc_id") * 8 + F.col("f")).alias("doc_id"), "ph")
+    fpairs = banded_hamming_pairs(
+        frames, "ph", bits=PHASH_BITS, hamming_max=PHASH_HAMMING_MAX
+    )
+    return (
+        fpairs.select(
+            (F.col("doc_a") / 8).cast("long").alias("video_a"),
+            (F.col("doc_b") / 8).cast("long").alias("video_b"),
+        )
+        .filter(F.col("video_a") != F.col("video_b"))
+        .groupBy("video_a", "video_b")
+        .agg(F.count(F.lit(1)).alias("n_frame_matches"))
+        .filter(F.col("n_frame_matches") >= VIDEO_MIN_FRAME_MATCHES)
+    )

@@ -55,6 +55,9 @@ _VERIFY_HEAD = (
     # r12: new op — connected components of the co-purchase graph
     # (pointer-jumping min-label propagation, O(log diameter) supersteps)
     "graph_connected_components",
+    # r12: new op — near-dup video detection (per-frame dHash over the
+    # shared banded skeleton; ≥2 matching frame pairs ⇒ video pair)
+    "multimodal_dedup_video",
 )
 
 

@@ -149,3 +149,142 @@ def test_phash_udf_matches_reference_on_corpus(spark, media_dir):
     empty.write.mode("overwrite").parquet(out + "/documents.parquet")
     res = registry.QUERIES["multimodal_dedup_perceptual"](spark, out).collect()
     assert res == []  # single empty doc: no pairs, no crash (phash 0)
+
+
+# -- multimodal_dedup_video (round 12, r11 verdict item 7) ----------------------
+def _ref_frame_hashes(text: str) -> list[int]:
+    """Independent mirror of the video op's per-frame dHash: nf = n%5+1
+    equal-split byte segments, 61 evenly spaced samples per segment."""
+    b = text.encode("utf-8")
+    n = len(b)
+    nf = n % 5 + 1
+    hs = []
+    for f in range(nf):
+        start = (f * n) // nf
+        seg_len = (f + 1) * n // nf - start
+        if n == 0:
+            hs.append(0)
+            continue
+        s = [b[start + (k * seg_len) // PHASH_GRID] for k in range(PHASH_GRID)]
+        hs.append(sum(1 << k for k in range(PHASH_BITS) if s[k] > s[k + 1]))
+    return hs
+
+
+def _want_video_pairs(texts: dict[int, str]) -> dict[tuple[int, int], int]:
+    from node_cdc_nats_spark.operators.multimodal import VIDEO_MIN_FRAME_MATCHES
+
+    fh = {i: _ref_frame_hashes(t) for i, t in texts.items()}
+    want = {}
+    for a in texts:
+        for b in texts:
+            if a < b:
+                nm = sum(
+                    1
+                    for x in fh[a]
+                    for y in fh[b]
+                    if _hamming(x, y) <= PHASH_HAMMING_MAX
+                )
+                if nm >= VIDEO_MIN_FRAME_MATCHES:
+                    want[(a, b)] = nm
+    return want
+
+
+@pytest.fixture(scope="module")
+def video_dir(spark, tmp_path_factory):
+    """Clips of 306 bytes → nf = 2 equal 153-byte frame segments (seg_len >
+    61, so per-frame noise can hide between samples). Cases: a re-encoded
+    twin (noise at unsampled offsets — frame hashes untouched), a REORDERED
+    clip (segments swapped — only cross-position matching finds it), a clip
+    sharing exactly ONE frame (must stay below the ≥2 rule), and a distinct
+    clip."""
+    n = 306
+    assert n % 5 + 1 == 2 and n % 2 == 0
+    seg = n // 2
+    # The two frame segments must be DISSIMILAR (ascending vs descending
+    # ramps — measured Hamming 58): a self-similar clip would let the
+    # one-shared-frame control below match BOTH base frames and
+    # legitimately clear the ≥2 rule.
+    base = "".join(chr(40 + ((p * 5) // 7) % 80) for p in range(seg)) + "".join(
+        chr(119 - ((p * 3) // 5) % 80) for p in range(seg)
+    )
+    sampled = {
+        (f * n) // 2 + (k * seg) // PHASH_GRID
+        for f in range(2)
+        for k in range(PHASH_GRID)
+    }
+    noise_at = [o for o in range(n) if o not in sampled][3:60:9]
+    assert noise_at
+    reenc = list(base)
+    for o in noise_at:
+        reenc[o] = chr(ord(reenc[o]) + 1)
+    reenc = "".join(reenc)
+    assert reenc != base
+
+    reorder = base[seg:] + base[:seg]
+    one_frame = base[:seg] + "".join(
+        chr(40 + (p * 37) % 80) for p in range(seg)
+    )
+    distinct = "".join(chr(40 + (p * 41) % 80) for p in range(n))
+
+    rows = [
+        (1, base, "en", "v", n),
+        (2, reenc, "en", "v", n),
+        (3, reorder, "en", "v", n),
+        (4, one_frame, "en", "v", n),
+        (5, distinct, "en", "v", n),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = tmp_path_factory.mktemp("video")
+    df.coalesce(1).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+    return str(out), {r[0]: r[1] for r in rows}
+
+
+def test_video_reencode_reorder_and_min_frame_rule(spark, video_dir):
+    sf, texts = video_dir
+    fh = {i: _ref_frame_hashes(t) for i, t in texts.items()}
+    # Fixture sanity, so failures localize: the re-encode is grid-invisible
+    # per frame; the reorder permutes the same two hashes; the one-frame
+    # clip shares exactly one frame with base; the distinct clip none.
+    assert fh[2] == fh[1]
+    assert fh[3] == fh[1][::-1] and fh[1][0] != fh[1][1]
+    # Base frames far apart, so the one-shared-frame clip matches exactly
+    # one of them (a self-similar base would hand it two matches).
+    assert _hamming(fh[1][0], fh[1][1]) > PHASH_HAMMING_MAX
+    assert _hamming(fh[4][0], fh[1][0]) == 0
+    assert _hamming(fh[4][0], fh[1][1]) > PHASH_HAMMING_MAX
+    assert all(_hamming(fh[4][1], x) > PHASH_HAMMING_MAX for x in fh[1])
+    assert all(
+        _hamming(y, x) > PHASH_HAMMING_MAX for x in fh[1] for y in fh[5]
+    )
+
+    got = {
+        (r.video_a, r.video_b): r.n_frame_matches
+        for r in registry.QUERIES["multimodal_dedup_video"](spark, sf).collect()
+    }
+    assert got == _want_video_pairs(texts)
+    assert (1, 2) in got  # re-encoded clip found
+    assert (1, 3) in got  # reordered clip found (cross-position matching)
+    assert not any(4 in p for p in got)  # one matching frame < the ≥2 rule
+    assert not any(5 in p for p in got)  # distinct clip never collapses
+
+
+def test_video_null_and_empty_payloads(spark, tmp_path_factory):
+    """NULL payload → zero frames (the oracle's RANGE(NULL) unnests to
+    nothing), so NULL docs never pair; two EMPTY payloads each have one
+    all-zero frame — one match < the ≥2 rule, so they must not pair
+    either."""
+    rows = [
+        (0, None, "en", "v", 0),
+        (1, None, "en", "v", 0),
+        (2, "", "en", "v", 0),
+        (3, "", "en", "v", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = tmp_path_factory.mktemp("video_null")
+    df.coalesce(1).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+    got = registry.QUERIES["multimodal_dedup_video"](spark, str(out)).collect()
+    assert got == []
