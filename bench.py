@@ -168,6 +168,7 @@ HEADLINE = [
     "graph_label_propagation",
     "graph_connected_components",
     "multimodal_dedup_video",
+    "stream_retention_cohorts",
     "stream_ab_lift",
 ]
 

@@ -183,9 +183,12 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "retention_cohorts",
-    oracle="""
+# Shared with the streaming twin (streaming/retention.py) so both register
+# the byte-identical oracle; the batch function body below is deliberately
+# untouched (its r9 driver green stays valid — the twin re-expresses the
+# report tail and tests/test_streaming_twins_timelines.py pins the two
+# code paths to equal output).
+RETENTION_ORACLE = """
     WITH firsts AS (
       SELECT user_id, ts,
              MIN(ts) OVER (PARTITION BY user_id) AS first_ts
@@ -202,8 +205,10 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT cohort_week, week_offset, COUNT(*) AS n_users
     FROM marked GROUP BY cohort_week, week_offset
     ORDER BY cohort_week, week_offset
-    """,
-)
+    """
+
+
+@register("retention_cohorts", oracle=RETENTION_ORACLE)
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: cohort = Monday-anchored week of the
     user's first event; count distinct users active at each week offset.

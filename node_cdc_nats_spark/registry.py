@@ -58,6 +58,10 @@ _VERIFY_HEAD = (
     # r12: new op — near-dup video detection (per-frame dHash over the
     # shared banded skeleton; ≥2 matching frame pairs ⇒ video pair)
     "multimodal_dedup_video",
+    # r12: new op — streaming twin of retention_cohorts (monotone MIN(ts)
+    # anchor + grow-only week set, native update-mode aggregates; the
+    # batch op itself is untouched so its r9 green stays valid)
+    "stream_retention_cohorts",
 )
 
 

@@ -21,6 +21,7 @@ from . import (  # noqa: F401
     ingest_dedup,
     joins,
     ohlc,
+    retention,
     rpc,
     source,
     topk,

@@ -349,3 +349,80 @@ def test_stream_ab_lift_promotes_across_batches(spark, ab_dir):
     assert got.rate_a == 0.5 and got.rate_b == 0.5 and got.lift == 0.0
     batch = registry.QUERIES["events_ab_lift"](spark, ab_dir).collect()[0]
     assert tuple(got) == tuple(batch)  # bit-identical twin report
+
+
+# ---------------------------------------------------------------------------
+# stream_retention_cohorts — cross-batch anchor correction
+# ---------------------------------------------------------------------------
+
+WEEK = 7 * 24 * 60  # minutes
+
+RET_TL = [
+    # (event_id, ts_min, user_id) — event_id is ARRIVAL order (staging
+    # buckets 0-2 / 3-4 / 5-7 / 8-9). User 2's WEEK-2 event arrives in
+    # batch 0 and their true FIRST event (week 0) only in batch 2, so the
+    # cohort anchor must retro-shift: early emissions carry a wrong
+    # (week-2-anchored) cohort that the monotone MIN fold must supersede.
+    (0, 0, 1),                # batch 0: u1 week 0
+    (1, 2 * WEEK + 30, 2),    # batch 0: u2 week 2 FIRST-SEEN (not first)
+    (2, 1 * WEEK + 10, 3),    # batch 0: u3 week 1
+    (3, 1 * WEEK + 20, 1),    # batch 1: u1 week 1
+    (4, 1 * WEEK + 25, 1),    # batch 1: u1 week 1 again (dedup inside week)
+    (5, 15, 2),               # batch 2: u2 TRUE first event, week 0
+    (6, 2 * WEEK + 40, 1),    # batch 2: u1 week 2
+    (7, 1 * WEEK + 50, 3),    # batch 2: u3 week 1 repeat
+    (8, 5, 1),                # batch 3: u1 week 0 repeat
+    (9, 2 * WEEK + 60, 2),    # batch 3: u2 week 2 repeat
+]
+
+
+@pytest.fixture(scope="module")
+def retention_dir(tmp_path_factory) -> str:
+    out = tmp_path_factory.mktemp("timeline_retention_sf")
+    ids, tss, users = zip(*[(i, _m(t), u) for i, t, u in RET_TL])
+    table = pa.table(
+        {
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array(tss, pa.timestamp("us")),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(["click"] * len(ids), pa.string()),
+            "value": pa.array([1.0] * len(ids), pa.float64()),
+            "props": pa.array([None] * len(ids), pa.string()),
+        }
+    )
+    pq.write_table(table, f"{out}/events.parquet")
+    return str(out)
+
+
+def test_stream_retention_cohorts_out_of_order_anchor(spark, retention_dir):
+    """The cohort anchor is MIN(ts): a user whose first-SEEN event is a
+    week-2 event must retro-shift to the week-0 cohort when the true first
+    event arrives two micro-batches later — the stale week-2-anchored
+    emission rows must collapse into the corrected cohort, never survive
+    as a phantom cohort row. Twin equivalence is asserted bit-for-bit on
+    the same timeline (the two report tails are separate code by design —
+    this test is the drift guard)."""
+    import datetime as dt
+
+    got = [
+        tuple(r)
+        for r in registry.QUERIES["stream_retention_cohorts"](
+            spark, retention_dir
+        ).collect()
+    ]
+    batch = [
+        tuple(r)
+        for r in registry.QUERIES["retention_cohorts"](
+            spark, retention_dir
+        ).collect()
+    ]
+    assert got == batch  # bit-identical twin table
+    w0 = dt.date(2024, 12, 30)  # Monday of BASE's (2025-01-01) week
+    w1 = dt.date(2025, 1, 6)
+    want = [
+        (w0, 0, 2),  # u1 + u2 (u2 only via the retro-shifted anchor)
+        (w0, 1, 1),  # u1
+        (w0, 2, 2),  # u1 + u2
+        (w1, 0, 1),  # u3 (never retro-shifted)
+    ]
+    assert got == want

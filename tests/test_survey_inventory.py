@@ -84,7 +84,7 @@ def test_survey_matrix_count_matches_registry():
     # comment drifted from the asserted tuple twice (r10: 190 vs 196,
     # r11: 197 vs 199 — VERDICT r11 item 4), so the human-readable claim
     # is now DERIVED from the same numbers the assert pins:
-    expected = (201, 18, 219)
+    expected = (202, 18, 220)
     assert (len(matrix), len(extras), len(registry.QUERIES)) == expected, (
         f"SURVEY §2.2 split drifted: expected {expected[0]} matrix ops + "
         f"{expected[1]} extras = {expected[2]} registry queries, got "
@@ -148,6 +148,11 @@ def test_green_demotion_lists_are_sound():
         # new in r12 — near-dup video detection (frame-sampled dHash pairs
         # over the banded skeleton, ≥2-frame rule):
         "multimodal_dedup_video",
+        # new in r12 — streaming retention twin (monotone MIN anchor +
+        # grow-only week set; batch op deliberately untouched — its oracle
+        # moved to the RETENTION_ORACLE constant byte-identically, so the
+        # r9 green row still verifies the same definition):
+        "stream_retention_cohorts",
     }
     assert changed_in_r12 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.

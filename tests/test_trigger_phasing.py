@@ -73,6 +73,9 @@ def _rows(df):
         # update-mode streaming MAX — phasing-independent for the same
         # monotonicity reason as stream_funnel
         ("ab_lift", "stream_ab_lift", 4),
+        # new in r12: per-user MIN(ts) anchor + grow-only week set — both
+        # monotone, so the folded cohort table is phasing-independent
+        ("retention", "stream_retention_cohorts", 4),
     ],
 )
 def test_result_set_is_trigger_phasing_independent(
