@@ -40,6 +40,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..io import load_table
+from ..session import tune_session
 
 N_FILES = 4
 _STAGED: dict[tuple[str, str], str] = {}
@@ -133,6 +134,15 @@ def read_events_stream(
     granularity halves its fixed cost with ``files_per_trigger=2``. A
     production trigger interval is exactly this dial: sized to throughput,
     not to the source's file layout."""
+    # Pin the event-time confs on EVERY read, not just on a staging cache
+    # miss: load_table(events) inside stage_events re-pins UTC, but a cache
+    # hit skips it, so a session whose timeZone drifted between reads would
+    # render the staged instants at a different wall clock than the NTZ
+    # oracle (caught by the r12 perturbation sweep on
+    # stream_retention_cohorts — the other twins don't do event-time
+    # calendar arithmetic, but the contract is engine-wide: session.py
+    # pins UTC so event-time semantics are deployment-independent).
+    tune_session(spark)
     stage = stage_events(spark, sf_dir, order)
     schema = spark.read.parquet(stage).schema
     reader = spark.readStream.schema(schema)

@@ -45,6 +45,21 @@ SUSPECTS = (
     "events_inactivity_churn",
     "events_weekly_stickiness",
     "parts_pareto_abc",
+    # r11 additions (VERDICT r11 item 8): the LPA mode tie rule and the
+    # banded Hamming plans must not leak partitioning into values; the
+    # streaming A/B monitor has no event-time arithmetic at all, so tz
+    # must be invisible too.
+    "graph_label_propagation",
+    "stream_ab_lift",
+    "multimodal_dedup_perceptual",
+    # r12 additions in the same classes: iterative min-label fixpoint and
+    # the band-pair/video pair generators (partitioning), and the
+    # streaming retention twin (date_trunc('week') over the streamed ts —
+    # the exact tz class this sweep exists for).
+    "graph_connected_components",
+    "dedup_simhash",
+    "multimodal_dedup_video",
+    "stream_retention_cohorts",
 )
 
 
