@@ -654,7 +654,16 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LPA lesson: without it every later round's broadcast build
     re-executes all prior rounds), convergence is a per-round count of
     changed labels, and the loop FAILS LOUDLY past the budget — a silent
-    cap would emit split components. Component sizes come from a
+    cap would emit split components. REJECTED rewrites, both measured at
+    sf0.1 (A/B in one session, bench-style 3 runs): (a) managed_persist
+    label vectors (LPA's pattern — CacheManager-reusable) read 38.6 s
+    cold / 7.2 s warm vs localCheckpoint's 7.8 / 4.5 — with 3 joins per
+    round the un-broken lineage makes every round re-optimize and
+    re-build the whole history (LPA survives persist because it runs 2
+    simpler steps); (b) an explicit broadcast hint on the checkpointed
+    label vector changed nothing (±0.05 s/round) — the per-round cost is
+    the |E|-sized neighbor-min aggregate plus the checkpoint job's fixed
+    machinery, not join strategy. Component sizes come from a
     groupBy + broadcast join rather than a window: a giant component (the
     expected shape — sf0.1 is ONE 20k-node component) would funnel the
     whole output through a single window partition, while the groupBy

@@ -229,7 +229,19 @@ SHOWCASE = [
     ),
     (
         "multimodal_dedup_perceptual",
-        "Perceptual near-dup: Arrow dHash-60 fingerprints (one corpus pass, no shuffle), banded 5x12-bit bucket groupBy, in-bucket pair generation with the Hamming filter INSIDE the generator — shuffled bytes are digests + ids, payloads never leave their partitions.",
+        "Perceptual near-dup: Arrow dHash-60 fingerprints (one corpus pass, no shuffle), pair-of-bands bucket groupBy (r12: C(6,2)=15 tables of 20-bit keys — 15.7M-bucket keyspace vs the r11 quadratic 5x4096), in-bucket pair generation with the Hamming filter INSIDE the generator — shuffled bytes are digests + ids, payloads never leave their partitions.",
+    ),
+    (
+        "dedup_simhash",
+        "SimHash near-dup on the shared banded skeleton: Arrow fingerprint projection, explode to 15 band-pair keys, bucket groupBy, in-bucket pairgen — pigeonhole-exact vs the quadratic join, candidate checks measured 843k -> 185k at sf0.1 (and the keyspace term 85x down on uniform corpora).",
+    ),
+    (
+        "graph_connected_components",
+        "Pointer-jumping min-label CC (r12): per superstep one |V|-sized label self-join (lab[lab]) + one |E|-sized neighbor-min join + LEAST fold, localCheckpoint per round — O(log diameter) rounds; sizes via groupBy + broadcast join, never a giant-component window partition.",
+    ),
+    (
+        "multimodal_dedup_video",
+        "Frame-sampled video near-dup (r12): ONE Arrow pass fingerprints all nf<=5 frames per payload map-side; (video,frame) composite ids ride the banded skeleton; count-per-video-pair + >=2-frame HAVING — payloads never shuffle, only nf x 8-byte hashes + ids.",
     ),
 ]
 

@@ -80,6 +80,9 @@ DOC_BOUND = [
     # r11 addition (documents-bound; Arrow dHash fingerprints + banded
     # pair generation — the perceptual complement of multimodal_dedup)
     "multimodal_dedup_perceptual",
+    # r12 addition (documents-bound; per-frame dHash over the banded
+    # skeleton — frame rows multiply by nf <= 5, not the keyspace)
+    "multimodal_dedup_video",
 ]
 # The embedding-reading ops (r5): the adaptive-planes claim on
 # dedup_embedding_cosine ("EMBED_BUCKET_CAP only ever trims degenerate
