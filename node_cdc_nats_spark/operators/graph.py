@@ -591,6 +591,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the sf0.1 co-purchase graph fixpoints in 4), and a >1000-diameter chain
 # is a pathology the loud guard names rather than silently mislabeling.
 CC_MAX_ITERS = 12
+# Broadcast the per-round label vector while it fits executor memory
+# comfortably: 4M (node, lab) BIGINT pairs ≈ 64 MB per copy. Beyond it the
+# rounds fall back to shuffled joins — the same size-based call AQE would
+# make if localCheckpoint kept stats (it does not; see the loop comment).
+CC_BROADCAST_MAX_NODES = 4_000_000
 
 
 def _sql_cc_step(i: int) -> str:
@@ -660,10 +665,13 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     cold / 7.2 s warm vs localCheckpoint's 7.8 / 4.5 — with 3 joins per
     round the un-broken lineage makes every round re-optimize and
     re-build the whole history (LPA survives persist because it runs 2
-    simpler steps); (b) an explicit broadcast hint on the checkpointed
-    label vector changed nothing (±0.05 s/round) — the per-round cost is
-    the |E|-sized neighbor-min aggregate plus the checkpoint job's fixed
-    machinery, not join strategy. Component sizes come from a
+    simpler steps); (b) a BLANKET broadcast hint — a first single-shot
+    read suggested no change, but a careful interleaved min-of-3 A/B
+    measured 7.21 → 6.71 s cold, so the hint SHIPPED as the size-gated
+    ``CC_BROADCAST_MAX_NODES`` dial instead (the checkpoint erases the
+    stats AQE would have used; the driver substitutes its exact |V|).
+    The remaining per-round cost is the |E|-sized neighbor-min aggregate
+    plus the checkpoint job's fixed machinery. Component sizes come from a
     groupBy + broadcast join rather than a window: a giant component (the
     expected shape — sf0.1 is ONE 20k-node component) would funnel the
     whole output through a single window partition, while the groupBy
@@ -693,16 +701,30 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    # A localCheckpoint erases size stats, so AQE would sort-merge every
+    # round's joins — shuffling AND sorting the |E| edge side per round
+    # (plan-verified: 3 SMJs, 2 extra |E| exchanges). The driver KNOWS |V|
+    # exactly (the count below — exactly the statistic AQE is missing), so
+    # it makes AQE's call itself: broadcast the label vector while it fits
+    # an executor (measured interleaved min-of-3 at sf0.1: 7.21 → 6.71 s
+    # cold), fall back to the shuffled joins beyond the cap — at 1e9 nodes
+    # a forced broadcast would OOM, which is why this is a measured dial
+    # and not a blanket hint.
+    n_nodes = labels.count()
     converged = False
     for _ in range(2, CC_MAX_ITERS + 1):
-        ptr = labels.alias("a").join(
-            labels.select(
-                F.col("node").alias("lnode"), F.col("lab").alias("plab")
-            ),
-            F.col("a.lab") == F.col("lnode"),
-        ).select("node", "lab", "plab")
+        def side(df):
+            return F.broadcast(df) if n_nodes <= CC_BROADCAST_MAX_NODES else df
+
+        lab2 = side(
+            labels.select(F.col("node").alias("lnode"), F.col("lab").alias("plab"))
+        )
+        ptr = labels.join(lab2, labels["lab"] == lab2["lnode"]).select(
+            "node", "lab", "plab"
+        )
+        labj = side(labels)
         nmin = (
-            ed.join(labels, ed["src"] == labels["node"])
+            ed.join(labj, ed["src"] == labj["node"])
             .groupBy("dst")
             .agg(F.min("lab").alias("nlab"))
             .withColumnRenamed("dst", "node")

@@ -237,7 +237,7 @@ SHOWCASE = [
     ),
     (
         "graph_connected_components",
-        "Pointer-jumping min-label CC (r12): per superstep one |V|-sized label self-join (lab[lab]) + one |E|-sized neighbor-min join + LEAST fold, localCheckpoint per round — O(log diameter) rounds; sizes via groupBy + broadcast join, never a giant-component window partition.",
+        "Pointer-jumping min-label CC (r12): per superstep one |V|-sized label self-join (lab[lab]) + one |E|-sized neighbor-min join + LEAST fold, localCheckpoint per round — O(log diameter) rounds; the label side broadcasts under the size-gated CC_BROADCAST_MAX_NODES dial (the checkpoint erases the stats AQE needs, so the driver substitutes its exact |V|), and sizes come from groupBy + broadcast join, never a giant-component window partition.",
     ),
     (
         "multimodal_dedup_video",
