@@ -459,3 +459,31 @@ def test_cc_over_budget_diameter_raises_loudly(spark, tmp_path):
     sf = _write_lineitem(tmp_path, rows)
     with _pytest.raises(RuntimeError, match="did not converge in 12 rounds"):
         registry.QUERIES["graph_connected_components"](spark, sf).collect()
+
+
+def test_cc_shuffled_fallback_above_broadcast_cap(spark, tmp_path, monkeypatch):
+    """The CC_BROADCAST_MAX_NODES dial's OTHER branch: with the cap forced
+    below |V| the rounds must run the shuffled joins and produce the
+    identical component table (the path a 1e9-node corpus takes, where a
+    blanket broadcast would OOM)."""
+    import datetime as dt
+
+    from node_cdc_nats_spark.operators import graph as G
+
+    t0 = dt.datetime(2024, 1, 1)
+    orders = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13), (30, 31)]
+    rows = []
+    for ok, pair in enumerate(orders, start=1):
+        for ln, pk in enumerate(pair, start=1):
+            rows.append((ok, pk, 1, ln, t0))
+    sf = _write_lineitem(tmp_path, rows)
+    want = {
+        r.node: (r.component, r.csize)
+        for r in G.graph_connected_components(spark, sf).collect()
+    }
+    monkeypatch.setattr(G, "CC_BROADCAST_MAX_NODES", 1)
+    got = {
+        r.node: (r.component, r.csize)
+        for r in G.graph_connected_components(spark, sf).collect()
+    }
+    assert got == want
