@@ -528,3 +528,21 @@ def test_ingest_layout_example_runs(spark):
         "zorder_rows": 6000,
         "anomalous_events": 18,
     }
+
+
+def test_media_dedup_example_runs(spark):
+    # The r12 media-dedup ladder stays runnable with pinned fixture counts
+    # (sf0.001): 500 payloads inventoried; the fixture has no byte-exact
+    # or single-asset perceptual duplicates at this scale (both tiers
+    # legitimately empty — the oracle agrees), 1501 frames are sampled
+    # (n_bytes%5+1 per payload) and 10 clip pairs clear the >=2
+    # matching-frame rule.
+    import examples.media_dedup as md
+
+    assert md.main("/root/testdata/sf0.001") == {
+        "media_assets": 500,
+        "byte_exact_groups": 0,
+        "perceptual_pairs": 0,
+        "sampled_frames": 1501,
+        "video_pairs": 10,
+    }
