@@ -672,10 +672,15 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats AQE would have used; the driver substitutes its exact |V|).
     The remaining per-round cost is the |E|-sized neighbor-min aggregate
     plus the checkpoint job's fixed machinery. Component sizes come from a
-    groupBy + broadcast join rather than a window: a giant component (the
+    groupBy + join rather than a window: a giant component (the
     expected shape — sf0.1 is ONE 20k-node component) would funnel the
     whole output through a single window partition, while the groupBy
-    reduces map-side. The oracle unrolls the SAME step {CC_MAX_ITERS}
+    reduces map-side. The sizes join side goes through the SAME
+    ``CC_BROADCAST_MAX_NODES`` dial as the label vector — sizes is one
+    row per component, which is Θ(|V|) worst case (up to |V|/2 pair
+    components on a sparse near-dup-shaped graph), so an unconditional
+    broadcast there would OOM at the 1e9-node target exactly like a
+    forced label broadcast would. The oracle unrolls the SAME step {CC_MAX_ITERS}
     times; supersteps past Spark's early stop are idempotent, so both
     engines agree bit-for-bit whenever the guard passes. (The oracle's
     step CTEs are MATERIALIZED — DuckDB inlines plain CTEs, and three
@@ -711,11 +716,19 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a forced broadcast would OOM, which is why this is a measured dial
     # and not a blanket hint.
     n_nodes = labels.count()
+
+    def side(df):
+        # Gates EVERY build side derived from the label vector — the
+        # per-round self-join/neighbor-min sides AND the final
+        # component-sizes table, which is one row per component and hence
+        # Θ(|V|) worst case (a pair-components graph has |V|/2 rows); an
+        # ungated hint there would reintroduce the exact OOM this dial
+        # exists to prevent. Component count ≤ n_nodes always, so the one
+        # measured threshold is safe for all of them.
+        return F.broadcast(df) if n_nodes <= CC_BROADCAST_MAX_NODES else df
+
     converged = False
     for _ in range(2, CC_MAX_ITERS + 1):
-        def side(df):
-            return F.broadcast(df) if n_nodes <= CC_BROADCAST_MAX_NODES else df
-
         lab2 = side(
             labels.select(F.col("node").alias("lnode"), F.col("lab").alias("plab"))
         )
@@ -752,6 +765,6 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("csize"))
     return (
-        labels.join(F.broadcast(sizes), "lab")
+        labels.join(side(sizes), "lab")
         .select("node", F.col("lab").alias("component"), "csize")
     )

@@ -485,8 +485,12 @@ def multimodal_dedup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         fpairs.select(
-            (F.col("doc_a") / 8).cast("long").alias("video_a"),
-            (F.col("doc_b") / 8).cast("long").alias("video_b"),
+            # Integer decomposition of the composite id (doc_id*8 + f,
+            # f in 0..4): `/` is double division, exact only below 2^53
+            # and truncating toward zero on negatives — shiftright is
+            # exact at every long magnitude (ADVICE r12).
+            F.shiftright("doc_a", 3).alias("video_a"),
+            F.shiftright("doc_b", 3).alias("video_b"),
         )
         .filter(F.col("video_a") != F.col("video_b"))
         .groupBy("video_a", "video_b")

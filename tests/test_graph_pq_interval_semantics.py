@@ -465,10 +465,19 @@ def test_cc_shuffled_fallback_above_broadcast_cap(spark, tmp_path, monkeypatch):
     """The CC_BROADCAST_MAX_NODES dial's OTHER branch: with the cap forced
     below |V| the rounds must run the shuffled joins and produce the
     identical component table (the path a 1e9-node corpus takes, where a
-    blanket broadcast would OOM)."""
+    blanket broadcast would OOM). The dial gates EVERY label-derived build
+    side — including the FINAL component-sizes join, which is Θ(|V|) rows
+    worst case (r12 verdict: that join shipped ungated) — so the plan
+    assertions here read the broadcast hint off the returned DataFrame's
+    optimized logical plan (``strategy=broadcast`` on the Join node; the
+    sizes join is the only join left above the checkpointed labels):
+    present under the cap, ABSENT above it."""
     import datetime as dt
 
     from node_cdc_nats_spark.operators import graph as G
+
+    def plan_of(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
 
     t0 = dt.datetime(2024, 1, 1)
     orders = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13), (30, 31)]
@@ -477,13 +486,17 @@ def test_cc_shuffled_fallback_above_broadcast_cap(spark, tmp_path, monkeypatch):
         for ln, pk in enumerate(pair, start=1):
             rows.append((ok, pk, 1, ln, t0))
     sf = _write_lineitem(tmp_path, rows)
-    want = {
-        r.node: (r.component, r.csize)
-        for r in G.graph_connected_components(spark, sf).collect()
-    }
+    hinted = G.graph_connected_components(spark, sf)
+    assert "strategy=broadcast" in plan_of(hinted), (
+        "under the cap the component-sizes join side should carry the "
+        "broadcast hint"
+    )
+    want = {r.node: (r.component, r.csize) for r in hinted.collect()}
     monkeypatch.setattr(G, "CC_BROADCAST_MAX_NODES", 1)
-    got = {
-        r.node: (r.component, r.csize)
-        for r in G.graph_connected_components(spark, sf).collect()
-    }
+    fallback = G.graph_connected_components(spark, sf)
+    assert "strategy=broadcast" not in plan_of(fallback), (
+        "above the cap NO label-derived side may be broadcast-hinted — "
+        "the sizes table is one row per component, Θ(|V|) worst case"
+    )
+    got = {r.node: (r.component, r.csize) for r in fallback.collect()}
     assert got == want
