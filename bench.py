@@ -170,6 +170,10 @@ HEADLINE = [
     "multimodal_dedup_video",
     "stream_retention_cohorts",
     "stream_ab_lift",
+    # r13 additions: the streaming anomaly monitor (additive-moments twin)
+    # and iterative k-core peeling on the co-purchase graph.
+    "stream_anomaly_zscore",
+    "graph_k_core",
 ]
 
 

@@ -236,9 +236,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_anomaly_zscore",
-    oracle=f"""
+ANOMALY_ZSCORE_ORACLE = """
     WITH s AS (
       SELECT event_type,
              CAST(COUNT(*) AS DOUBLE) AS n,
@@ -253,27 +251,30 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE ABS((value - (sx / n))
               / NULLIF(SQRT(GREATEST((sxx / n) - (sx / n) * (sx / n), 0)), 0))
           > 3.0
-    """,
-)
-def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population-z-score outlier flagging per event type: events whose
-    value sits >3σ from their type's mean — the standing data-quality
-    monitor an event pipeline runs before metrics trust the feed.
+    """
 
-    Engine-exact: moments are DECIMAL-accumulated (order-independent,
-    AQE-stable — same machinery as agg_corr), and mean/variance/z each
-    close with the identical IEEE expression tree on both engines, with
-    the same GREATEST/NULLIF degenerate-group guards. Scale: one
-    partial+final aggregation on the tiny event_type key space, then the
-    per-type stats join back UNHINTED (a handful of rows — AQE
-    broadcasts; never a pin) and the z filter is map-side."""
-    ev = load_table(spark, sf_dir, "events")
+
+def anomaly_moments(ev: DataFrame) -> DataFrame:
+    """Per-event-type population moments ``(n, Σx, Σx²)`` as doubles —
+    DECIMAL-accumulated (order-independent, AQE-stable — same machinery as
+    agg_corr) then cast once. The sums are ADDITIVE, which is what lets
+    ``stream_anomaly_zscore`` maintain the identical values incrementally
+    as a native update-mode streaming aggregate."""
     x = F.col("value")
-    stats = ev.groupBy("event_type").agg(
+    return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(x.cast(DEC)).cast("double").alias("sx"),
         F.sum((x * x).cast("decimal(30,4)")).cast("double").alias("sxx"),
     )
+
+
+def zscore_flags(ev: DataFrame, stats: DataFrame) -> DataFrame:
+    """Join the per-type moments back and keep events beyond 3σ — the
+    shared z-flag tail of ``events_anomaly_zscore`` and its streaming twin
+    (one expression tree, so the twins cannot drift). The stats join is
+    UNHINTED on purpose: a handful of event-type rows — AQE broadcasts;
+    never a pin."""
+    x = F.col("value")
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     m = sx / n
     sd = F.sqrt(F.greatest((sxx / n) - m * m, F.lit(0.0)))
@@ -283,6 +284,24 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", z.alias("zscore"))
         .filter(F.abs(F.col("zscore")) > 3.0)
     )
+
+
+@register("events_anomaly_zscore", oracle=ANOMALY_ZSCORE_ORACLE)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-z-score outlier flagging per event type: events whose
+    value sits >3σ from their type's mean — the standing data-quality
+    monitor an event pipeline runs before metrics trust the feed.
+
+    Engine-exact: moments are DECIMAL-accumulated (``anomaly_moments``),
+    and mean/variance/z each close with the identical IEEE expression tree
+    on both engines (``zscore_flags``), with the same GREATEST/NULLIF
+    degenerate-group guards. Scale: one partial+final aggregation on the
+    tiny event_type key space, then the per-type stats join back UNHINTED
+    (a handful of rows — AQE broadcasts; never a pin) and the z filter is
+    map-side. Both halves are shared verbatim with
+    ``stream_anomaly_zscore`` (streaming/anomaly.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return zscore_flags(ev, anomaly_moments(ev))
 
 
 @register(

@@ -37,60 +37,41 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# Absolute head of round 12's verification order: every op whose code or
-# oracle changed in r12, plus the brand-new r12 ops. Kept MINIMAL on
-# purpose (r10 verdict item 1, re-affirmed r11 item 2): 50 driver slots −
-# 5 head = 45, which covers the ENTIRE 45-op r7 evidence tail — after this
-# round no op's latest green is older than r8.
+# Absolute head of round 13's verification order: every op whose code or
+# oracle changed in r13, plus the brand-new r13 ops. Kept MINIMAL on
+# purpose (r10 verdict item 1, re-affirmed r11/r12): 50 driver slots −
+# 5 head = 45, which covers the ENTIRE 42-op r8 evidence tail with 3
+# slots spilling into the r9 block — after this round no op's latest
+# green is older than r9.
 _VERIFY_HEAD = (
-    # r12: impl changed — banding rewritten from 5×12-bit single-band keys
-    # (the r11 structural `weak`: 20k-bucket keyspace ⇒ Θ(n²/4096) checks)
-    # to pair-of-bands bucketing (6×10-bit bands, C(6,2)=15 tables of
-    # 20-bit keys, pigeonhole exactness preserved); fingerprint udf gains
-    # the NULL-text guard (oracle-exact: NULL → simhash 0)
-    "dedup_simhash",
-    # r12: impl changed — same banded-skeleton rewrite (now shared via
-    # dedup.banded_hamming_pairs) + the ADVICE r11 None.encode guard
-    "multimodal_dedup_perceptual",
-    # r12: new op — connected components of the co-purchase graph
-    # (pointer-jumping min-label propagation, O(log diameter) supersteps)
+    # r13: impl changed — the final component-sizes join side now rides
+    # the same CC_BROADCAST_MAX_NODES dial as the label vector (the r12
+    # `weak`: sizes is Θ(|V|) rows worst case, an ungated broadcast OOMs
+    # at the 1e9-node target)
     "graph_connected_components",
-    # r12: new op — near-dup video detection (per-frame dHash over the
-    # shared banded skeleton; ≥2 matching frame pairs ⇒ video pair)
+    # r13: impl changed — composite frame id decomposed with shiftright
+    # instead of double division (exact at all long magnitudes; ADVICE)
     "multimodal_dedup_video",
-    # r12: new op — streaming twin of retention_cohorts (monotone MIN(ts)
-    # anchor + grow-only week set, native update-mode aggregates; the
-    # batch op itself is untouched so its r9 green stays valid)
-    "stream_retention_cohorts",
+    # r13: impl changed — moments/z-tail refactored into the shared
+    # anomaly_moments/zscore_flags helpers the streaming twin reuses
+    # (same expressions, but the definition moved → re-verify)
+    "events_anomaly_zscore",
+    # r13: new op — streaming twin of events_anomaly_zscore (additive
+    # per-type DECIMAL moment sums as native update-mode aggregates,
+    # max_by(n) fold, shared z-flag tree)
+    "stream_anomaly_zscore",
+    # r13: new op — iterative k-core peeling of the co-purchase graph
+    # (CC loop shape: bounded supersteps, loud guard, unrolled
+    # MATERIALIZED-CTE oracle)
+    "graph_k_core",
 )
 
 
 # The budgeted walk (50 driver slots per round) then refreshes the OLDEST
-# evidence first. Round 11's 50 slots covered its 11-op head + the entire
-# 35-op r6 evidence tail + the first 4 r7-era greens; those carry
-# r11-fresh evidence (_R11_GREEN, minus the ops redefined in this round's
-# head). The oldest remaining evidence is r7 (45 ops), then r8.
-# r7 greens — the full 50-op CORRECTNESS_r07 key set (r7's 11-op head,
-# the 12 r1-era and 9 r2-era greens it refreshed, and the first 18 r3
-# ops), minus scan_binary (redefined in r8's head) and the first 4
-# (refreshed by r11's walk — they sit in _R11_GREEN now).
-_R7_GREEN = (
-    "parts_pareto_abc", "doc_rarity_score", "join_asof_nearest",
-    "cdc_column_diff", "dedup_edit_distance", "events_session_paths_topk",
-    "limit", "math_ops", "project",
-    "q1_pricing_summary", "q3_shipping_priority", "sort", "str_ops",
-    "topk", "topk_per_group", "win_frame_sliding", "win_percent",
-    "win_rank",
-    "multimodal_meta", "multimodal_frame_sample", "multimodal_features",
-    "multimodal_resize", "udf_scalar", "udf_grouped", "udf_grouped_agg",
-    "scan_parquet", "scan_csv",
-    "agg_approx_distinct", "scan_json",
-    "train_val_split", "sample_stratified", "quality_filter_gopher",
-    "topk_ngrams", "decontaminate_ngram", "repetition_ratio", "pii_redact",
-    "corpus_vocab_stats", "sample_temperature",
-    "corpus_mix_report", "corpus_shuffle", "pack_sequences",
-    "embed_norm_quantize", "q10_returned_items", "win_ntile", "array_ops",
-)
+# evidence first. Round 12's 50 slots covered its 5-op head + the entire
+# 45-op r7 evidence tail; those carry r12-fresh evidence (_R12_GREEN,
+# minus the ops redefined in this round's head). The oldest remaining
+# evidence is r8 (42 ops), then r9.
 # r8 greens — the full 50-op CORRECTNESS_r08 key set (r8's 8-op head, all
 # 12 r3-era greens, and the first 30 r4 ops), minus the ops since
 # redefined (r9's five; r10 additionally pulls stream_stream_join and
@@ -132,7 +113,10 @@ _R9_GREEN = (
 # EIGHT ops r11's head pulled for re-verification (nats_roundtrip,
 # stream_dedup_incremental, graph_pagerank, graph_triangles,
 # graph_jaccard_neighbors, events_ab_lift, ann_ivf_learned, ann_ivf_topk
-# — they sit in _R11_GREEN now; ADVICE r11 item 2 fixed the count here).
+# — they sit in _R11_GREEN now; ADVICE r11 item 2 fixed the count here)
+# and minus events_anomaly_zscore (redefined in r13's head: its moment/
+# z-tail expressions moved into the shared helpers the streaming twin
+# reuses).
 _R10_GREEN = (
     "stream_cdc_column_diff",
     "stream_rpc_state", "stream_join_asof_nearest", "stream_tumble",
@@ -145,7 +129,7 @@ _R10_GREEN = (
     "agg_rollup", "agg_stats", "agg_sum", "q12_late_priority",
     "sessionize_events", "funnel_conversion", "agg_corr", "join_range",
     "q5_local_supplier_volume", "dedup_embedding_cosine", "join_bucketed",
-    "perplexity_bucket", "events_anomaly_zscore", "tfidf_topk_terms",
+    "perplexity_bucket", "tfidf_topk_terms",
     "quality_classifier_linear", "dedup_incremental",
 )
 # r11 greens — the full 50-op CORRECTNESS_r11 key set (r11's 11-op head,
@@ -170,13 +154,36 @@ _R11_GREEN = (
     "collocation_lift_topk", "dedup_bloom_prefilter",
     "dsir_importance_weights", "events_weekly_stickiness",
 )
+# r12 greens — the full 50-op CORRECTNESS_r12 key set (r12's 5-op head
+# plus the ENTIRE 45-op r7 evidence tail it refreshed), minus
+# graph_connected_components and multimodal_dedup_video, which are
+# redefined in this round's head (sizes-broadcast gate; shiftright id
+# decomposition). Freshest evidence, verified last.
+_R12_GREEN = (
+    "dedup_simhash", "multimodal_dedup_perceptual", "stream_retention_cohorts",
+    "parts_pareto_abc", "doc_rarity_score", "join_asof_nearest",
+    "cdc_column_diff", "dedup_edit_distance", "events_session_paths_topk",
+    "limit", "math_ops", "project",
+    "q1_pricing_summary", "q3_shipping_priority", "sort", "str_ops",
+    "topk", "topk_per_group", "win_frame_sliding", "win_percent",
+    "win_rank",
+    "multimodal_meta", "multimodal_frame_sample", "multimodal_features",
+    "multimodal_resize", "udf_scalar", "udf_grouped", "udf_grouped_agg",
+    "scan_parquet", "scan_csv",
+    "agg_approx_distinct", "scan_json",
+    "train_val_split", "sample_stratified", "quality_filter_gopher",
+    "topk_ngrams", "decontaminate_ngram", "repetition_ratio", "pii_redact",
+    "corpus_vocab_stats", "sample_temperature",
+    "corpus_mix_report", "corpus_shuffle", "pack_sequences",
+    "embed_norm_quantize", "q10_returned_items", "win_ntile", "array_ops",
+)
 
 
 def load_all() -> None:
     """Import every operator module so registrations run, then order the
     registry for the driver's budgeted walk (50 verification slots per
-    round, head first): round-12-redefined/new ops, then any unlisted op,
-    then proven greens oldest-evidence-first (r7 → r8 → r9 → r10 → r11)."""
+    round, head first): round-13-redefined/new ops, then any unlisted op,
+    then proven greens oldest-evidence-first (r8 → r9 → r10 → r11 → r12)."""
     from .operators import (  # noqa: F401
         dedup,
         similarity,
@@ -200,11 +207,11 @@ def load_all() -> None:
     )
     listed = (
         set(_VERIFY_HEAD)
-        | set(_R7_GREEN)
         | set(_R8_GREEN)
         | set(_R9_GREEN)
         | set(_R10_GREEN)
         | set(_R11_GREEN)
+        | set(_R12_GREEN)
     )
     blocks = (
         _VERIFY_HEAD,
@@ -213,11 +220,11 @@ def load_all() -> None:
         # a future round that registers an op but forgets the head list
         # still gets it verified (and test_survey_inventory flags it).
         tuple(n for n in QUERIES if n not in listed),
-        _R7_GREEN,
         _R8_GREEN,
         _R9_GREEN,
         _R10_GREEN,
         _R11_GREEN,
+        _R12_GREEN,
     )
     ordered: list[str] = []
     for block in blocks:

@@ -13,6 +13,7 @@ results stay collectable AND oracle-checkable.
 
 from . import (  # noqa: F401
     ab_lift,
+    anomaly,
     asof,
     bounded,
     cdc_diff,

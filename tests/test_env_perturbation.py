@@ -60,6 +60,13 @@ SUSPECTS = (
     "dedup_simhash",
     "multimodal_dedup_video",
     "stream_retention_cohorts",
+    # r13 additions (the standing rule: every new op enters the sweep the
+    # round it lands): the streaming anomaly twin has no event-time
+    # arithmetic (tz must be invisible) and its DECIMAL moment fold plus
+    # the batch op's shared tree must not leak partitioning into values;
+    # k-core is an iterative integer peeling fixpoint (partitioning).
+    "stream_anomaly_zscore",
+    "graph_k_core",
 )
 
 

@@ -500,3 +500,71 @@ def test_cc_shuffled_fallback_above_broadcast_cap(spark, tmp_path, monkeypatch):
     )
     got = {r.node: (r.component, r.csize) for r in fallback.collect()}
     assert got == want
+
+
+def test_kcore_hand_fixture_peels_cascade(spark, tmp_path, monkeypatch):
+    """Known 3-core (K monkeypatched — the shipped K=80 suits the fixture's
+    degree scale, not a hand graph): a 4-clique {1,2,3,4} plus node 5 on
+    {1,2,6} and leaf 6 on {5}. Node 5 starts AT degree 3 and only drops
+    below K after leaf 6 peels — the cascade a one-pass degree filter
+    would miss. Expected core: the clique, each node at in-core degree 3."""
+    import datetime as dt
+
+    from node_cdc_nats_spark.operators import graph as G
+
+    monkeypatch.setattr(G, "KCORE_K", 3)
+    t0 = dt.datetime(2024, 1, 1)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (1, 5), (2, 5), (5, 6)]
+    rows = []
+    for ok, pair in enumerate(edges, start=1):
+        for ln, pk in enumerate(pair, start=1):
+            rows.append((ok, pk, 1, ln, t0))
+    sf = _write_lineitem(tmp_path, rows)
+    got = {r.node: r.core_degree for r in G.graph_k_core(spark, sf).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_over_budget_cascade_raises_loudly(spark, tmp_path, monkeypatch):
+    """A 40-node path under K=2 peels exactly its two endpoints per round —
+    a 20-round cascade. Past the 12-round budget the guard must RAISE
+    rather than emit the not-yet-peeled middle as a fake core (the CC
+    loud-guard contract)."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from node_cdc_nats_spark.operators import graph as G
+
+    monkeypatch.setattr(G, "KCORE_K", 2)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(39):
+        rows.append((i + 1, i, 1, 1, t0))
+        rows.append((i + 1, i + 1, 1, 2, t0))
+    sf = _write_lineitem(tmp_path, rows)
+    with _pytest.raises(RuntimeError, match="did not reach a fixpoint in 12"):
+        G.graph_k_core(spark, sf).collect()
+
+
+def test_kcore_shuffled_fallback_above_broadcast_cap(spark, tmp_path, monkeypatch):
+    """The CC_BROADCAST_MAX_NODES dial's OTHER branch for k-core: with the
+    cap forced below the keep count, the per-round semi-joins must run
+    shuffled and produce the identical core (the 1e9-node path)."""
+    import datetime as dt
+
+    from node_cdc_nats_spark.operators import graph as G
+
+    monkeypatch.setattr(G, "KCORE_K", 3)
+    t0 = dt.datetime(2024, 1, 1)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (1, 5), (2, 5), (5, 6)]
+    rows = []
+    for ok, pair in enumerate(edges, start=1):
+        for ln, pk in enumerate(pair, start=1):
+            rows.append((ok, pk, 1, ln, t0))
+    sf = _write_lineitem(tmp_path, rows)
+    want = {r.node: r.core_degree for r in G.graph_k_core(spark, sf).collect()}
+    monkeypatch.setattr(G, "CC_BROADCAST_MAX_NODES", 0)
+    got = {r.node: r.core_degree for r in G.graph_k_core(spark, sf).collect()}
+    assert got == want == {1: 3, 2: 3, 3: 3, 4: 3}

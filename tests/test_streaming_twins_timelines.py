@@ -426,3 +426,70 @@ def test_stream_retention_cohorts_out_of_order_anchor(spark, retention_dir):
         (w1, 0, 1),  # u3 (never retro-shifted)
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# stream_anomaly_zscore — cross-batch moment accumulation
+# ---------------------------------------------------------------------------
+
+# (event_id, event_type, value) — event_id is ARRIVAL order (staging
+# buckets 0-5 / 6-11 / 12-17 / 18-23). Type "m"'s outlier (value 100)
+# arrives in batch 0, where the partial moments (n=2: values 10, 100 →
+# σ=45, z=1) would NOT flag it; only the full-stream moments (17 values:
+# 16×10 + 100 → z≈4.0) do. So a fold that keeps any emission but each
+# type's LAST cumulative one flips the flag set. Type "c" is constant
+# (σ=0) and must emit nothing — the NULLIF degenerate-group guard.
+ZS_TL = [
+    (i, "c", 5.0) if i in {2, 5, 7, 11, 13, 19, 23} else
+    (i, "m", 100.0 if i == 1 else 10.0)
+    for i in range(24)
+]
+
+
+@pytest.fixture(scope="module")
+def zscore_dir(tmp_path_factory) -> str:
+    out = tmp_path_factory.mktemp("timeline_zscore_sf")
+    ids, types, values = zip(*ZS_TL)
+    table = pa.table(
+        {
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array([_m(i) for i in ids], pa.timestamp("us")),
+            "user_id": pa.array([1] * len(ids), pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array(values, pa.float64()),
+            "props": pa.array([None] * len(ids), pa.string()),
+        }
+    )
+    pq.write_table(table, f"{out}/events.parquet")
+    return str(out)
+
+
+def test_stream_anomaly_zscore_accumulates_across_batches(spark, zscore_dir):
+    """The per-type moments must be the FULL stream's, not any prefix's: the
+    batch-0 partial for type "m" (n=2 → z(100)=1) would flag nothing, the
+    whole stream (n=17, 16×10 + one 100) flags exactly the 100. Twin
+    equivalence is asserted bit-for-bit on the same timeline (the moment
+    tree and z tail are SHARED code — this test is the wrong-emission-fold
+    guard, and the constant type "c" pins the σ=0 NULLIF path)."""
+    import math
+
+    got = [
+        tuple(r)
+        for r in registry.QUERIES["stream_anomaly_zscore"](
+            spark, zscore_dir
+        ).collect()
+    ]
+    batch = [
+        tuple(r)
+        for r in registry.QUERIES["events_anomaly_zscore"](
+            spark, zscore_dir
+        ).collect()
+    ]
+    assert got == batch  # bit-identical twin table
+    # Hand check: n=17, Σx=260, Σx²=11600 — the same IEEE tree in Python.
+    m = 260.0 / 17.0
+    sd = math.sqrt(max(11600.0 / 17.0 - m * m, 0.0))
+    assert len(got) == 1
+    eid, etype, value, z = got[0]
+    assert (eid, etype, value) == (1, "m", 100.0)
+    assert z == (100.0 - m) / sd

@@ -84,7 +84,7 @@ def test_survey_matrix_count_matches_registry():
     # comment drifted from the asserted tuple twice (r10: 190 vs 196,
     # r11: 197 vs 199 — VERDICT r11 item 4), so the human-readable claim
     # is now DERIVED from the same numbers the assert pins:
-    expected = (202, 18, 220)
+    expected = (204, 18, 222)
     assert (len(matrix), len(extras), len(registry.QUERIES)) == expected, (
         f"SURVEY §2.2 split drifted: expected {expected[0]} matrix ops + "
         f"{expected[1]} extras = {expected[2]} registry queries, got "
@@ -99,21 +99,21 @@ def test_green_demotion_lists_are_sound():
     # per-round evidence lists must be mutually disjoint and cover the
     # whole registry.
     from node_cdc_nats_spark.registry import (
-        _R7_GREEN,
         _R8_GREEN,
         _R9_GREEN,
         _R10_GREEN,
         _R11_GREEN,
+        _R12_GREEN,
         _VERIFY_HEAD,
     )
 
     lists = (
         (_VERIFY_HEAD, "_VERIFY_HEAD"),
-        (_R7_GREEN, "_R7_GREEN"),
         (_R8_GREEN, "_R8_GREEN"),
         (_R9_GREEN, "_R9_GREEN"),
         (_R10_GREEN, "_R10_GREEN"),
         (_R11_GREEN, "_R11_GREEN"),
+        (_R12_GREEN, "_R12_GREEN"),
     )
     for lst, label in lists:
         unknown = [n for n in lst if n not in registry.QUERIES]
@@ -121,7 +121,7 @@ def test_green_demotion_lists_are_sound():
         assert len(set(lst)) == len(lst), f"{label} has duplicates"
     seen: set[str] = set()
     for lst in (
-        _R7_GREEN, _R8_GREEN, _R9_GREEN, _R10_GREEN, _R11_GREEN,
+        _R8_GREEN, _R9_GREEN, _R10_GREEN, _R11_GREEN, _R12_GREEN,
     ):
         dup = seen & set(lst)
         assert not dup, f"evidence lists overlap: {dup}"
@@ -134,27 +134,26 @@ def test_green_demotion_lists_are_sound():
     assert not unlisted, (
         f"ops with no verification status (add to _VERIFY_HEAD): {unlisted}"
     )
-    changed_in_r12 = {
-        # impl changed — pair-of-bands banding (6×10-bit bands, C(6,2)=15
-        # tables of 20-bit keys) replacing the r11 structural-quadratic
-        # 5×12-bit single-band keys; NULL-text guard in the fingerprint udf:
-        "dedup_simhash",
-        # impl changed — same shared banded-skeleton rewrite
-        # (dedup.banded_hamming_pairs) + the ADVICE r11 None.encode guard:
-        "multimodal_dedup_perceptual",
-        # new in r12 — pointer-jumping connected components (Shiloach-
-        # Vishkin halving on the LPA superstep skeleton):
+    changed_in_r13 = {
+        # impl changed — the final component-sizes join side now rides the
+        # CC_BROADCAST_MAX_NODES dial (the r12 `weak`: Θ(|V|)-row sizes
+        # table was broadcast unconditionally):
         "graph_connected_components",
-        # new in r12 — near-dup video detection (frame-sampled dHash pairs
-        # over the banded skeleton, ≥2-frame rule):
+        # impl changed — composite frame id decomposed with shiftright
+        # instead of double division (ADVICE r12):
         "multimodal_dedup_video",
-        # new in r12 — streaming retention twin (monotone MIN anchor +
-        # grow-only week set; batch op deliberately untouched — its oracle
-        # moved to the RETENTION_ORACLE constant byte-identically, so the
-        # r9 green row still verifies the same definition):
-        "stream_retention_cohorts",
+        # impl changed — moments/z-tail refactored into the shared
+        # anomaly_moments/zscore_flags helpers (same expressions; the
+        # definition moved, so the r10 green verified old code):
+        "events_anomaly_zscore",
+        # new in r13 — streaming anomaly twin (additive DECIMAL moment
+        # sums as native update-mode aggregates, max_by(n) fold, shared
+        # z-flag tree):
+        "stream_anomaly_zscore",
+        # new in r13 — iterative k-core peeling on the CC loop skeleton:
+        "graph_k_core",
     }
-    assert changed_in_r12 == set(_VERIFY_HEAD)
+    assert changed_in_r13 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
     names = list(registry.QUERIES)
     assert names[: len(_VERIFY_HEAD)] == list(_VERIFY_HEAD)
@@ -162,23 +161,23 @@ def test_green_demotion_lists_are_sound():
 
 def test_oldest_evidence_fills_the_driver_budget():
     # The point of the per-round reorder: the driver's 50 verification
-    # slots go to the round-12-redefined head and then the OLDEST
-    # evidence (the remaining r7 greens), refreshing stale rows before
-    # fresh r8/r9/r10/r11 rows burn slots.
+    # slots go to the round-13-redefined head and then the OLDEST
+    # evidence (the remaining r8 greens), refreshing stale rows before
+    # fresh r9/r10/r11/r12 rows burn slots.
     from node_cdc_nats_spark.registry import (
-        _R7_GREEN,
         _R8_GREEN,
+        _R9_GREEN,
         _VERIFY_HEAD,
     )
 
     names = list(registry.QUERIES)
-    priority = list(_VERIFY_HEAD) + list(_R7_GREEN) + list(_R8_GREEN)
+    priority = list(_VERIFY_HEAD) + list(_R8_GREEN) + list(_R9_GREEN)
     assert names[: len(priority)] == priority[: len(priority)]
-    # The walk must clear the ENTIRE r7 evidence tail this round (VERDICT
-    # r11 item 2's Done bar: no op's latest green older than r8):
-    # head + all 45 r7 <= 50.
-    assert len(_VERIFY_HEAD) + len(_R7_GREEN) <= 50, (
-        "head too large — the 50-slot walk would leave r7-era greens "
+    # The walk must clear the ENTIRE r8 evidence tail this round (VERDICT
+    # r12 item 2's Done bar: no op's latest green older than r9):
+    # head + all 42 r8 <= 50.
+    assert len(_VERIFY_HEAD) + len(_R8_GREEN) <= 50, (
+        "head too large — the 50-slot walk would leave r8-era greens "
         "unrefreshed"
     )
     # The 50-slot budget must at least cover the head (never-verified or
@@ -205,10 +204,8 @@ def test_bench_headline_names_are_registered_and_cover_new_ops():
     from node_cdc_nats_spark.registry import _VERIFY_HEAD
 
     # Retuned/redefined ops keep their existing bench placement; the rule
-    # binds genuinely NEW ops only (r12: graph_connected_components and the
-    # other r12 additions).
-    retuned = {
-        "dedup_simhash", "multimodal_dedup_perceptual",
-    }
+    # binds genuinely NEW ops only (r13: stream_anomaly_zscore and
+    # graph_k_core; the three redefined head ops were already headlined).
+    retuned = set()
     missing = sorted(set(_VERIFY_HEAD) - retuned - set(bench.HEADLINE))
-    assert not missing, f"r12 ops absent from the bench headline: {missing}"
+    assert not missing, f"r13 ops absent from the bench headline: {missing}"

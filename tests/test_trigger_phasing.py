@@ -76,6 +76,11 @@ def _rows(df):
         # new in r12: per-user MIN(ts) anchor + grow-only week set — both
         # monotone, so the folded cohort table is phasing-independent
         ("retention", "stream_retention_cohorts", 4),
+        # new in r13: additive per-type moment sums (count, Σx, Σx²) via
+        # native update-mode DECIMAL aggregates — the max_by(n) fold picks
+        # each type's final cumulative emission, which is the same exact
+        # decimal total under any trigger grouping
+        ("anomaly", "stream_anomaly_zscore", 4),
     ],
 )
 def test_result_set_is_trigger_phasing_independent(
