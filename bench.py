@@ -170,10 +170,12 @@ HEADLINE = [
     "multimodal_dedup_video",
     "stream_retention_cohorts",
     "stream_ab_lift",
-    # r13 additions: the streaming anomaly monitor (additive-moments twin)
-    # and iterative k-core peeling on the co-purchase graph.
+    # r13 additions: the streaming anomaly monitor (additive-moments twin),
+    # iterative k-core peeling on the co-purchase graph, and SemDeDup-style
+    # semantic dedup over the learned IVF cells.
     "stream_anomaly_zscore",
     "graph_k_core",
+    "embed_dedup_semantic",
 ]
 
 

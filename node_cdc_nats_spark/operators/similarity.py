@@ -885,15 +885,28 @@ def ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     leave the executors. That is the canonical distributed k-means round
     (sums to the coordinator, never points)."""
     em = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = _lloyd_centroids(em, "ann_ivf_learned")
+    if cents is None:
+        # Empty corpus: nothing to train on — well-typed empty result,
+        # matching the oracle.
+        return spark.createDataFrame([], "qid bigint, cid bigint, score double")
+    return _ivf_probe_topk(em, cents)
+
+
+def _lloyd_centroids(em: DataFrame, opname: str) -> "list[list[float]] | None":
+    """The shared IVF coarse-quantizer trainer: IVF_ITERS Lloyd iterations
+    of k-means (K=IVF_K, deterministic lowest-vec_id init) over integer-
+    quantized element sums — the iteration ``ann_ivf_learned``'s docstring
+    derives; ``embed_dedup_semantic`` composes the same learned cells into
+    its SemDeDup candidate structure (shared code, so the two ops' cell
+    geometry cannot drift). Returns None on an empty corpus."""
     cents = [
         [float(v) for v in r.embedding]
         for r in em.orderBy("vec_id").limit(IVF_K).collect()
     ]
     if not cents:
-        # Empty corpus: nothing to train on — well-typed empty result,
-        # matching the oracle.
-        return spark.createDataFrame([], "qid bigint, cid bigint, score double")
-    _guard_finite_cents(cents, "ann_ivf_learned")
+        return None
+    _guard_finite_cents(cents, opname)
     quant = F.floor(
         F.col("v").cast("double") * F.lit(_CENTROID_SCALE)
     ).cast("decimal(38,0)")
@@ -923,8 +936,8 @@ def ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
             # and the single division is the same IEEE op DuckDB runs.
             new[r.cell][r.pos] = int(r.s) / (r.n * _CENTROID_SCALE)
         cents = new
-        _guard_finite_cents(cents, "ann_ivf_learned")
-    return _ivf_probe_topk(em, cents)
+        _guard_finite_cents(cents, opname)
+    return cents
 
 
 # Element quantization for cross-engine-exact centroid sums: micro-units
@@ -1541,4 +1554,125 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = [x / nrm for x in w]
     return spark.createDataFrame(
         [(j, v[j]) for j in range(DIM)], "pos int, loading double"
+    )
+
+
+SEMDEDUP_TH = 0.3
+SEMDEDUP_ANCHORS = 128
+
+
+@register(
+    "embed_dedup_semantic",
+    oracle=f"""
+    WITH c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+             LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS ce
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT {IVF_K})),
+    {_sql_lloyd(1).strip()},
+    {_sql_lloyd(2).strip()},
+    asg AS (
+      SELECT e.vec_id, e.embedding, {sql_norm('e.embedding')} AS nrm, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {sql_d2_exact('e.embedding', 'c.ce')}, c.cell) AS rn
+      FROM embeddings e CROSS JOIN c2 c),
+    cells AS (SELECT vec_id, embedding, nrm, cell FROM asg WHERE rn = 1),
+    anchors AS (
+      SELECT cell, vec_id, embedding, nrm FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS arn
+        FROM cells)
+      WHERE arn <= {SEMDEDUP_ANCHORS}),
+    pairs AS (
+      SELECT v.vec_id AS dup_id, a.vec_id AS anchor_id, v.cell AS cell,
+             {sql_cosine_pre('a.embedding', 'v.embedding', 'a.nrm', 'v.nrm')} AS score
+      FROM cells v JOIN anchors a
+        ON a.cell = v.cell AND a.vec_id < v.vec_id
+      WHERE {sql_cosine_pre('a.embedding', 'v.embedding', 'a.nrm', 'v.nrm')}
+            >= {SEMDEDUP_TH})
+    SELECT dup_id, MIN(anchor_id) AS keep_id,
+           CAST(MIN(cell) AS INTEGER) AS cell,
+           MIN_BY(score, anchor_id) AS score
+    FROM pairs GROUP BY dup_id
+    """,
+)
+def embed_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: compose the LEARNED IVF cells
+    (:func:`_lloyd_centroids` — the identical trainer ``ann_ivf_learned``
+    serves from, so the two ops' cell geometry cannot drift) with an
+    in-cell cosine near-dup election — the modern embedding-dedup staple
+    (Abbas et al., "SemDeDup", arXiv:2303.09540: cluster the embedding
+    space, then dedup only within clusters). A vector is a duplicate when
+    some same-cell ANCHOR with a smaller vec_id sits at cosine ≥
+    {SEMDEDUP_TH}; it reports its keeper (the smallest qualifying anchor —
+    the engine-wide keep-first convention; SemDeDup's keep-farthest-from-
+    centroid variant is one ORDER BY away) and the score against it.
+
+    Candidate volume is CELL-BOUNDED BY CONSTRUCTION — the banded-family
+    story one abstraction up: each vector is checked against at most
+    {SEMDEDUP_ANCHORS} anchors (the cell's smallest vec_ids), so checks
+    are ≤ n·{SEMDEDUP_ANCHORS} however the corpus grows and however
+    lopsided the learned cells come out (the cap genuinely binds on the
+    fixture: sf0.1 cells run 111–143 members). The anchor election uses
+    row_number-over-cell ≤ N, which Spark rewrites with WindowGroupLimit —
+    each map task keeps only its local top-{SEMDEDUP_ANCHORS} per cell
+    BEFORE the exchange, so the window never sorts a full n/K-sized cell
+    partition; the anchor table is then ≤ K·{SEMDEDUP_ANCHORS} rows
+    (2048 here) — bounded by CONSTANTS, the one join side in the engine
+    that is safe to pin broadcast at any corpus size. Threshold
+    {SEMDEDUP_TH} follows the dedup_embedding_cosine fixture contract
+    (the synthetic embeddings are near-orthogonal — in-cell p99 cosine is
+    ~0.34, so the production-typical ~0.95 would be vacuously green; the
+    plan is identical either way). Determinism: assignment ties broken by
+    cell index (the shared Arrow udf's stable argsort = the oracle's
+    ORDER BY d2, cell), keeper = MIN(anchor_id), score via min_by on the
+    unique anchor_id — every output column driver-hash-checked."""
+    em = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = _lloyd_centroids(em, "embed_dedup_semantic")
+    if cents is None:
+        return spark.createDataFrame(
+            [], "dup_id bigint, keep_id bigint, cell int, score double"
+        )
+    cells = managed_persist(
+        em.select(
+            "vec_id",
+            "embedding",
+            norm(F.col("embedding")).alias("nrm"),
+            F.element_at(_rank_cells_udf(cents)(F.col("embedding")), 1)
+            .alias("cell"),
+        )
+    )
+    anchors = (
+        cells.withColumn(
+            "arn",
+            F.row_number().over(W.partitionBy("cell").orderBy("vec_id")),
+        )
+        .filter(F.col("arn") <= SEMDEDUP_ANCHORS)
+        .select(
+            F.col("cell").alias("a_cell"),
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embedding").alias("ae"),
+            F.col("nrm").alias("an"),
+        )
+    )
+    pairs = (
+        cells.join(
+            F.broadcast(anchors),  # ≤ IVF_K·SEMDEDUP_ANCHORS rows, constant-bounded
+            (F.col("cell") == F.col("a_cell"))
+            & (F.col("anchor_id") < F.col("vec_id")),
+        )
+        .select(
+            F.col("vec_id").alias("dup_id"),
+            "anchor_id",
+            "cell",
+            cosine_pre(
+                F.col("ae"), F.col("embedding"), F.col("an"), F.col("nrm")
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= SEMDEDUP_TH)
+    )
+    return pairs.groupBy("dup_id").agg(
+        F.min("anchor_id").alias("keep_id"),
+        F.min("cell").alias("cell"),
+        F.min_by("score", "anchor_id").alias("score"),
     )

@@ -64,6 +64,13 @@ _VERIFY_HEAD = (
     # (CC loop shape: bounded supersteps, loud guard, unrolled
     # MATERIALIZED-CTE oracle)
     "graph_k_core",
+    # r13: impl changed — the Lloyd training loop moved into the shared
+    # _lloyd_centroids helper embed_dedup_semantic composes (same
+    # expressions, but the definition moved → re-verify)
+    "ann_ivf_learned",
+    # r13: new op — SemDeDup-style semantic dedup over the learned IVF
+    # cells (anchor-bounded in-cell cosine election, keep-first keeper)
+    "embed_dedup_semantic",
 )
 
 
@@ -134,12 +141,13 @@ _R10_GREEN = (
 )
 # r11 greens — the full 50-op CORRECTNESS_r11 key set (r11's 11-op head,
 # the entire 35-op r6 evidence tail, and the first 4 r7 ops), minus
-# multimodal_dedup_perceptual which is redefined in this round's head
-# (pair-of-bands banding). Freshest evidence, verified last.
+# multimodal_dedup_perceptual (redefined in r12's head: pair-of-bands
+# banding) and minus ann_ivf_learned (redefined in r13's head: the Lloyd
+# trainer moved into the shared _lloyd_centroids helper).
 _R11_GREEN = (
     "nats_roundtrip", "stream_dedup_incremental", "graph_pagerank",
     "graph_triangles", "graph_jaccard_neighbors", "graph_label_propagation",
-    "stream_ab_lift", "events_ab_lift", "ann_ivf_learned", "ann_ivf_topk",
+    "stream_ab_lift", "events_ab_lift", "ann_ivf_topk",
     "doc_chunk_overlap", "layout_zorder", "agg_weighted_avg",
     "agg_string_agg", "orders_rfm_segments", "events_transition_matrix",
     "rolling_active_users", "agg_histogram", "source_dup_rate",

@@ -64,9 +64,12 @@ SUSPECTS = (
     # round it lands): the streaming anomaly twin has no event-time
     # arithmetic (tz must be invisible) and its DECIMAL moment fold plus
     # the batch op's shared tree must not leak partitioning into values;
-    # k-core is an iterative integer peeling fixpoint (partitioning).
+    # k-core is an iterative integer peeling fixpoint (partitioning);
+    # semantic dedup composes the quantized Lloyd iteration with banded-
+    # family pairgen (both partitioning classes at once).
     "stream_anomaly_zscore",
     "graph_k_core",
+    "embed_dedup_semantic",
 )
 
 

@@ -568,3 +568,30 @@ def test_kcore_shuffled_fallback_above_broadcast_cap(spark, tmp_path, monkeypatc
     monkeypatch.setattr(G, "CC_BROADCAST_MAX_NODES", 0)
     got = {r.node: r.core_degree for r in G.graph_k_core(spark, sf).collect()}
     assert got == want == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_semdedup_anchor_cap_hides_beyond_anchor_pairs(spark, tmp_path, monkeypatch):
+    """The anchor cap IS the op's scale contract, so its semantics need a
+    witness: a qualifying near-dup pair whose earlier member sits BEYOND
+    the anchor set must not be reported. Fixture (K monkeypatched to 2,
+    dim 8): A=e0 seeds cell 0; B=e1 seeds cell 1; B2 ≈ 0.25·e1 + 0.97·e2
+    and B3 ≈ B2 both land in cell 1, with cos(B2,B)=cos(B3,B)≈0.25 < 0.3
+    and cos(B3,B2)≈1. With the full anchor set the election reports
+    (dup 3, keep 2); with the cap forced to 1 (anchor = B only) the pair
+    hides beyond the anchor and the result is EMPTY — never a wrong pair,
+    only the documented recall trade."""
+    from node_cdc_nats_spark.operators import similarity as S
+
+    monkeypatch.setattr(S, "IVF_K", 2)
+    vecs = {
+        0: [1, 0, 0, 0, 0, 0, 0, 0],
+        1: [0, 1, 0, 0, 0, 0, 0, 0],
+        2: [0, 0.25, 0.97, 0, 0, 0, 0, 0],
+        3: [0, 0.25, 0.97, 0.01, 0, 0, 0, 0],
+    }
+    sf = _write_embeddings(tmp_path, vecs)
+    full = S.embed_dedup_semantic(spark, sf).collect()
+    assert [(r.dup_id, r.keep_id, r.cell) for r in full] == [(3, 2, 1)]
+    assert full[0].score > 0.99
+    monkeypatch.setattr(S, "SEMDEDUP_ANCHORS", 1)
+    assert S.embed_dedup_semantic(spark, sf).collect() == []

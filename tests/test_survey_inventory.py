@@ -84,7 +84,7 @@ def test_survey_matrix_count_matches_registry():
     # comment drifted from the asserted tuple twice (r10: 190 vs 196,
     # r11: 197 vs 199 — VERDICT r11 item 4), so the human-readable claim
     # is now DERIVED from the same numbers the assert pins:
-    expected = (204, 18, 222)
+    expected = (205, 18, 223)
     assert (len(matrix), len(extras), len(registry.QUERIES)) == expected, (
         f"SURVEY §2.2 split drifted: expected {expected[0]} matrix ops + "
         f"{expected[1]} extras = {expected[2]} registry queries, got "
@@ -152,6 +152,12 @@ def test_green_demotion_lists_are_sound():
         "stream_anomaly_zscore",
         # new in r13 — iterative k-core peeling on the CC loop skeleton:
         "graph_k_core",
+        # impl changed — the Lloyd trainer moved into the shared
+        # _lloyd_centroids helper embed_dedup_semantic composes:
+        "ann_ivf_learned",
+        # new in r13 — SemDeDup-style semantic dedup over the learned IVF
+        # cells (anchor-bounded in-cell cosine election):
+        "embed_dedup_semantic",
     }
     assert changed_in_r13 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
