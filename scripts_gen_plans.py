@@ -237,11 +237,23 @@ SHOWCASE = [
     ),
     (
         "graph_connected_components",
-        "Pointer-jumping min-label CC (r12): per superstep one |V|-sized label self-join (lab[lab]) + one |E|-sized neighbor-min join + LEAST fold, localCheckpoint per round — O(log diameter) rounds; the label side broadcasts under the size-gated CC_BROADCAST_MAX_NODES dial (the checkpoint erases the stats AQE needs, so the driver substitutes its exact |V|), and sizes come from groupBy + broadcast join, never a giant-component window partition.",
+        "Pointer-jumping min-label CC (r12): per superstep one |V|-sized label self-join (lab[lab]) + one |E|-sized neighbor-min join + LEAST fold, localCheckpoint per round — O(log diameter) rounds; EVERY label-derived build side — the per-round self-join/neighbor-min sides AND the final Θ(|V|)-worst-case component-sizes table (r13, closing the r12 weak) — broadcasts only under the size-gated CC_BROADCAST_MAX_NODES dial (the checkpoint erases the stats AQE needs, so the driver substitutes its exact |V|); sizes come from groupBy, never a giant-component window partition.",
     ),
     (
         "multimodal_dedup_video",
         "Frame-sampled video near-dup (r12): ONE Arrow pass fingerprints all nf<=5 frames per payload map-side; (video,frame) composite ids ride the banded skeleton; count-per-video-pair + >=2-frame HAVING — payloads never shuffle, only nf x 8-byte hashes + ids.",
+    ),
+    (
+        "graph_k_core",
+        "Iterative 80-core peeling (r13): per round one map-side-partial symmetric-degree aggregate + two semi-joins restricting edges to kept endpoints, keep vector broadcast under the CC dial (its count IS the convergence counter — exact stats), surviving edges localCheckpoint-ed per round; equal successive keep counts = fixpoint, loud guard past 12 rounds.",
+    ),
+    (
+        "stream_anomaly_zscore",
+        "Streaming anomaly twin (r13): additive per-type DECIMAL moment sums as ONE native update-mode streaming aggregate (state = 3 scalars per event type), max_by(n) fold over the sink emissions, then the batch op's shared zscore_flags tail — stats join back unhinted (a handful of type rows, AQE broadcasts), z filter map-side.",
+    ),
+    (
+        "embed_dedup_semantic",
+        "SemDeDup election (r13): learned-IVF cell assignment below one Arrow projection; anchor election via row_number <= 128 compiled to Partial+Final WindowGroupLimit (map-side per-cell top-N BEFORE the exchange — never a full n/K-cell sort); anchors <= K*128 = 2048 rows, constant-bounded, pinned broadcast; per-vector checks bounded by the anchor cap at any corpus size.",
     ),
 ]
 
