@@ -176,6 +176,8 @@ HEADLINE = [
     "stream_anomaly_zscore",
     "graph_k_core",
     "embed_dedup_semantic",
+    # Newman modularity of the LPA partition (the graph-quality score).
+    "graph_modularity",
 ]
 
 

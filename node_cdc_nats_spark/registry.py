@@ -40,9 +40,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # Absolute head of round 13's verification order: every op whose code or
 # oracle changed in r13, plus the brand-new r13 ops. Kept MINIMAL on
 # purpose (r10 verdict item 1, re-affirmed r11/r12): 50 driver slots −
-# 5 head = 45, which covers the ENTIRE 42-op r8 evidence tail with 3
-# slots spilling into the r9 block — after this round no op's latest
-# green is older than r9.
+# 8 head = 42, which covers the ENTIRE 42-op r8 evidence tail exactly —
+# after this round no op's latest green is older than r9.
 _VERIFY_HEAD = (
     # r13: impl changed — the final component-sizes join side now rides
     # the same CC_BROADCAST_MAX_NODES dial as the label vector (the r12
@@ -71,6 +70,11 @@ _VERIFY_HEAD = (
     # r13: new op — SemDeDup-style semantic dedup over the learned IVF
     # cells (anchor-bounded in-cell cosine election, keep-first keeper)
     "embed_dedup_semantic",
+    # r13: new op — Newman modularity of the LPA partition (per-community
+    # e_c/m − (d_c/2m)² contributions; the LPA superstep loop is
+    # deliberately DUPLICATED there so graph_label_propagation's code and
+    # driver green stay untouched — the retention-twin precedent)
+    "graph_modularity",
 )
 
 

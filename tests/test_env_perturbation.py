@@ -70,6 +70,11 @@ SUSPECTS = (
     "stream_anomaly_zscore",
     "graph_k_core",
     "embed_dedup_semantic",
+    # modularity folds the LPA fixpoint (iterative integer mode-consensus,
+    # partitioning class) into per-community IEEE-double contributions —
+    # cross-partition float summation never happens (sums are over exact
+    # BIGINTs; the doubles are per-row scalar arithmetic).
+    "graph_modularity",
 )
 
 

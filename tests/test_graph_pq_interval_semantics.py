@@ -595,3 +595,57 @@ def test_semdedup_anchor_cap_hides_beyond_anchor_pairs(spark, tmp_path, monkeypa
     assert full[0].score > 0.99
     monkeypatch.setattr(S, "SEMDEDUP_ANCHORS", 1)
     assert S.embed_dedup_semantic(spark, sf).collect() == []
+
+
+def test_modularity_hand_fixture_two_triangles(spark, tmp_path):
+    """The textbook two-triangles-plus-bridge graph: LPA's deterministic
+    min-label tie rule converges (hand-simulated superstep by superstep)
+    on communities {1,2,3} labeled 1 and {4,5,6} labeled 3. m = 7; each
+    triangle has 3 intra edges and degree mass 7 (two degree-2 corners +
+    the degree-3 bridge endpoint), so q_contrib = 3/7 − (7/14)² per
+    community and Q = 2·(3/7 − 1/4) ≈ 0.357 — the bridge edge is the only
+    inter-community mass. The expected doubles are computed with the SAME
+    IEEE tree the operator contracts (explicit self-product, not pow), so
+    the equality is exact, not approx."""
+    import datetime as dt
+
+    from node_cdc_nats_spark.operators import graph as G
+
+    t0 = dt.datetime(2024, 1, 1)
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    rows = []
+    for ok, pair in enumerate(edges, start=1):
+        for ln, pk in enumerate(pair, start=1):
+            rows.append((ok, pk, 1, ln, t0))
+    sf = _write_lineitem(tmp_path, rows)
+    got = [
+        (r.community, r.members, r.intra_edges, r.degree_sum, r.q_contrib)
+        for r in G.graph_modularity(spark, sf).collect()
+    ]
+    q = 3.0 / 7.0 - (7.0 / 14.0) * (7.0 / 14.0)
+    assert got == [(1, 3, 3, 7, q), (3, 3, 3, 7, q)]
+
+
+def test_modularity_zero_intra_star_oscillation(spark, tmp_path):
+    """A 3-leaf star is bipartite, so synchronous LPA oscillates; after the
+    3rd superstep the hub holds the leaves' label and vice versa — BOTH
+    resulting communities have ZERO intra edges (every edge crosses), which
+    pins the COALESCE(intra, 0) left-join path and the negative
+    contribution: q = 0/3 − (3/6)² = −0.25 for each side (Q = −0.5 — a
+    partition worse than random, exactly what modularity is for)."""
+    import datetime as dt
+
+    from node_cdc_nats_spark.operators import graph as G
+
+    t0 = dt.datetime(2024, 1, 1)
+    edges = [(1, 2), (1, 3), (1, 4)]
+    rows = []
+    for ok, pair in enumerate(edges, start=1):
+        for ln, pk in enumerate(pair, start=1):
+            rows.append((ok, pk, 1, ln, t0))
+    sf = _write_lineitem(tmp_path, rows)
+    got = [
+        (r.community, r.members, r.intra_edges, r.degree_sum, r.q_contrib)
+        for r in G.graph_modularity(spark, sf).collect()
+    ]
+    assert got == [(1, 3, 0, 3, -0.25), (2, 1, 0, 3, -0.25)]

@@ -19,6 +19,7 @@ SURVEY = Path(__file__).resolve().parent.parent / "SURVEY.md"
 # op-name column (format names, helper functions, column/file references).
 NOT_OPS = {
     "res_process",  # operator OPTION (the S7 winner-transform hook), not a query
+    "_sql_lpa_step",  # shared oracle-step helper named in the modularity prose
 }
 
 
@@ -84,7 +85,7 @@ def test_survey_matrix_count_matches_registry():
     # comment drifted from the asserted tuple twice (r10: 190 vs 196,
     # r11: 197 vs 199 — VERDICT r11 item 4), so the human-readable claim
     # is now DERIVED from the same numbers the assert pins:
-    expected = (205, 18, 223)
+    expected = (206, 18, 224)
     assert (len(matrix), len(extras), len(registry.QUERIES)) == expected, (
         f"SURVEY §2.2 split drifted: expected {expected[0]} matrix ops + "
         f"{expected[1]} extras = {expected[2]} registry queries, got "
@@ -158,6 +159,11 @@ def test_green_demotion_lists_are_sound():
         # new in r13 — SemDeDup-style semantic dedup over the learned IVF
         # cells (anchor-bounded in-cell cosine election):
         "embed_dedup_semantic",
+        # new in r13 — Newman modularity of the LPA partition (the
+        # decision-ready score on top of graph_label_propagation, whose
+        # superstep loop it deliberately duplicates so the LPA op's green
+        # survives — the retention-twin precedent):
+        "graph_modularity",
     }
     assert changed_in_r13 == set(_VERIFY_HEAD)
     # Head ops must occupy the first len(_VERIFY_HEAD) slots.
