@@ -255,6 +255,10 @@ SHOWCASE = [
         "embed_dedup_semantic",
         "SemDeDup election (r13): learned-IVF cell assignment below one Arrow projection; anchor election via row_number <= 128 compiled to Partial+Final WindowGroupLimit (map-side per-cell top-N BEFORE the exchange — never a full n/K-cell sort); anchors <= K*128 = 2048 rows, constant-bounded, pinned broadcast; per-vector checks bounded by the anchor cap at any corpus size.",
     ),
+    (
+        "graph_modularity",
+        "Newman modularity of the LPA partition (r13): the LPA superstep loop verbatim (deliberately duplicated — the LPA op's plan and green stay untouched), then ONE map-side-partial degree aggregate + ONE |E|-sized double label join for intra counts (label vector AQE-broadcast exactly as in the LPA steps) + per-community aggregates; q = e_c/m − (d_c/2m)² as an explicit IEEE self-product, driver-hash-checked bit-for-bit; the only driver scalar is the 1-row edge count m.",
+    ),
 ]
 
 
