@@ -546,3 +546,22 @@ def test_media_dedup_example_runs(spark):
         "sampled_frames": 1501,
         "video_pairs": 10,
     }
+
+
+def test_graph_quality_example_runs(spark):
+    # The r13 graph-quality ladder stays runnable with pinned fixture
+    # counts (sf0.001): the 200-part co-purchase graph is ONE dense
+    # component that LPA folds into ONE community — whose modularity is
+    # exactly 0 (e_c/m = 1 and (d_c/2m)² = 1: the partition captures all
+    # edges, but so does random — the score working as designed), and the
+    # 80-core legitimately peels to empty (the documented cascade).
+    import examples.graph_quality as gq
+
+    assert gq.main("/root/testdata/sf0.001") == {
+        "copurchase_nodes": 200,
+        "components": 1,
+        "lpa_communities": 1,
+        "modularity_rows": 1,
+        "modularity_q_micro": 0,
+        "kcore_nodes": 0,
+    }
