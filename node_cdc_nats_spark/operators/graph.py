@@ -833,10 +833,20 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving edge set is localCheckpoint-ed per round (the CC lesson:
     3 operators per round over the evolving table ⇒ un-broken lineage
     re-optimizes and re-executes the whole history; LPA-style persist
-    measured 5× worse on the same shape). Keep counts only shrink, so
-    equal successive counts ⇒ identical keep sets ⇒ fixpoint; the loop
-    FAILS LOUDLY past the {KCORE_MAX_ITERS}-round budget (2× the
-    measured cascade) — a silent cap would emit a fake core containing
+    measured 5× worse on the same shape). Convergence fires on whichever
+    monotone census stabilizes FIRST: keep counts only shrink, so equal
+    successive counts ⇒ identical keep sets ⇒ fixpoint, and the filtered
+    edge sets nest the same way, so an unchanged edge count after a
+    round's restriction certifies the NEXT degree census would reproduce
+    this round's keep — one whole degree-aggregate round saved whenever
+    the last peeled nodes carried no surviving edges (r13: the edge
+    probe is a count on the just-checkpointed set, ~0.05 s vs a ~0.45 s
+    degree round at sf0.1). The symmetric census explodes both
+    endpoints in ONE pass over the checkpointed edges (r13: the
+    union-of-two-selects shape scanned it twice per round — measured
+    ~0.1 s/round slower at sf0.1 for identical counts). The loop FAILS
+    LOUDLY past the {KCORE_MAX_ITERS}-round budget (2× the measured
+    cascade) — a silent cap would emit a fake core containing
     not-yet-peeled fringe. Integer end-to-end, so the driver hash-checks
     exact values. The oracle unrolls the SAME step {KCORE_MAX_ITERS}
     times; steps past Spark's early stop are idempotent, so both engines
@@ -846,11 +856,12 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _copurchase_und(li).localCheckpoint(eager=True)
 
     def sym(e):
-        return e.select(F.col("u").alias("node")).unionAll(
-            e.select(F.col("v").alias("node"))
-        )
+        # Both endpoints in one scan: explode is a map-side generator, so
+        # the census reads the checkpointed edge partitions once.
+        return e.select(F.explode(F.array("u", "v")).alias("node"))
 
     prev_n = None
+    prev_e = edges.count()
     converged = False
     for _ in range(1, KCORE_MAX_ITERS + 1):
         keep = (
@@ -877,6 +888,14 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(side.withColumnRenamed("node", "v"), "v", "left_semi")
             .localCheckpoint(eager=True)
         )
+        cur_e = edges.count()
+        if cur_e == prev_e:
+            # Edge sets nest (each round filters the previous set), so an
+            # unchanged count ⇒ identical edge set ⇒ the next keep census
+            # would equal this round's keep ⇒ fixpoint now.
+            converged = True
+            break
+        prev_e = cur_e
     if not converged:
         raise RuntimeError(
             f"graph_k_core: peeling did not reach a fixpoint in "

@@ -893,13 +893,75 @@ def ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_probe_topk(em, cents)
 
 
+def _lloyd_stats_fn(cents: "list[list[float]]"):
+    """One fused Arrow pass per Lloyd round (r13, guide §4.2/§2.3): assign
+    each vector to its nearest cell AND fold the integer-quantized
+    per-(cell, pos) element sums inside the same ``mapInPandas`` batch
+    loop, emitting ≤ K·D partial rows per batch — the posexplode of
+    n×D rows and the wide DECIMAL partial aggregate it fed are gone from
+    the plan; per-task output is the same K·D census the old partial agg
+    shipped, so shuffle volume is unchanged and only per-task work drops.
+
+    Bit-exactness vs the previous plan (and hence vs the oracle's
+    unrolled CTEs): the d2 fold is the ``_rank_cells_udf`` loop verbatim
+    (sequential-dim ``acc + diff·diff`` in float64 — the SQL left fold's
+    IEEE sequence), ``np.argmin`` picks the FIRST minimum = the stable
+    argsort's head = the oracle's ORDER BY d2, cell tiebreak;
+    ``np.floor(X * 1e6)`` is the same two IEEE ops as
+    ``FLOOR(CAST(x AS DOUBLE) * 1000000.0)``; and the int64 batch sums
+    are exact (|q| ≤ ~1e7 per element, ≤ 10k rows per Arrow batch —
+    far under 2⁶³) and order-free, so the final DECIMAL re-aggregation
+    reproduces the old element-level sum exactly."""
+    cmat = [list(map(float, c)) for c in cents]
+    scale = float(_CENTROID_SCALE)  # closure-bound: ships by value
+
+    def assign_stats(batches):
+        # Self-contained: executors don't have the repo on sys.path.
+        import numpy as np
+        import pandas as pd
+
+        K, D = len(cmat), len(cmat[0])
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            n = X.shape[0]
+            d2 = np.empty((n, K), dtype=np.float64)
+            for c in range(K):
+                cc = cmat[c]
+                acc = np.zeros(n, dtype=np.float64)
+                for j in range(D):
+                    diff = X[:, j] - cc[j]
+                    acc = acc + diff * diff  # sequential-dim fold order
+                d2[:, c] = acc
+            cell = np.argmin(d2, axis=1)  # first min = lowest cell on ties
+            q = np.floor(X * scale).astype(np.int64)
+            sums = np.zeros((K, D), dtype=np.int64)
+            np.add.at(sums, cell, q)
+            counts = np.bincount(cell, minlength=K)
+            hit = np.flatnonzero(counts)
+            yield pd.DataFrame(
+                {
+                    "cell": np.repeat(hit, D).astype(np.int32),
+                    "pos": np.tile(np.arange(D, dtype=np.int32), len(hit)),
+                    "s": sums[hit].reshape(-1),
+                    "n": np.repeat(counts[hit], D),
+                }
+            )
+
+    return assign_stats
+
+
 def _lloyd_centroids(em: DataFrame, opname: str) -> "list[list[float]] | None":
     """The shared IVF coarse-quantizer trainer: IVF_ITERS Lloyd iterations
     of k-means (K=IVF_K, deterministic lowest-vec_id init) over integer-
     quantized element sums — the iteration ``ann_ivf_learned``'s docstring
     derives; ``embed_dedup_semantic`` composes the same learned cells into
     its SemDeDup candidate structure (shared code, so the two ops' cell
-    geometry cannot drift). Returns None on an empty corpus."""
+    geometry cannot drift). Returns None on an empty corpus. Each round
+    is ONE fused Arrow pass over the embedding column only
+    (:func:`_lloyd_stats_fn`) plus a K·D-group final aggregate — the
+    driver still sees exactly K·D sums per round, never vectors."""
     cents = [
         [float(v) for v in r.embedding]
         for r in em.orderBy("vec_id").limit(IVF_K).collect()
@@ -907,26 +969,19 @@ def _lloyd_centroids(em: DataFrame, opname: str) -> "list[list[float]] | None":
     if not cents:
         return None
     _guard_finite_cents(cents, opname)
-    quant = F.floor(
-        F.col("v").cast("double") * F.lit(_CENTROID_SCALE)
-    ).cast("decimal(38,0)")
+    emb_only = em.select("embedding")  # prune below the opaque pass (§4.1)
     for _ in range(IVF_ITERS):
-        # Assignment BELOW the generate (once per VECTOR, never inside
-        # the posexplode projection — the r10 D×-blowup lesson), via the
-        # Arrow cell-ranking udf (_rank_cells_udf: constant-size plan,
-        # bit-exact fold order).
-        assigned = em.select(
-            F.element_at(_rank_cells_udf(cents)(F.col("embedding")), 1)
-            .alias("cell"),
-            "embedding",
-        )
         stats = (
-            assigned.select(
-                "cell", F.posexplode("embedding").alias("pos", "v")
+            emb_only.mapInPandas(
+                _lloyd_stats_fn(cents), "cell int, pos int, s long, n long"
             )
-            .select("cell", "pos", quant.alias("q"))
             .groupBy("cell", "pos")
-            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(
+                # DECIMAL re-aggregation of exact int64 partials: overflow-
+                # safe past 10^12 vectors, same as the old element sum.
+                F.sum(F.col("s").cast("decimal(38,0)")).alias("s"),
+                F.sum("n").alias("n"),
+            )
             .collect()
         )
         new = [list(c) for c in cents]
@@ -934,7 +989,7 @@ def _lloyd_centroids(em: DataFrame, opname: str) -> "list[list[float]] | None":
             # Exact: the decimal sum converts to double losslessly below
             # 2^53 (|element| ~ O(1) => micro-unit sums ~ 1e6 * |cell|),
             # and the single division is the same IEEE op DuckDB runs.
-            new[r.cell][r.pos] = int(r.s) / (r.n * _CENTROID_SCALE)
+            new[r.cell][r.pos] = int(r.s) / (int(r.n) * _CENTROID_SCALE)
         cents = new
         _guard_finite_cents(cents, opname)
     return cents
