@@ -49,7 +49,7 @@ SHOWCASE = [
     ),
     (
         "ann_ivf_learned",
-        "Learned-centroid IVF (r10): same map-side serve plan as ann_ivf_topk — the 2 quantized Lloyd refits run as separate K*D-group aggregates at build time and leave no trace in the serve plan.",
+        "Learned-centroid IVF (r10; trainer fused r13): same map-side serve plan as ann_ivf_topk — each quantized Lloyd refit is ONE mapInPandas pass (assignment + int64 partial sums per Arrow batch, K*D rows out per batch; the posexplode + element-level DECIMAL partial agg are gone) + a K*D-group final aggregate at build time, leaving no trace in the serve plan.",
     ),
     (
         "dedup_minhash",
@@ -245,7 +245,7 @@ SHOWCASE = [
     ),
     (
         "graph_k_core",
-        "Iterative 80-core peeling (r13): per round one map-side-partial symmetric-degree aggregate + two semi-joins restricting edges to kept endpoints, keep vector broadcast under the CC dial (its count IS the convergence counter — exact stats), surviving edges localCheckpoint-ed per round; equal successive keep counts = fixpoint, loud guard past 12 rounds.",
+        "Iterative 80-core peeling (r13): per round one map-side-partial symmetric-degree aggregate (ONE explode(array(u,v)) scan of the checkpointed edges — the union shape scanned them twice) + two semi-joins restricting edges to kept endpoints, keep vector broadcast under the CC dial (its count IS the convergence counter — exact stats), surviving edges localCheckpoint-ed per round; fixpoint on whichever monotone census stabilizes first (equal keep counts, or equal nested edge counts one degree-round earlier), loud guard past 12 rounds.",
     ),
     (
         "stream_anomaly_zscore",
