@@ -321,10 +321,24 @@ def main() -> None:
     out["full_run"] = os.environ.get("SPARK_GRAFT_BENCH_FULL") == "1"
     if errors:
         out["errors"] = errors
-    # Per-query detail goes to a file (and an intermediate stdout line);
-    # the FINAL stdout line is a compact summary with no per-query map —
-    # the driver's tail capture is bounded (~2 kB) and the full map
-    # outgrew it in r6 (BENCH_r06.json "parsed": null).
+    # Per-query detail goes to a file (and an intermediate stdout line).
+    # The FINAL stdout line must carry the per-query map (the driver
+    # contract: ONE JSON line with "queries") but the driver's tail
+    # capture keeps only the LAST 2000 bytes of stdout (BENCH_r13.json:
+    # len(tail) == 2000), and the full 128-query map is ~3.2 kB even at
+    # 2-decimal compact encoding — the NAMES alone exceed 2 kB, so the
+    # complete map can never survive the tail bound (r6's "parsed": null
+    # is exactly that head-truncation). r13 printed a compact summary
+    # with NO map, which parsed but left the driver's per_query/scaling
+    # comparisons empty (PERF_r13.json n_common: 0). r14 fix: the final
+    # line carries as many per-query entries as fit a conservative byte
+    # budget, ordered by DESCENDING recorded time (then name) — the
+    # expensive rows are the ones round-over-round and low-vs-high-core
+    # comparison needs; the omitted sub-second tail is noise-dominated
+    # at this SF. The selection rule is deterministic, so successive
+    # rounds' final lines overlap on the rows that matter. The FULL map
+    # is always on the first stdout line and in the detail file —
+    # nothing is removed from the bench itself.
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL", "BENCH_local_latest.json"
     )
@@ -340,12 +354,26 @@ def main() -> None:
         "unit": out["unit"],
         "sf": out["sf"],
         "n_queries": len(timings),
-        "n_extra_queries": len(extra_timings),
         "n_errors": len(errors),
-        "load": out["load"],
+        "queries": {},
+        "queries_omitted": 0,
         "detail": detail_path,
     }
-    print(json.dumps(compact))
+    # Fill "queries" to the byte budget: 2000-byte tail minus newline and
+    # slack for the envelope re-serialization.
+    budget = 1960 - len(json.dumps(compact, separators=(",", ":")))
+    by_cost = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    qmap: dict[str, float] = {}
+    used = 0
+    for name, sec in by_cost:
+        entry = len(json.dumps({name: round(sec, 2)}, separators=(",", ":")))
+        if used + entry > budget:
+            break
+        qmap[name] = round(sec, 2)
+        used += entry
+    compact["queries"] = qmap
+    compact["queries_omitted"] = len(timings) - len(qmap)
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 

@@ -860,32 +860,41 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the census reads the checkpointed edge partitions once.
         return e.select(F.explode(F.array("u", "v")).alias("node"))
 
-    prev_n = None
     prev_e = edges.count()
     converged = False
     for _ in range(1, KCORE_MAX_ITERS + 1):
+        # r14 ROUND FUSION (VERDICT r13 top_next): the degree census is no
+        # longer its own checkpoint+count pair of driver-synchronized jobs
+        # — it rides INSIDE the edge-filter job as the (shared) broadcast
+        # build of the two semi-joins, and convergence fires on the edge
+        # count alone. Soundness: keep sets and edge sets both nest (each
+        # round filters the previous), and an unchanged keep set makes the
+        # re-filter a no-op, so edge-count convergence fires at the SAME
+        # round index the old keep-count probe did — 2 jobs per round
+        # (filter+checkpoint, count on the checkpointed set) instead of 4
+        # (census checkpoint, keep count, filter checkpoint, edge probe).
+        # Both semi-joins reference the SAME keep DataFrame, so the
+        # exchange-reuse rule builds the census broadcast once per round
+        # (plan-verified: one BroadcastExchange + one ReusedExchange in
+        # plans/r14/graph_k_core_round_after.txt).
         keep = (
             sym(edges)
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
             .filter(F.col("deg") >= KCORE_K)
             .select("node")
-            .localCheckpoint(eager=True)
         )
-        n = keep.count()
-        if n == prev_n:
-            converged = True
-            break
-        prev_n = n
-        # keep is the broadcast candidate: one row per surviving node,
-        # Θ(|V|) worst case — same gate rationale as CC's label/sizes
-        # sides, and n is its EXACT row count this round.
-        side = (
-            F.broadcast(keep) if n <= CC_BROADCAST_MAX_NODES else keep
-        )
+        # Broadcast gate without a keep count: every kept node has degree
+        # >= K over the current edge set, so |keep| <= 2·|E|/K — and the
+        # driver knows |E| exactly (the convergence counter). Same
+        # measured CC_BROADCAST_MAX_NODES dial, same shuffled fallback
+        # beyond it (a forced Θ(|V|)-row broadcast would OOM at the
+        # 1e9-node target).
+        if 2 * prev_e // KCORE_K <= CC_BROADCAST_MAX_NODES:
+            keep = F.broadcast(keep)
         edges = (
-            edges.join(side.withColumnRenamed("node", "u"), "u", "left_semi")
-            .join(side.withColumnRenamed("node", "v"), "v", "left_semi")
+            edges.join(keep, edges["u"] == keep["node"], "left_semi")
+            .join(keep, edges["v"] == keep["node"], "left_semi")
             .localCheckpoint(eager=True)
         )
         cur_e = edges.count()

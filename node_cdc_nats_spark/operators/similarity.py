@@ -925,6 +925,18 @@ def _lloyd_stats_fn(cents: "list[list[float]]"):
             if not len(pdf):
                 continue
             X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            if not np.isfinite(X).all():
+                # Loud-failure policy (mirrors _guard_finite_cents): a
+                # NaN/inf element would silently wrap in the int64 cast
+                # below and corrupt the centroid sums; the old SQL path
+                # turned NaN into NULL, which silently DROPPED the
+                # element — neither is acceptable at the 100 TB
+                # dirty-data design point, so name the corruption.
+                raise ValueError(
+                    "lloyd assign_stats: non-finite embedding element "
+                    "(NaN/inf) in batch — corpus embeddings must be "
+                    "finite"
+                )
             n = X.shape[0]
             d2 = np.empty((n, K), dtype=np.float64)
             for c in range(K):
@@ -969,7 +981,21 @@ def _lloyd_centroids(em: DataFrame, opname: str) -> "list[list[float]] | None":
     if not cents:
         return None
     _guard_finite_cents(cents, opname)
-    emb_only = em.select("embedding")  # prune below the opaque pass (§4.1)
+    # Prune columns below the opaque pass (§4.1) AND restore the
+    # null/empty-embedding skip the r13 mapInPandas rewrite lost: the old
+    # posexplode plan let Catalyst derive `Filter (size(embedding) > 0 AND
+    # isnotnull)` + `PushedFilters: [IsNotNull(embedding)]` at the scan, so
+    # NULL/empty rows were skipped; the fused pass would instead crash on
+    # `np.array(...tolist())` (ragged/None). Skip-semantics are the
+    # contract (pinned by test_lloyd_null_embedding_rows_are_skipped); a
+    # non-finite ELEMENT inside a well-formed vector still fails loudly in
+    # assign_stats.
+    # The explicit isNotNull conjunct matters: size() is the legacy
+    # null-tolerant form (returns -1 on NULL), so alone it filters NULLs
+    # but gives the scan nothing to push; isnotnull reaches PushedFilters.
+    emb_only = em.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    ).select("embedding")
     for _ in range(IVF_ITERS):
         stats = (
             emb_only.mapInPandas(

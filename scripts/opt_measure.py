@@ -1,13 +1,13 @@
-"""Round-13 optimization measurement harness.
+"""Optimization measurement harness (rounds 13+).
 
-Usage: python scratch_opt_measure.py [--explain before|after] [--noop] name...
+Usage: python scripts/opt_measure.py [--explain before|after] [--noop] name...
 
 Per named query: warm up at sf0.001, then time min-of-3 at
 $SPARK_GRAFT_SF_DIR (default sf0.1) with the bench's count() action
 (bench-comparable), or with the noop sink (--noop, guide §1.4 — times
 every column of every row). With --explain, also writes
-plans/r13/<name>_<tag>.txt containing explain("formatted") of the final
-plan. Jobs are labeled (guide §1.5).
+$SPARK_GRAFT_PLANS_DIR/<name>_<tag>.txt (default plans/r14) containing
+explain("formatted") of the final plan. Jobs are labeled (guide §1.5).
 """
 
 from __future__ import annotations
@@ -16,7 +16,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from node_cdc_nats_spark import registry
 from node_cdc_nats_spark.cache import release_persisted
@@ -35,10 +35,10 @@ def main() -> None:
         args.remove("--noop")
     names = args
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    warm_dir = "/root/testdata/sf0.001"
+    warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001")
 
     registry.load_all()
-    spark = get_spark(app_name="opt_measure_r13")
+    spark = get_spark(app_name="opt_measure")
 
     def run(df):
         if use_noop:
@@ -57,7 +57,8 @@ def main() -> None:
             print(f"warmup {name}: {type(e).__name__}: {e}", flush=True)
         release_persisted()
         if tag:
-            os.makedirs("/root/repo/plans/r13", exist_ok=True)
+            plans_dir = os.environ.get("SPARK_GRAFT_PLANS_DIR", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"))
+            os.makedirs(plans_dir, exist_ok=True)
             import contextlib
             import io
 
@@ -65,7 +66,7 @@ def main() -> None:
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
-            with open(f"/root/repo/plans/r13/{name}_{tag}.txt", "w") as f:
+            with open(os.path.join(plans_dir, f"{name}_{tag}.txt"), "w") as f:
                 f.write(buf.getvalue())
             release_persisted()
         best = None

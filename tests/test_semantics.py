@@ -295,6 +295,48 @@ def test_ivf_recall_vs_exact(spark):
         assert recall >= 0.6, f"IVF recall {recall:.2f} below floor ({name})"
 
 
+# -- Lloyd trainer dirty-input semantics (r14, VERDICT r13 item 3): the
+# fused mapInPandas stats pass must SKIP null/empty embedding rows — the
+# pre-r13 posexplode plan did so implicitly (Catalyst derived
+# size(embedding) > 0 AND isnotnull at the scan) and the rewrite must not
+# turn that skip into a stage crash — while a non-finite ELEMENT inside a
+# well-formed vector fails loudly (ADVICE r13: a NaN would otherwise wrap
+# silently in the int64 quantization and corrupt the centroid sums).
+def test_lloyd_null_embedding_rows_are_skipped(spark):
+    from node_cdc_nats_spark.operators.similarity import (
+        IVF_K,
+        _lloyd_centroids,
+    )
+
+    dim = 4
+    clean_rows = [
+        (i, [float(i % 7) + 0.25 * j for j in range(dim)])
+        for i in range(IVF_K + 8)
+    ]
+    dirty_rows = clean_rows + [(1000, None), (1001, [])]
+    schema = "vec_id bigint, embedding array<double>"
+    clean = spark.createDataFrame(clean_rows, schema)
+    dirty = spark.createDataFrame(dirty_rows, schema)
+    assert _lloyd_centroids(dirty, "test") == _lloyd_centroids(clean, "test")
+
+
+def test_lloyd_nonfinite_embedding_element_fails_loudly(spark):
+    from node_cdc_nats_spark.operators.similarity import (
+        IVF_K,
+        _lloyd_centroids,
+    )
+
+    dim = 4
+    rows = [
+        (i, [float(i % 7) + 0.25 * j for j in range(dim)])
+        for i in range(IVF_K + 8)
+    ]
+    rows.append((1000, [float("nan")] * dim))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    with pytest.raises(Exception, match="non-finite embedding"):
+        _lloyd_centroids(df, "test")
+
+
 # -- approx distinct: the r3 hash-verifiable shape — exact counts match a
 # recomputation and every HLL error gate holds (the oracle asserts the
 # same gates as literal `true`).
