@@ -20,7 +20,7 @@ of supersteps.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from ..cache import managed_persist
 from ..io import load_table
@@ -697,6 +697,11 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all-distinct initial labels the fold is least(self, min neighbor) —
     # one map-side-reducible aggregate, no init pass; symmetric edges
     # mean every graph node appears as dst.
+    # |V| rides the init-checkpoint job as an observed metric (r14: the
+    # CollectMetrics accumulator fills during the materialization, so the
+    # separate count() job is gone — same fusion as the per-round changed
+    # probe below and graph_k_core's edge counter).
+    obs0 = Observation()
     labels = (
         ed.groupBy("dst")
         .agg(F.min("src").alias("m"))
@@ -704,18 +709,19 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("node"),
             F.least(F.col("dst"), F.col("m")).alias("lab"),
         )
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
     # A localCheckpoint erases size stats, so AQE would sort-merge every
     # round's joins — shuffling AND sorting the |E| edge side per round
     # (plan-verified: 3 SMJs, 2 extra |E| exchanges). The driver KNOWS |V|
-    # exactly (the count below — exactly the statistic AQE is missing), so
-    # it makes AQE's call itself: broadcast the label vector while it fits
-    # an executor (measured interleaved min-of-3 at sf0.1: 7.21 → 6.71 s
-    # cold), fall back to the shuffled joins beyond the cap — at 1e9 nodes
-    # a forced broadcast would OOM, which is why this is a measured dial
-    # and not a blanket hint.
-    n_nodes = labels.count()
+    # exactly (the observed count — exactly the statistic AQE is missing),
+    # so it makes AQE's call itself: broadcast the label vector while it
+    # fits an executor (measured interleaved min-of-3 at sf0.1: 7.21 →
+    # 6.71 s cold), fall back to the shuffled joins beyond the cap — at
+    # 1e9 nodes a forced broadcast would OOM, which is why this is a
+    # measured dial and not a blanket hint.
+    n_nodes = obs0.get["n"]
 
     def side(df):
         # Gates EVERY build side derived from the label vector — the
@@ -742,6 +748,12 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("lab").alias("nlab"))
             .withColumnRenamed("dst", "node")
         )
+        # The changed-label count rides the checkpoint job as an observed
+        # metric (r14 round fusion): ONE driver-synchronized job per round
+        # instead of checkpoint + count. chg is never NULL (all three
+        # candidates come from inner joins), and the empty-vector edge
+        # case coalesces to 0.
+        obs = Observation()
         nxt = (
             ptr.join(nmin, "node")
             .select(
@@ -750,9 +762,15 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.least("lab", "plab", "nlab") < F.col("lab")).alias("chg"),
             )
             .withColumnRenamed("new_lab", "lab")
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(F.col("chg").cast("long")), F.lit(0)
+                ).alias("changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = nxt.filter("chg").count()
+        changed = obs.get["changed"]
         labels = nxt.drop("chg")
         if changed == 0:
             converged = True
@@ -853,29 +871,39 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree bit-for-bit whenever the guard passes.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    edges = _copurchase_und(li).localCheckpoint(eager=True)
+    # The edge count rides the checkpoint job itself as an observed
+    # metric (CollectMetrics accumulates task-side during the
+    # materialization — the stream_dedup_incremental trick), so neither
+    # the base build nor any peel round pays a separate count() job.
+    obs0 = Observation()
+    edges = (
+        _copurchase_und(li)
+        .observe(obs0, F.count(F.lit(1)).alias("e"))
+        .localCheckpoint(eager=True)
+    )
+    prev_e = obs0.get["e"]
 
     def sym(e):
         # Both endpoints in one scan: explode is a map-side generator, so
         # the census reads the checkpointed edge partitions once.
         return e.select(F.explode(F.array("u", "v")).alias("node"))
 
-    prev_e = edges.count()
     converged = False
     for _ in range(1, KCORE_MAX_ITERS + 1):
         # r14 ROUND FUSION (VERDICT r13 top_next): the degree census is no
         # longer its own checkpoint+count pair of driver-synchronized jobs
         # — it rides INSIDE the edge-filter job as the (shared) broadcast
         # build of the two semi-joins, and convergence fires on the edge
-        # count alone. Soundness: keep sets and edge sets both nest (each
-        # round filters the previous), and an unchanged keep set makes the
-        # re-filter a no-op, so edge-count convergence fires at the SAME
-        # round index the old keep-count probe did — 2 jobs per round
-        # (filter+checkpoint, count on the checkpointed set) instead of 4
-        # (census checkpoint, keep count, filter checkpoint, edge probe).
-        # Both semi-joins reference the SAME keep DataFrame, so the
-        # exchange-reuse rule builds the census broadcast once per round
-        # (plan-verified: one BroadcastExchange + one ReusedExchange in
+        # count alone, observed ON the same job. Soundness: keep sets and
+        # edge sets both nest (each round filters the previous), and an
+        # unchanged keep set makes the re-filter a no-op, so edge-count
+        # convergence fires at the SAME round index the old keep-count
+        # probe did — ONE job per round (filter+checkpoint, edge count as
+        # a CollectMetrics side product) instead of 4 (census checkpoint,
+        # keep count, filter checkpoint, edge probe). Both semi-joins
+        # reference the SAME keep DataFrame, so the exchange-reuse rule
+        # builds the census broadcast once per round (plan-verified: one
+        # BroadcastExchange + one ReusedExchange in
         # plans/r14/graph_k_core_round_after.txt).
         keep = (
             sym(edges)
@@ -892,12 +920,14 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 1e9-node target).
         if 2 * prev_e // KCORE_K <= CC_BROADCAST_MAX_NODES:
             keep = F.broadcast(keep)
+        obs = Observation()
         edges = (
             edges.join(keep, edges["u"] == keep["node"], "left_semi")
             .join(keep, edges["v"] == keep["node"], "left_semi")
+            .observe(obs, F.count(F.lit(1)).alias("e"))
             .localCheckpoint(eager=True)
         )
-        cur_e = edges.count()
+        cur_e = obs.get["e"]
         if cur_e == prev_e:
             # Edge sets nest (each round filters the previous set), so an
             # unchanged count ⇒ identical edge set ⇒ the next keep census
