@@ -142,6 +142,14 @@ def nats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pub.awaitTermination()
         deadline = time.monotonic() + 300
+        # Drain detection (r14): the old loop ran a Spark count() job on
+        # the memory sink every 20 ms — each poll a full LocalTableScan
+        # job, most of them before the drain could possibly have finished.
+        # The count is now gated on PROGRESS: only re-count after the
+        # subscriber completes another micro-batch (lastProgress advances
+        # — reading it is a driver-local getter, no job), so the loop
+        # costs one count per completed batch instead of one per 20 ms.
+        seen_batch = -1
         while spark.table(name).count() < expected:
             if not sub_q.isActive:
                 # Surface the subscriber's own failure instead of letting
@@ -157,7 +165,13 @@ def nats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raise TimeoutError(
                     f"nats_roundtrip: sink stuck below {expected} rows"
                 )
-            time.sleep(0.02)
+            while time.monotonic() <= deadline and sub_q.isActive:
+                p = sub_q.lastProgress
+                bid = p["batchId"] if p else -1
+                if bid != seen_batch:
+                    seen_batch = bid
+                    break
+                time.sleep(0.005)
     finally:
         sub_q.stop()
     return spark.table(name).withColumn(
