@@ -68,21 +68,24 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     incrementally maintained Bloom filter, admitting exactly the global
     keep-first-by-doc_id set.
 
-    Floor decomposition (measured at sf0.1, r11): each round is ONE Spark
-    job — a parquet-append commit whose ``observe`` metrics carry the
-    Bloom filter update as a side product (the r10 readback job is gone;
-    obs.get ≈ 0.05 s). Per batch: bitmap render ~0.04 s, plan build
-    ~0.15 s, write+observe ~0.7 s (round 1) / ~2.0 s (round 2); the rest
-    is the 2-trigger streaming machinery and the final kept-table read.
-    Round 2's extra ~1 s is the two-branch union (screen positives →
-    anti-join, negatives bypass) at fixture scale: a single-pass
-    left-join+filter rewrite measured 1.2 s faster HERE and was
-    REJECTED because it routes every Bloom-negative through the kept
-    join — at corpus scale the union shape is what lets the mostly-novel
-    majority skip the second exchange into the kept table's layout
-    entirely, which is the screen's purpose. Swapping the 64 KB bitmap
-    literal for broadcast data (1-row cross join) was also A/B'd: no win
-    (the literal is not the cost; the branch machinery is). Everything
+    Floor decomposition (measured at sf0.1, r11; updated r14): each round
+    is TWO Spark jobs — the screened-batch localCheckpoint and a
+    parquet-append commit whose ``observe`` metrics carry the Bloom
+    filter update as a side product (the r10 readback job is gone;
+    obs.get ≈ 0.05 s). r11 measured round 2's admit job at ~2.0 s and
+    attributed it to the two-branch union; r14 pinned the cost precisely:
+    each branch re-executed the md5 aggregate and the three bitmap
+    probes, and AQE serialized the duplicated stages (bare agg 0.31 s,
+    union survivors 1.77 s at sf0.1). Materializing the screened batch
+    once (per-shipment sized) cut the round-2 admit path 2.06 → 1.34 s
+    including the added checkpoint job. The union SHAPE stays: a
+    single-pass left-join+filter rewrite measured faster still at
+    fixture scale and remains REJECTED because it routes every
+    Bloom-negative through the kept join — at corpus scale the union
+    shape is what lets the mostly-novel majority skip the second
+    exchange into the kept table's layout entirely, which is the
+    screen's purpose. Swapping the 64 KB bitmap literal for broadcast
+    data (1-row cross join) was also A/B'd in r11: no win. Everything
     remaining is fixed per-round cost that amortizes on a long-lived
     ingest; no further headroom without giving up the scale shape."""
     # ONE table serves as both the kept-hash state and the emitted result:
@@ -128,9 +131,19 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             == "1"
         )
+        # r14: the screened batch is materialized ONCE (localCheckpoint —
+        # per-SHIPMENT sized, never corpus-sized) before the two-branch
+        # union. Without it each branch re-executed the md5 aggregate and
+        # the three 64 KB-literal probes, and AQE serialized the duplicated
+        # stages — measured (interleaved min-of-3 on an emulated round-2
+        # batch at sf0.1): 2.06 → 1.34 s for the admit job including the
+        # extra checkpoint job, identical Bloom deltas. The union SHAPE
+        # stays: negatives still never touch the kept table's exchange,
+        # which is the screen's scale purpose (the r11-rejected single-pass
+        # left-join rewrite remains rejected).
         flagged = b.withColumn(
             "bloom_hit", probe(1) & probe(5) & probe(9)
-        )
+        ).localCheckpoint(eager=True)
         kept = read_kept().select("content_hash")
         # Bloom negatives are provably novel (no false negatives by
         # construction); only the positives pay the exact membership join.
