@@ -658,7 +658,10 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each round's |V|-sized vector is localCheckpoint-ed (breaks lineage;
     the LPA lesson: without it every later round's broadcast build
     re-executes all prior rounds), convergence is a per-round count of
-    changed labels, and the loop FAILS LOUDLY past the budget — a silent
+    changed labels that rides the checkpoint job as an ``observe``
+    CollectMetrics side product (r14: ONE driver-synchronized job per
+    round, down from checkpoint + count — interleaved min-of-3 at sf0.1:
+    4.47 → 4.04 s), and the loop FAILS LOUDLY past the budget — a silent
     cap would emit split components. REJECTED rewrites, both measured at
     sf0.1 (A/B in one session, bench-style 3 runs): (a) managed_persist
     label vectors (LPA's pattern — CacheManager-reusable) read 38.6 s
@@ -839,36 +842,38 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     away (max degree 138 but the cascade undercuts K) — the empty-core
     path both engines agree on.
 
-    Scale plan — the CC loop's shape: per round ONE symmetric-degree
-    aggregate (map-side partial on the edge list) and TWO semi-joins
-    restricting the edge set to kept endpoints, with the |V|-bounded keep
-    vector routed through the same measured ``CC_BROADCAST_MAX_NODES``
-    dial as graph_connected_components (the localCheckpoint erases the
-    stats AQE would use; the driver knows the per-round keep count
-    EXACTLY — it is the convergence counter — so it makes AQE's call
-    itself and falls back to shuffled semi-joins beyond the cap, where a
-    forced |V|-row broadcast would OOM at the 1e9-node target). The
-    surviving edge set is localCheckpoint-ed per round (the CC lesson:
-    3 operators per round over the evolving table ⇒ un-broken lineage
+    Scale plan — ONE driver-synchronized job per peel round (r14 round
+    fusion; r13 paid four): the symmetric-degree census (map-side partial
+    on the edge list) rides INSIDE the edge-filter job as the shared
+    broadcast build of the TWO semi-joins restricting the edge set to
+    kept endpoints (both joins reference the same census DataFrame, so
+    the exchange-reuse rule builds it once — runtime plan evidence in
+    plans/r14/graph_k_core_round_after.txt), and the surviving edge
+    count rides the same job as an ``observe`` CollectMetrics side
+    product. Convergence fires on that edge count: keep sets and edge
+    sets both nest (each round filters the previous), and an unchanged
+    keep set makes the re-filter a no-op, so edge-count convergence
+    fires at the SAME round index a keep-count probe would. The census
+    broadcast goes through the same measured ``CC_BROADCAST_MAX_NODES``
+    dial as graph_connected_components, gated WITHOUT a keep count:
+    every kept node has degree ≥ K over the current edge set, so
+    |keep| ≤ 2·|E|/K with |E| known exactly — beyond the cap the rounds
+    fall back to shuffled semi-joins, where a forced |V|-row broadcast
+    would OOM at the 1e9-node target. The surviving edge set is
+    localCheckpoint-ed per round (the CC lesson: un-broken lineage
     re-optimizes and re-executes the whole history; LPA-style persist
-    measured 5× worse on the same shape). Convergence fires on whichever
-    monotone census stabilizes FIRST: keep counts only shrink, so equal
-    successive counts ⇒ identical keep sets ⇒ fixpoint, and the filtered
-    edge sets nest the same way, so an unchanged edge count after a
-    round's restriction certifies the NEXT degree census would reproduce
-    this round's keep — one whole degree-aggregate round saved whenever
-    the last peeled nodes carried no surviving edges (r13: the edge
-    probe is a count on the just-checkpointed set, ~0.05 s vs a ~0.45 s
-    degree round at sf0.1). The symmetric census explodes both
-    endpoints in ONE pass over the checkpointed edges (r13: the
-    union-of-two-selects shape scanned it twice per round — measured
-    ~0.1 s/round slower at sf0.1 for identical counts). The loop FAILS
-    LOUDLY past the {KCORE_MAX_ITERS}-round budget (2× the measured
-    cascade) — a silent cap would emit a fake core containing
-    not-yet-peeled fringe. Integer end-to-end, so the driver hash-checks
-    exact values. The oracle unrolls the SAME step {KCORE_MAX_ITERS}
-    times; steps past Spark's early stop are idempotent, so both engines
-    agree bit-for-bit whenever the guard passes.
+    measured 5× worse on the same shape; the r13-rejected lazy rebuild
+    from composed semi-joins measured 2× worse). The symmetric census
+    explodes both endpoints in ONE pass over the checkpointed edges
+    (r13: the union-of-two-selects shape scanned it twice per round).
+    The loop FAILS LOUDLY past the {KCORE_MAX_ITERS}-round budget (2×
+    the measured cascade) — a silent cap would emit a fake core
+    containing not-yet-peeled fringe. Integer end-to-end, so the driver
+    hash-checks exact values. The oracle unrolls the SAME step
+    {KCORE_MAX_ITERS} times; steps past Spark's early stop are
+    idempotent, so both engines agree bit-for-bit whenever the guard
+    passes. (r14 interleaved min-of-3 at sf0.1: 5.57 → 4.36 s for the
+    census fusion, then 4.36 → 3.87 with the observed edge count.)
     """
     li = load_table(spark, sf_dir, "lineitem")
     # The edge count rides the checkpoint job itself as an observed
