@@ -22,7 +22,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window as W, functions as F
 
 from ..io import load_table
 from ..cache import managed_persist
@@ -866,6 +866,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # localCheckpoint (not persist): materializes once, breaks lineage,
         # and leaves nothing in executor storage memory across iterations.
+        # The changed-label count rides the checkpoint job as an observed
+        # metric (r14, the graph-loop fusion): one driver-synchronized job
+        # per round instead of checkpoint + count.
+        obs = Observation()
         nxt = (
             labels.join(nbr, "doc_id", "left")
             .select(
@@ -873,9 +877,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(F.col("lbl"), F.coalesce("nbr_min", F.col("lbl"))).alias("lbl"),
                 (F.coalesce("nbr_min", F.col("lbl")) < F.col("lbl")).alias("chg"),
             )
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(F.col("chg").cast("long")), F.lit(0)
+                ).alias("changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = nxt.filter("chg").count()
+        changed = obs.get["changed"]
         labels = nxt
         if changed == 0:
             converged = True
